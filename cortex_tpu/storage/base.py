@@ -1,0 +1,196 @@
+"""Backend-agnostic storage interface.
+
+Parity with the reference `Storage` trait
+(crates/cortex-core/src/storage/traits.rs:7-87) and filter types
+(storage/filters.rs:7-107). Host-side only: durable node/edge/metadata
+state lives here; embedding vectors are *also* persisted on nodes for
+rebuild-at-boot, but the queryable copy is the device-resident shard set
+(cortex_tpu.vector.shard).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+from ..types import Edge, Node
+
+SCHEMA_VERSION = 2  # parity with reference redb schema v2 (redb_storage.rs:37)
+
+
+@dataclass
+class NodeFilter:
+    """Declarative node query filter (storage/filters.rs:7-95)."""
+
+    kinds: Optional[List[str]] = None
+    tags: Optional[List[str]] = None          # node must carry ALL listed tags
+    source_agent: Optional[str] = None
+    created_after: Optional[float] = None
+    created_before: Optional[float] = None
+    min_importance: Optional[float] = None
+    max_importance: Optional[float] = None
+    include_deleted: bool = False
+    limit: Optional[int] = None
+    offset: int = 0
+
+    def matches(self, node: Node) -> bool:
+        if not self.include_deleted and node.deleted:
+            return False
+        if self.kinds is not None and node.kind not in self.kinds:
+            return False
+        if self.tags is not None and not all(t in node.tags for t in self.tags):
+            return False
+        if self.source_agent is not None and node.source.agent != self.source_agent:
+            return False
+        if self.created_after is not None and node.created_at < self.created_after:
+            return False
+        if self.created_before is not None and node.created_at > self.created_before:
+            return False
+        if self.min_importance is not None and node.importance < self.min_importance:
+            return False
+        if self.max_importance is not None and node.importance > self.max_importance:
+            return False
+        return True
+
+
+@dataclass
+class StorageStats:
+    """O(1) store statistics (storage/filters.rs:99-107)."""
+
+    node_count: int = 0
+    edge_count: int = 0
+    deleted_node_count: int = 0
+    nodes_by_kind: Dict[str, int] = field(default_factory=dict)
+    edges_by_relation: Dict[str, int] = field(default_factory=dict)
+    db_size_bytes: int = 0
+
+
+@dataclass
+class AuditEntry:
+    """Append-only audit record (policies/audit.rs:12-60)."""
+
+    ts: float
+    action: str          # node_created|node_updated|node_deleted|node_hard_deleted|
+    #                      edge_created|edge_updated|edge_deleted
+    target_id: str
+    actor: str = "system"
+    details: Optional[Dict[str, Any]] = None
+
+
+class Storage(abc.ABC):
+    """Abstract node/edge/metadata store with audit trail."""
+
+    # -- nodes ------------------------------------------------------------
+    @abc.abstractmethod
+    def put_node(self, node: Node, *, actor: str = "system") -> None: ...
+
+    @abc.abstractmethod
+    def get_node(self, node_id: str) -> Optional[Node]: ...
+
+    @abc.abstractmethod
+    def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
+        """Soft delete (tombstone). Returns False when missing."""
+
+    @abc.abstractmethod
+    def hard_delete_node(self, node_id: str, *, actor: str = "system") -> bool:
+        """Physical removal including incident edges."""
+
+    @abc.abstractmethod
+    def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]: ...
+
+    @abc.abstractmethod
+    def count_nodes(self, f: Optional[NodeFilter] = None) -> int: ...
+
+    @abc.abstractmethod
+    def list_distinct_kinds(self) -> List[str]: ...
+
+    # -- edges ------------------------------------------------------------
+    @abc.abstractmethod
+    def put_edge(self, edge: Edge, *, actor: str = "system") -> None:
+        """Validates endpoints exist + live, rejects duplicate
+        (from, to, relation) — reference redb_storage.rs:760-862."""
+
+    @abc.abstractmethod
+    def get_edge(self, edge_id: str) -> Optional[Edge]: ...
+
+    @abc.abstractmethod
+    def delete_edge(self, edge_id: str, *, actor: str = "system") -> bool: ...
+
+    @abc.abstractmethod
+    def edges_from(self, node_id: str) -> List[Edge]: ...
+
+    @abc.abstractmethod
+    def edges_to(self, node_id: str) -> List[Edge]: ...
+
+    @abc.abstractmethod
+    def edges_between(self, a: str, b: str) -> List[Edge]:
+        """Edges in either direction between a and b."""
+
+    @abc.abstractmethod
+    def all_edges(self) -> List[Edge]: ...
+
+    @abc.abstractmethod
+    def update_edge_weight_atomic(self, edge_id: str, weight: float,
+                                  touch: bool = True) -> bool:
+        """Atomic read-modify-write of one edge's weight
+        (redb_storage.rs:459-515). When touch, bumps updated_at."""
+
+    # -- batches ----------------------------------------------------------
+    def put_nodes_batch(self, nodes: Iterable[Node], *, actor: str = "system") -> int:
+        n = 0
+        for node in nodes:
+            self.put_node(node, actor=actor)
+            n += 1
+        return n
+
+    def put_edges_batch(self, edges: Iterable[Edge], *, actor: str = "system") -> int:
+        n = 0
+        for e in edges:
+            self.put_edge(e, actor=actor)
+            n += 1
+        return n
+
+    # -- metadata KV ------------------------------------------------------
+    @abc.abstractmethod
+    def put_metadata(self, key: str, value: str) -> None: ...
+
+    @abc.abstractmethod
+    def get_metadata(self, key: str) -> Optional[str]: ...
+
+    # -- audit ------------------------------------------------------------
+    @abc.abstractmethod
+    def append_audit(self, entry: AuditEntry) -> None: ...
+
+    @abc.abstractmethod
+    def query_audit(self, *, action: Optional[str] = None,
+                    target_id: Optional[str] = None,
+                    since: Optional[float] = None,
+                    limit: int = 100) -> List[AuditEntry]: ...
+
+    # -- maintenance ------------------------------------------------------
+    @abc.abstractmethod
+    def compact(self) -> None: ...
+
+    @abc.abstractmethod
+    def stats(self) -> StorageStats: ...
+
+    @abc.abstractmethod
+    def snapshot(self, dest_path: str) -> None: ...
+
+    def close(self) -> None:  # pragma: no cover - default no-op
+        pass
+
+    # -- derived helpers ---------------------------------------------------
+    def node_exists_live(self, node_id: str) -> bool:
+        n = self.get_node(node_id)
+        return n is not None and not n.deleted
+
+    def neighbors_of(self, node_id: str) -> List[Tuple[Edge, str]]:
+        """(edge, neighbor_id) pairs over both directions."""
+        out: List[Tuple[Edge, str]] = []
+        for e in self.edges_from(node_id):
+            out.append((e, e.to_id))
+        for e in self.edges_to(node_id):
+            out.append((e, e.from_id))
+        return out

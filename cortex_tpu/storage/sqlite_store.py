@@ -1,0 +1,501 @@
+"""SQLite-backed durable store.
+
+Fills the role of the reference's RedbStorage
+(crates/cortex-core/src/storage/redb_storage.rs) — embedded ACID KV with
+secondary indexes — using SQLite WAL mode. Same behavioral contract:
+
+  - schema version check on open (redb_storage.rs:161-187)
+  - deserialization preflight over the first 10 records (:126-158)
+  - put_edge validates endpoints + duplicate (from,to,relation) in one
+    transaction (:760-862)
+  - soft delete vs hard delete with incident-edge cleanup (:584-668)
+  - kind-index fast path for list/count (:670-758)
+  - O(1) stats via SQL aggregate + meta counters (:407-457)
+  - file snapshot (:1137)
+  - fire-and-forget audit rows (:206-212)
+
+Embeddings are persisted as float32 little-endian blobs so the device
+shard set can be rebuilt at boot without re-embedding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..errors import (DuplicateEdge, InvalidEdge, SchemaVersionError,
+                      StorageError, ValidationError)
+from ..types import Edge, EdgeProvenance, Node, Source
+from .base import (SCHEMA_VERSION, AuditEntry, NodeFilter, Storage,
+                   StorageStats)
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS nodes (
+    id TEXT PRIMARY KEY,
+    kind TEXT NOT NULL,
+    title TEXT NOT NULL,
+    body TEXT NOT NULL,
+    metadata TEXT NOT NULL DEFAULT '{}',
+    tags TEXT NOT NULL DEFAULT '[]',
+    embedding BLOB,
+    embedding_dim INTEGER,
+    source_agent TEXT NOT NULL,
+    source_session TEXT,
+    source_channel TEXT,
+    importance REAL NOT NULL,
+    access_count INTEGER NOT NULL DEFAULT 0,
+    last_accessed_at REAL NOT NULL,
+    created_at REAL NOT NULL,
+    updated_at REAL NOT NULL,
+    deleted INTEGER NOT NULL DEFAULT 0
+);
+CREATE INDEX IF NOT EXISTS nodes_by_kind ON nodes(kind);
+CREATE INDEX IF NOT EXISTS nodes_by_agent ON nodes(source_agent);
+CREATE INDEX IF NOT EXISTS nodes_by_created ON nodes(created_at);
+
+CREATE TABLE IF NOT EXISTS node_tags (
+    node_id TEXT NOT NULL,
+    tag TEXT NOT NULL,
+    PRIMARY KEY (node_id, tag)
+);
+CREATE INDEX IF NOT EXISTS tags_by_tag ON node_tags(tag);
+
+CREATE TABLE IF NOT EXISTS edges (
+    id TEXT PRIMARY KEY,
+    from_id TEXT NOT NULL,
+    to_id TEXT NOT NULL,
+    relation TEXT NOT NULL,
+    weight REAL NOT NULL,
+    provenance TEXT NOT NULL,
+    created_at REAL NOT NULL,
+    updated_at REAL NOT NULL,
+    UNIQUE (from_id, to_id, relation)
+);
+CREATE INDEX IF NOT EXISTS edges_by_from ON edges(from_id);
+CREATE INDEX IF NOT EXISTS edges_by_to ON edges(to_id);
+CREATE INDEX IF NOT EXISTS edges_by_relation ON edges(relation);
+
+CREATE TABLE IF NOT EXISTS audit (
+    seq INTEGER PRIMARY KEY AUTOINCREMENT,
+    ts REAL NOT NULL,
+    action TEXT NOT NULL,
+    target_id TEXT NOT NULL,
+    actor TEXT NOT NULL,
+    details TEXT
+);
+CREATE INDEX IF NOT EXISTS audit_by_ts ON audit(ts);
+CREATE INDEX IF NOT EXISTS audit_by_target ON audit(target_id);
+
+CREATE TABLE IF NOT EXISTS meta (
+    key TEXT PRIMARY KEY,
+    value TEXT NOT NULL
+);
+"""
+
+
+def _emb_to_blob(emb: Optional[List[float]]):
+    if emb is None:
+        return None, None
+    arr = np.asarray(emb, dtype=np.float32)
+    return arr.tobytes(), int(arr.shape[0])
+
+
+def _blob_to_emb(blob, dim) -> Optional[List[float]]:
+    if blob is None:
+        return None
+    return np.frombuffer(blob, dtype=np.float32, count=int(dim)).tolist()
+
+
+class SqliteStorage(Storage):
+    def __init__(self, path: str = ":memory:", *, audit_enabled: bool = True):
+        self.path = path
+        self.audit_enabled = audit_enabled
+        self._lock = threading.RLock()
+        if path != ":memory:":
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        self._db = sqlite3.connect(path, check_same_thread=False)
+        self._db.execute("PRAGMA journal_mode=WAL")
+        self._db.execute("PRAGMA synchronous=NORMAL")
+        self._db.execute("PRAGMA foreign_keys=ON")
+        self._db.executescript(_SCHEMA)
+        self._check_schema_version()
+        self._preflight()
+
+    # ------------------------------------------------------------------ boot
+    def _check_schema_version(self) -> None:
+        cur = self._db.execute("SELECT value FROM meta WHERE key='schema_version'")
+        row = cur.fetchone()
+        if row is None:
+            self._db.execute(
+                "INSERT INTO meta(key, value) VALUES ('schema_version', ?)",
+                (str(SCHEMA_VERSION),))
+            self._db.commit()
+        else:
+            found = int(row[0])
+            if found != SCHEMA_VERSION:
+                raise SchemaVersionError(found, SCHEMA_VERSION)
+
+    def _preflight(self) -> None:
+        """Decode the first 10 node/edge rows; fail fast before serving
+        (parity: redb_storage.rs:126-158)."""
+        try:
+            for row in self._db.execute(
+                    "SELECT * FROM nodes LIMIT 10"):
+                self._row_to_node(row)
+            for row in self._db.execute("SELECT * FROM edges LIMIT 10"):
+                self._row_to_edge(row)
+        except Exception as e:  # noqa: BLE001
+            raise StorageError(f"storage preflight failed: {e}") from e
+
+    # ---------------------------------------------------------------- codecs
+    @staticmethod
+    def _row_to_node(row) -> Node:
+        (nid, kind, title, body, metadata, tags, emb, emb_dim, agent, session,
+         channel, importance, access_count, last_accessed_at, created_at,
+         updated_at, deleted) = row
+        return Node(
+            id=nid, kind=kind, title=title, body=body,
+            metadata=json.loads(metadata), tags=json.loads(tags),
+            embedding=_blob_to_emb(emb, emb_dim),
+            source=Source(agent=agent, session=session, channel=channel),
+            importance=importance, access_count=access_count,
+            last_accessed_at=last_accessed_at, created_at=created_at,
+            updated_at=updated_at, deleted=bool(deleted),
+        )
+
+    @staticmethod
+    def _row_to_edge(row) -> Edge:
+        (eid, from_id, to_id, relation, weight, provenance, created_at,
+         updated_at) = row
+        return Edge(
+            id=eid, from_id=from_id, to_id=to_id, relation=relation,
+            weight=weight, provenance=EdgeProvenance.from_dict(json.loads(provenance)),
+            created_at=created_at, updated_at=updated_at,
+        )
+
+    # ----------------------------------------------------------------- audit
+    def append_audit(self, entry: AuditEntry) -> None:
+        if not self.audit_enabled:
+            return
+        with self._lock:
+            self._db.execute(
+                "INSERT INTO audit(ts, action, target_id, actor, details) "
+                "VALUES (?,?,?,?,?)",
+                (entry.ts, entry.action, entry.target_id, entry.actor,
+                 json.dumps(entry.details) if entry.details else None))
+            self._db.commit()
+
+    def _audit(self, action: str, target_id: str, actor: str,
+               details: Optional[Dict[str, Any]] = None) -> None:
+        if not self.audit_enabled:
+            return
+        self._db.execute(
+            "INSERT INTO audit(ts, action, target_id, actor, details) "
+            "VALUES (?,?,?,?,?)",
+            (time.time(), action, target_id, actor,
+             json.dumps(details) if details else None))
+
+    def query_audit(self, *, action: Optional[str] = None,
+                    target_id: Optional[str] = None,
+                    since: Optional[float] = None,
+                    limit: int = 100) -> List[AuditEntry]:
+        q = "SELECT ts, action, target_id, actor, details FROM audit WHERE 1=1"
+        params: List[Any] = []
+        if action is not None:
+            q += " AND action=?"
+            params.append(action)
+        if target_id is not None:
+            q += " AND target_id=?"
+            params.append(target_id)
+        if since is not None:
+            q += " AND ts>=?"
+            params.append(since)
+        q += " ORDER BY seq DESC LIMIT ?"
+        params.append(limit)
+        with self._lock:
+            rows = self._db.execute(q, params).fetchall()
+        return [AuditEntry(ts=r[0], action=r[1], target_id=r[2], actor=r[3],
+                           details=json.loads(r[4]) if r[4] else None)
+                for r in rows]
+
+    # ----------------------------------------------------------------- nodes
+    def put_node(self, node: Node, *, actor: str = "system") -> None:
+        node.validate()
+        blob, dim = _emb_to_blob(node.embedding)
+        with self._lock:
+            existed = self._db.execute(
+                "SELECT 1 FROM nodes WHERE id=?", (node.id,)).fetchone()
+            self._db.execute(
+                "INSERT INTO nodes (id, kind, title, body, metadata, tags, "
+                "embedding, embedding_dim, source_agent, source_session, "
+                "source_channel, importance, access_count, last_accessed_at, "
+                "created_at, updated_at, deleted) "
+                "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?) "
+                "ON CONFLICT(id) DO UPDATE SET kind=excluded.kind, "
+                "title=excluded.title, body=excluded.body, "
+                "metadata=excluded.metadata, tags=excluded.tags, "
+                "embedding=excluded.embedding, embedding_dim=excluded.embedding_dim, "
+                "source_agent=excluded.source_agent, "
+                "source_session=excluded.source_session, "
+                "source_channel=excluded.source_channel, "
+                "importance=excluded.importance, "
+                "access_count=excluded.access_count, "
+                "last_accessed_at=excluded.last_accessed_at, "
+                "created_at=excluded.created_at, updated_at=excluded.updated_at, "
+                "deleted=excluded.deleted",
+                (node.id, node.kind, node.title, node.body,
+                 json.dumps(node.metadata), json.dumps(node.tags), blob, dim,
+                 node.source.agent, node.source.session, node.source.channel,
+                 node.importance, node.access_count, node.last_accessed_at,
+                 node.created_at, node.updated_at, int(node.deleted)))
+            # tag secondary index maintenance (redb_storage.rs:250-304)
+            self._db.execute("DELETE FROM node_tags WHERE node_id=?", (node.id,))
+            self._db.executemany(
+                "INSERT OR IGNORE INTO node_tags(node_id, tag) VALUES (?,?)",
+                [(node.id, t) for t in node.tags])
+            self._audit("node_updated" if existed else "node_created",
+                        node.id, actor)
+            self._db.commit()
+
+    def get_node(self, node_id: str) -> Optional[Node]:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT * FROM nodes WHERE id=?", (node_id,)).fetchone()
+        return self._row_to_node(row) if row else None
+
+    def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
+        with self._lock:
+            cur = self._db.execute(
+                "UPDATE nodes SET deleted=1, updated_at=? WHERE id=? AND deleted=0",
+                (time.time(), node_id))
+            if cur.rowcount == 0:
+                self._db.commit()
+                return False
+            self._audit("node_deleted", node_id, actor)
+            self._db.commit()
+            return True
+
+    def hard_delete_node(self, node_id: str, *, actor: str = "system") -> bool:
+        with self._lock:
+            cur = self._db.execute("DELETE FROM nodes WHERE id=?", (node_id,))
+            if cur.rowcount == 0:
+                self._db.commit()
+                return False
+            self._db.execute("DELETE FROM node_tags WHERE node_id=?", (node_id,))
+            self._db.execute(
+                "DELETE FROM edges WHERE from_id=? OR to_id=?", (node_id, node_id))
+            self._audit("node_hard_deleted", node_id, actor)
+            self._db.commit()
+            return True
+
+    def _filter_sql(self, f: NodeFilter):
+        where = []
+        params: List[Any] = []
+        if not f.include_deleted:
+            where.append("deleted=0")
+        if f.kinds is not None:
+            where.append(f"kind IN ({','.join('?' * len(f.kinds))})")
+            params.extend(f.kinds)
+        if f.source_agent is not None:
+            where.append("source_agent=?")
+            params.append(f.source_agent)
+        if f.created_after is not None:
+            where.append("created_at>=?")
+            params.append(f.created_after)
+        if f.created_before is not None:
+            where.append("created_at<=?")
+            params.append(f.created_before)
+        if f.min_importance is not None:
+            where.append("importance>=?")
+            params.append(f.min_importance)
+        if f.max_importance is not None:
+            where.append("importance<=?")
+            params.append(f.max_importance)
+        if f.tags:
+            # node must have ALL tags
+            where.append(
+                "id IN (SELECT node_id FROM node_tags WHERE tag IN "
+                f"({','.join('?' * len(f.tags))}) "
+                "GROUP BY node_id HAVING COUNT(DISTINCT tag)=?)")
+            params.extend(f.tags)
+            params.append(len(f.tags))
+        clause = (" WHERE " + " AND ".join(where)) if where else ""
+        return clause, params
+
+    def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]:
+        f = f or NodeFilter()
+        clause, params = self._filter_sql(f)
+        q = f"SELECT * FROM nodes{clause} ORDER BY created_at DESC"
+        if f.limit is not None:
+            q += " LIMIT ? OFFSET ?"
+            params.extend([f.limit, f.offset])
+        elif f.offset:
+            q += " LIMIT -1 OFFSET ?"
+            params.append(f.offset)
+        with self._lock:
+            rows = self._db.execute(q, params).fetchall()
+        return [self._row_to_node(r) for r in rows]
+
+    def count_nodes(self, f: Optional[NodeFilter] = None) -> int:
+        f = f or NodeFilter()
+        clause, params = self._filter_sql(f)
+        with self._lock:
+            return self._db.execute(
+                f"SELECT COUNT(*) FROM nodes{clause}", params).fetchone()[0]
+
+    def list_distinct_kinds(self) -> List[str]:
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT DISTINCT kind FROM nodes WHERE deleted=0 ORDER BY kind"
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    # ----------------------------------------------------------------- edges
+    def put_edge(self, edge: Edge, *, actor: str = "system") -> None:
+        edge.validate()
+        with self._lock:
+            for nid, side in ((edge.from_id, "from"), (edge.to_id, "to")):
+                row = self._db.execute(
+                    "SELECT deleted FROM nodes WHERE id=?", (nid,)).fetchone()
+                if row is None:
+                    raise InvalidEdge(f"edge {side} endpoint {nid} does not exist")
+                if row[0]:
+                    raise InvalidEdge(f"edge {side} endpoint {nid} is deleted")
+            dup = self._db.execute(
+                "SELECT id FROM edges WHERE from_id=? AND to_id=? AND relation=? "
+                "AND id<>?",
+                (edge.from_id, edge.to_id, edge.relation, edge.id)).fetchone()
+            if dup:
+                raise DuplicateEdge(edge.from_id, edge.to_id, edge.relation)
+            existed = self._db.execute(
+                "SELECT 1 FROM edges WHERE id=?", (edge.id,)).fetchone()
+            self._db.execute(
+                "INSERT INTO edges (id, from_id, to_id, relation, weight, "
+                "provenance, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?) "
+                "ON CONFLICT(id) DO UPDATE SET weight=excluded.weight, "
+                "provenance=excluded.provenance, updated_at=excluded.updated_at",
+                (edge.id, edge.from_id, edge.to_id, edge.relation, edge.weight,
+                 json.dumps(edge.provenance.to_dict()), edge.created_at,
+                 edge.updated_at))
+            self._audit("edge_updated" if existed else "edge_created",
+                        edge.id, actor)
+            self._db.commit()
+
+    def get_edge(self, edge_id: str) -> Optional[Edge]:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT * FROM edges WHERE id=?", (edge_id,)).fetchone()
+        return self._row_to_edge(row) if row else None
+
+    def delete_edge(self, edge_id: str, *, actor: str = "system") -> bool:
+        with self._lock:
+            cur = self._db.execute("DELETE FROM edges WHERE id=?", (edge_id,))
+            ok = cur.rowcount > 0
+            if ok:
+                self._audit("edge_deleted", edge_id, actor)
+            self._db.commit()
+            return ok
+
+    def _edges_q(self, q: str, params) -> List[Edge]:
+        with self._lock:
+            rows = self._db.execute(q, params).fetchall()
+        return [self._row_to_edge(r) for r in rows]
+
+    def edges_from(self, node_id: str) -> List[Edge]:
+        return self._edges_q("SELECT * FROM edges WHERE from_id=?", (node_id,))
+
+    def edges_to(self, node_id: str) -> List[Edge]:
+        return self._edges_q("SELECT * FROM edges WHERE to_id=?", (node_id,))
+
+    def edges_between(self, a: str, b: str) -> List[Edge]:
+        return self._edges_q(
+            "SELECT * FROM edges WHERE (from_id=? AND to_id=?) "
+            "OR (from_id=? AND to_id=?)", (a, b, b, a))
+
+    def all_edges(self) -> List[Edge]:
+        return self._edges_q("SELECT * FROM edges", ())
+
+    def update_edge_weight_atomic(self, edge_id: str, weight: float,
+                                  touch: bool = True) -> bool:
+        w = min(1.0, max(0.0, weight))
+        with self._lock:
+            if touch:
+                cur = self._db.execute(
+                    "UPDATE edges SET weight=?, updated_at=? WHERE id=?",
+                    (w, time.time(), edge_id))
+            else:
+                cur = self._db.execute(
+                    "UPDATE edges SET weight=? WHERE id=?", (w, edge_id))
+            self._db.commit()
+            return cur.rowcount > 0
+
+    # ----------------------------------------------------------------- batch
+    def put_nodes_batch(self, nodes, *, actor: str = "system") -> int:
+        count = 0
+        with self._lock:
+            for node in nodes:
+                self.put_node(node, actor=actor)
+                count += 1
+        return count
+
+    # -------------------------------------------------------------- metadata
+    def put_metadata(self, key: str, value: str) -> None:
+        with self._lock:
+            self._db.execute(
+                "INSERT INTO meta(key, value) VALUES (?,?) "
+                "ON CONFLICT(key) DO UPDATE SET value=excluded.value",
+                (key, value))
+            self._db.commit()
+
+    def get_metadata(self, key: str) -> Optional[str]:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT value FROM meta WHERE key=?", (key,)).fetchone()
+        return row[0] if row else None
+
+    # ----------------------------------------------------------- maintenance
+    def compact(self) -> None:
+        with self._lock:
+            self._db.commit()
+            self._db.execute("VACUUM")
+
+    def stats(self) -> StorageStats:
+        with self._lock:
+            node_count = self._db.execute(
+                "SELECT COUNT(*) FROM nodes WHERE deleted=0").fetchone()[0]
+            deleted = self._db.execute(
+                "SELECT COUNT(*) FROM nodes WHERE deleted=1").fetchone()[0]
+            edge_count = self._db.execute(
+                "SELECT COUNT(*) FROM edges").fetchone()[0]
+            by_kind = dict(self._db.execute(
+                "SELECT kind, COUNT(*) FROM nodes WHERE deleted=0 GROUP BY kind"
+            ).fetchall())
+            by_rel = dict(self._db.execute(
+                "SELECT relation, COUNT(*) FROM edges GROUP BY relation"
+            ).fetchall())
+        size = 0
+        if self.path != ":memory:" and os.path.exists(self.path):
+            size = os.path.getsize(self.path)
+        return StorageStats(
+            node_count=node_count, edge_count=edge_count,
+            deleted_node_count=deleted, nodes_by_kind=by_kind,
+            edges_by_relation=by_rel, db_size_bytes=size)
+
+    def snapshot(self, dest_path: str) -> None:
+        with self._lock:
+            dest = sqlite3.connect(dest_path)
+            try:
+                self._db.backup(dest)
+            finally:
+                dest.close()
+
+    def close(self) -> None:
+        with self._lock:
+            self._db.commit()
+            self._db.close()

@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so sharding/pjit paths are
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+from cortex_tpu.storage import MemoryStorage, SqliteStorage  # noqa: E402
+
+
+@pytest.fixture(params=["memory", "sqlite"])
+def storage(request, tmp_path):
+    if request.param == "memory":
+        yield MemoryStorage()
+    else:
+        s = SqliteStorage(str(tmp_path / "test.db"))
+        yield s
+        s.close()
+
+
+@pytest.fixture
+def mem_storage():
+    return MemoryStorage()

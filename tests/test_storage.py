@@ -1,0 +1,243 @@
+"""Storage-layer tests against both backends (parity: redb_storage.rs tests)."""
+
+import threading
+
+import pytest
+
+from cortex_tpu.errors import DuplicateEdge, InvalidEdge, SchemaVersionError
+from cortex_tpu.storage import NodeFilter, SqliteStorage
+from cortex_tpu.types import Edge, EdgeProvenance, Node, Source
+
+
+def mknode(kind="fact", title="A test node title", agent="tester", **kw):
+    n = Node.new(kind, title, "Body of the node", Source(agent=agent))
+    for k, v in kw.items():
+        setattr(n, k, v)
+    return n
+
+
+def link(a, b, relation="related_to", weight=0.5):
+    return Edge.new(a.id, b.id, relation, weight, EdgeProvenance.manual("t"))
+
+
+class TestNodeCrud:
+    def test_put_get(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        got = storage.get_node(n.id)
+        assert got is not None and got.title == n.title
+
+    def test_get_missing(self, storage):
+        assert storage.get_node("nope") is None
+
+    def test_update(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        n.title = "Updated title"
+        storage.put_node(n)
+        assert storage.get_node(n.id).title == "Updated title"
+
+    def test_soft_delete(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        assert storage.delete_node(n.id)
+        got = storage.get_node(n.id)
+        assert got.deleted
+        assert not storage.delete_node(n.id)  # already deleted
+        assert storage.count_nodes() == 0
+        assert storage.count_nodes(NodeFilter(include_deleted=True)) == 1
+
+    def test_hard_delete_cleans_edges(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.put_edge(link(a, b))
+        assert storage.hard_delete_node(a.id)
+        assert storage.get_node(a.id) is None
+        assert storage.edges_to(b.id) == []
+
+    def test_embedding_persistence(self, storage):
+        n = mknode()
+        n.embedding = [0.5] * 384
+        storage.put_node(n)
+        got = storage.get_node(n.id)
+        assert got.embedding == pytest.approx([0.5] * 384)
+
+
+class TestFilters:
+    def setup_nodes(self, storage):
+        for i in range(5):
+            storage.put_node(mknode(kind="fact", title=f"Fact number {i}"))
+        for i in range(3):
+            storage.put_node(mknode(kind="event", title=f"Event number {i}",
+                                    agent="other"))
+        n = mknode(kind="fact", title="Tagged node title")
+        n.tags = ["special", "extra"]
+        storage.put_node(n)
+
+    def test_by_kind(self, storage):
+        self.setup_nodes(storage)
+        assert storage.count_nodes(NodeFilter(kinds=["fact"])) == 6
+        assert storage.count_nodes(NodeFilter(kinds=["event"])) == 3
+        assert storage.count_nodes(NodeFilter(kinds=["fact", "event"])) == 9
+
+    def test_by_agent(self, storage):
+        self.setup_nodes(storage)
+        assert storage.count_nodes(NodeFilter(source_agent="other")) == 3
+
+    def test_by_tags_all_required(self, storage):
+        self.setup_nodes(storage)
+        assert storage.count_nodes(NodeFilter(tags=["special"])) == 1
+        assert storage.count_nodes(NodeFilter(tags=["special", "extra"])) == 1
+        assert storage.count_nodes(NodeFilter(tags=["special", "missing"])) == 0
+
+    def test_limit_offset(self, storage):
+        self.setup_nodes(storage)
+        page1 = storage.list_nodes(NodeFilter(limit=4))
+        page2 = storage.list_nodes(NodeFilter(limit=4, offset=4))
+        assert len(page1) == 4 and len(page2) == 4
+        assert {n.id for n in page1}.isdisjoint({n.id for n in page2})
+
+    def test_importance_range(self, storage):
+        storage.put_node(mknode(title="Important node one", importance=0.9))
+        storage.put_node(mknode(title="Unimportant node", importance=0.1))
+        assert storage.count_nodes(NodeFilter(min_importance=0.5)) == 1
+
+    def test_distinct_kinds(self, storage):
+        self.setup_nodes(storage)
+        assert storage.list_distinct_kinds() == ["event", "fact"]
+
+
+class TestEdges:
+    def test_put_edge_requires_endpoints(self, storage):
+        a = mknode()
+        storage.put_node(a)
+        e = Edge.new(a.id, "ghost", "related_to", 0.5,
+                     EdgeProvenance.manual("t"))
+        with pytest.raises(InvalidEdge):
+            storage.put_edge(e)
+
+    def test_put_edge_rejects_deleted_endpoint(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.delete_node(b.id)
+        with pytest.raises(InvalidEdge):
+            storage.put_edge(link(a, b))
+
+    def test_duplicate_edge_rejected(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.put_edge(link(a, b))
+        with pytest.raises(DuplicateEdge):
+            storage.put_edge(link(a, b))
+        # different relation is fine
+        storage.put_edge(link(a, b, relation="uses"))
+        # reverse direction is fine
+        storage.put_edge(link(b, a))
+
+    def test_edges_between(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.put_edge(link(a, b))
+        storage.put_edge(link(b, a, relation="uses"))
+        assert len(storage.edges_between(a.id, b.id)) == 2
+
+    def test_atomic_weight_update(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        e = link(a, b)
+        storage.put_edge(e)
+        assert storage.update_edge_weight_atomic(e.id, 0.25)
+        assert storage.get_edge(e.id).weight == pytest.approx(0.25)
+        assert not storage.update_edge_weight_atomic("ghost", 0.1)
+
+    def test_edge_update_same_id_not_duplicate(self, storage):
+        a, b = mknode(), mknode(title="Second node title")
+        storage.put_node(a)
+        storage.put_node(b)
+        e = link(a, b)
+        storage.put_edge(e)
+        e.weight = 0.9
+        storage.put_edge(e)  # same id → update, not duplicate
+        assert storage.get_edge(e.id).weight == pytest.approx(0.9)
+
+
+class TestMetaAuditStats:
+    def test_metadata_kv(self, storage):
+        storage.put_metadata("cursor", "12345")
+        assert storage.get_metadata("cursor") == "12345"
+        storage.put_metadata("cursor", "6789")
+        assert storage.get_metadata("cursor") == "6789"
+        assert storage.get_metadata("missing") is None
+
+    def test_audit_trail(self, storage):
+        n = mknode()
+        storage.put_node(n, actor="alice")
+        storage.delete_node(n.id, actor="bob")
+        entries = storage.query_audit(target_id=n.id)
+        actions = [e.action for e in entries]
+        assert "node_created" in actions and "node_deleted" in actions
+
+    def test_stats(self, storage):
+        storage.put_node(mknode(kind="fact"))
+        storage.put_node(mknode(kind="event", title="Event node title"))
+        s = storage.stats()
+        assert s.node_count == 2
+        assert s.nodes_by_kind == {"fact": 1, "event": 1}
+
+
+class TestSqliteSpecific:
+    def test_persistence_across_reopen(self, tmp_path):
+        path = str(tmp_path / "p.db")
+        s = SqliteStorage(path)
+        n = mknode()
+        n.embedding = [1.0, 2.0]
+        s.put_node(n)
+        s.close()
+        s2 = SqliteStorage(path)
+        got = s2.get_node(n.id)
+        assert got.embedding == [1.0, 2.0]
+        s2.close()
+
+    def test_schema_version_mismatch(self, tmp_path):
+        path = str(tmp_path / "v.db")
+        s = SqliteStorage(path)
+        s.put_metadata("schema_version", "99")
+        s.close()
+        with pytest.raises(SchemaVersionError):
+            SqliteStorage(path)
+
+    def test_snapshot(self, tmp_path):
+        path = str(tmp_path / "s.db")
+        s = SqliteStorage(path)
+        s.put_node(mknode())
+        dest = str(tmp_path / "snap.db")
+        s.snapshot(dest)
+        s.close()
+        s2 = SqliteStorage(dest)
+        assert s2.count_nodes() == 1
+        s2.close()
+
+    def test_concurrent_writes(self, tmp_path):
+        s = SqliteStorage(str(tmp_path / "c.db"))
+        errs = []
+
+        def writer(i):
+            try:
+                for j in range(20):
+                    s.put_node(mknode(title=f"Node from thread {i} item {j}"))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        assert s.count_nodes() == 80
+        s.close()

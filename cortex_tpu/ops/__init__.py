@@ -1,0 +1,7 @@
+from .similarity import (cosine_scores, cosine_topk, cosine_topk_pallas,
+                         cosine_topk_xla, normalize_rows)
+
+__all__ = [
+    "cosine_scores", "cosine_topk", "cosine_topk_pallas", "cosine_topk_xla",
+    "normalize_rows",
+]

@@ -1,0 +1,99 @@
+"""Device similarity kernels vs numpy ground truth."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cortex_tpu.ops.similarity import (cosine_topk, cosine_topk_pallas,
+                                       cosine_topk_xla, normalize_rows)
+
+
+def np_topk(corpus, queries, k, bias=None):
+    c = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+    q = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    s = q @ c.T
+    if bias is not None:
+        s = s + bias
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(s, idx, axis=1)
+    return vals, idx
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(300, 64)).astype(np.float32)
+    queries = rng.normal(size=(5, 64)).astype(np.float32)
+    return corpus, queries
+
+
+def _norm(x):
+    return normalize_rows(jnp.asarray(x))
+
+
+class TestXlaTopK:
+    def test_matches_numpy(self, data):
+        corpus, queries = data
+        ref_v, ref_i = np_topk(corpus, queries, 10)
+        v, i = cosine_topk_xla(_norm(corpus), _norm(queries), 10)
+        np.testing.assert_allclose(np.asarray(v), ref_v, atol=1e-5)
+        # indices may differ on exact ties; check score-equivalence
+        assert np.allclose(np.sort(v, axis=1), np.sort(ref_v, axis=1), atol=1e-5)
+
+    def test_bias_masking(self, data):
+        corpus, queries = data
+        bias = np.zeros((1, 300), np.float32)
+        bias[:, :150] = -1e30           # mask out first half
+        v, i = cosine_topk_xla(_norm(corpus), _norm(queries), 10,
+                               jnp.asarray(bias))
+        assert np.all(np.asarray(i) >= 150)
+
+    def test_self_similarity_is_one(self):
+        rng = np.random.default_rng(1)
+        corpus = rng.normal(size=(20, 16)).astype(np.float32)
+        v, i = cosine_topk_xla(_norm(corpus), _norm(corpus), 1)
+        np.testing.assert_allclose(np.asarray(v)[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(20))
+
+
+class TestPallasTopK:
+    """Kernel runs in interpret mode on CPU; exact-match against XLA path."""
+
+    @pytest.mark.parametrize("n,d,b,k,block", [
+        (300, 64, 5, 10, 128),
+        (1024, 128, 3, 7, 256),
+        (130, 33, 1, 5, 128),       # ragged shapes exercise padding
+        (256, 384, 9, 100, 128),    # k near block size
+    ])
+    def test_matches_xla(self, n, d, b, k, block):
+        rng = np.random.default_rng(42)
+        corpus = _norm(rng.normal(size=(n, d)).astype(np.float32))
+        queries = _norm(rng.normal(size=(b, d)).astype(np.float32))
+        xv, xi = cosine_topk_xla(corpus, queries, min(k, n))
+        pv, pi = cosine_topk_pallas(corpus, queries, k, block_n=block,
+                                    interpret=True)
+        kk = min(k, n)
+        np.testing.assert_allclose(np.asarray(pv)[:, :kk], np.asarray(xv),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(pi)[:, :kk], np.asarray(xi))
+
+    def test_bias_masking(self):
+        rng = np.random.default_rng(7)
+        corpus = _norm(rng.normal(size=(256, 32)).astype(np.float32))
+        queries = _norm(rng.normal(size=(2, 32)).astype(np.float32))
+        bias = np.zeros((2, 256), np.float32)
+        bias[:, ::2] = -1e30        # mask even rows
+        pv, pi = cosine_topk_pallas(corpus, queries, 8, jnp.asarray(bias),
+                                    block_n=128, interpret=True)
+        assert np.all(np.asarray(pi) % 2 == 1)
+
+
+class TestDispatcher:
+    def test_k_larger_than_n(self):
+        rng = np.random.default_rng(3)
+        corpus = _norm(rng.normal(size=(4, 8)).astype(np.float32))
+        queries = _norm(rng.normal(size=(2, 8)).astype(np.float32))
+        v, i = cosine_topk(corpus, queries, 10)
+        assert v.shape == (2, 10)
+        assert np.all(v[:, 4:] < -1e29)

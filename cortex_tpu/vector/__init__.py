@@ -1,0 +1,17 @@
+from .config import SimilarityConfig
+from .embedding import (EmbeddingService, HashingEmbedder, STEmbedder,
+                        default_embedder, embedding_input)
+from .index import (BruteForceIndex, SearchHit, TpuFlatIndex, VectorFilter,
+                    VectorIndex)
+from .scoring import (ScoreDecayConfig, apply_score_decay,
+                      apply_score_decay_batch)
+from .shard import DeviceCorpus
+
+__all__ = [
+    "SimilarityConfig",
+    "EmbeddingService", "HashingEmbedder", "STEmbedder", "default_embedder",
+    "embedding_input",
+    "BruteForceIndex", "SearchHit", "TpuFlatIndex", "VectorFilter",
+    "VectorIndex", "DeviceCorpus",
+    "ScoreDecayConfig", "apply_score_decay", "apply_score_decay_batch",
+]

@@ -1,0 +1,170 @@
+"""Embedding services.
+
+Parity surface: the reference `EmbeddingService` trait
+(crates/cortex-core/src/vector/embedding.rs:6-18) and the canonical
+`embedding_input` node text format (embedding.rs:113-131):
+
+    "{Kind}: {title}\\n{body}\\ntags: {t1, t2, ...}"
+
+Implementations:
+  * HashingEmbedder — deterministic hashed bag-of-{words, bigrams}
+    projection, L2-normalized. No model weights, instant, fully
+    reproducible: the default for tests and offline development (the
+    reference's MockEmbedder role, but with real lexical-similarity
+    structure so thresholds behave meaningfully).
+  * STEmbedder — sentence-transformers (BGE-small-en-v1.5 class models)
+    when weights are available locally; batch-embeds on the accelerator.
+
+Batching discipline: embed_batch is THE hot path (the reference is
+embedding-bound at ~30ms/node, ARCHITECTURE.md:78); all engine call
+sites batch texts and call embed_batch once.
+"""
+
+from __future__ import annotations
+
+import abc
+import hashlib
+import re
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..errors import EmbeddingError
+from ..types import Node, kind_display
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+#: model name -> dimension map (parity: embedding.rs:43-50)
+MODEL_DIMS = {
+    "BAAI/bge-small-en-v1.5": 384,
+    "sentence-transformers/all-MiniLM-L6-v2": 384,
+    "BAAI/bge-base-en-v1.5": 768,
+    "BAAI/bge-large-en-v1.5": 1024,
+    "hash-384": 384,
+    "hash-768": 768,
+}
+
+
+def embedding_input(node: Node) -> str:
+    """Canonical node -> text mapping; keep byte-for-byte stable."""
+    return (f"{kind_display(node.kind)}: {node.title}\n"
+            f"{node.body}\n"
+            f"tags: {', '.join(node.tags)}")
+
+
+class EmbeddingService(abc.ABC):
+    @abc.abstractmethod
+    def embed(self, text: str) -> np.ndarray: ...
+
+    @abc.abstractmethod
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray: ...
+
+    @property
+    @abc.abstractmethod
+    def dimension(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def model_name(self) -> str: ...
+
+    def embed_node(self, node: Node) -> np.ndarray:
+        return self.embed(embedding_input(node))
+
+    def embed_nodes(self, nodes: Sequence[Node]) -> np.ndarray:
+        return self.embed_batch([embedding_input(n) for n in nodes])
+
+
+class HashingEmbedder(EmbeddingService):
+    """Feature-hashed unigram+bigram embedding with signed buckets.
+
+    Deterministic across processes (blake2b-seeded), cosine similarity
+    tracks lexical overlap, orthogonal-ish for unrelated text.
+    """
+
+    def __init__(self, dim: int = 384, name: Optional[str] = None):
+        if dim <= 0:
+            raise EmbeddingError("dim must be positive")
+        self._dim = dim
+        self._name = name or f"hash-{dim}"
+
+    @property
+    def dimension(self) -> int:
+        return self._dim
+
+    @property
+    def model_name(self) -> str:
+        return self._name
+
+    def _tokens(self, text: str) -> List[str]:
+        words = _WORD_RE.findall(text.lower())
+        bigrams = [f"{a}_{b}" for a, b in zip(words, words[1:])]
+        return words + bigrams
+
+    def embed(self, text: str) -> np.ndarray:
+        v = np.zeros(self._dim, dtype=np.float32)
+        for tok in self._tokens(text):
+            h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+            x = int.from_bytes(h, "little")
+            idx = x % self._dim
+            sign = 1.0 if (x >> 63) & 1 else -1.0
+            v[idx] += sign
+        n = np.linalg.norm(v)
+        if n < 1e-12:
+            # empty text: deterministic unit vector
+            v[0] = 1.0
+            return v
+        return v / n
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self._dim), dtype=np.float32)
+        return np.stack([self.embed(t) for t in texts])
+
+
+class STEmbedder(EmbeddingService):
+    """sentence-transformers model (BGE/MiniLM class). Requires locally
+    cached weights — this environment has zero egress, so construction
+    fails with a clear error if the model isn't on disk."""
+
+    def __init__(self, model_name: str = "BAAI/bge-small-en-v1.5",
+                 device: str = "cpu"):
+        try:
+            from sentence_transformers import SentenceTransformer
+            self._model = SentenceTransformer(model_name, device=device,
+                                              local_files_only=True)
+        except Exception as e:  # noqa: BLE001
+            raise EmbeddingError(
+                f"cannot load {model_name} (offline?): {e}") from e
+        self._name = model_name
+        self._dim = int(self._model.get_sentence_embedding_dimension())
+
+    @property
+    def dimension(self) -> int:
+        return self._dim
+
+    @property
+    def model_name(self) -> str:
+        return self._name
+
+    def embed(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self._dim), dtype=np.float32)
+        out = self._model.encode(list(texts), normalize_embeddings=True,
+                                 convert_to_numpy=True)
+        return out.astype(np.float32)
+
+
+def default_embedder(model: str = "", dim: int = 384) -> EmbeddingService:
+    """Build the configured embedder; fall back to hashing when model
+    weights are unavailable (offline envs)."""
+    if model and not model.startswith("hash"):
+        try:
+            return STEmbedder(model)
+        except EmbeddingError:
+            pass
+    if model.startswith("hash-"):
+        dim = int(model.split("-", 1)[1])
+    return HashingEmbedder(dim=dim)

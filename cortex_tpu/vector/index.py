@@ -1,0 +1,243 @@
+"""Vector index interface + implementations.
+
+Parity surface: the reference `VectorIndex` trait
+(crates/cortex-core/src/vector/index.rs:50-99): insert / remove / search /
+search_threshold / search_batch / len / rebuild / save / load, with
+kind/agent/exclusion filtering (the reference over-fetches k*10 then
+post-filters, index.rs:350 — here filters are masked *inside* the device
+kernel, so results are exact).
+
+  * TpuFlatIndex — exact flat scan over the DeviceCorpus (Pallas/XLA
+    fused cosine+top-k). recall == 1.0 by construction; the perf bet of
+    the whole rebuild (BASELINE north star).
+  * BruteForceIndex — numpy exact scan; the ground-truth oracle and
+    dependency-free fallback (plays the reference's brute-force path,
+    index.rs:259-294).
+
+Thread model: unlike the reference's Arc<RwLock<HnswIndex>>
+(index.rs:104-163), the device corpus swaps immutable arrays, so
+concurrent searches need no reader locks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..errors import IndexError_
+from .shard import DeviceCorpus, _norm_rows
+
+SearchHit = Tuple[str, float]          # (node_id, cosine score)
+
+
+@dataclass
+class VectorFilter:
+    """Metadata constraints applied during search."""
+
+    kinds: Optional[List[str]] = None
+    source_agent: Optional[str] = None
+    exclude_ids: List[str] = field(default_factory=list)
+
+
+class VectorIndex:
+    """Interface; see TpuFlatIndex / BruteForceIndex."""
+
+    dim: int
+
+    def insert(self, node_id: str, vector: np.ndarray, *,
+               kind: str = "", source_agent: str = "") -> None:
+        raise NotImplementedError
+
+    def insert_batch(self, ids: Sequence[str], vectors: np.ndarray, *,
+                     kinds: Optional[Sequence[str]] = None,
+                     agents: Optional[Sequence[str]] = None) -> None:
+        kinds = kinds or [""] * len(ids)
+        agents = agents or [""] * len(ids)
+        for i, nid in enumerate(ids):
+            self.insert(nid, vectors[i], kind=kinds[i], source_agent=agents[i])
+
+    def remove(self, node_id: str) -> bool:
+        raise NotImplementedError
+
+    def search(self, vector: np.ndarray, k: int,
+               flt: Optional[VectorFilter] = None) -> List[SearchHit]:
+        return self.search_batch(np.asarray(vector)[None, :], k, flt)[0]
+
+    def search_batch(self, vectors: np.ndarray, k: int,
+                     flt: Optional[VectorFilter] = None
+                     ) -> List[List[SearchHit]]:
+        raise NotImplementedError
+
+    def search_threshold(self, vector: np.ndarray, threshold: float,
+                         limit: int = 1000,
+                         flt: Optional[VectorFilter] = None
+                         ) -> List[SearchHit]:
+        """All hits with score >= threshold (up to limit), best first.
+        (reference index.rs:376-388: full-k search + cutoff)."""
+        hits = self.search(vector, min(limit, max(len(self), 1)), flt)
+        return [(i, s) for i, s in hits if s >= threshold]
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __contains__(self, node_id: str) -> bool:
+        raise NotImplementedError
+
+    def rebuild(self) -> None:
+        """Compaction; searches are always exact so this is maintenance,
+        not a correctness step (unlike the reference's stale HNSW)."""
+
+    def save(self, path: str) -> None:
+        raise NotImplementedError
+
+    def load(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class TpuFlatIndex(VectorIndex):
+    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None):
+        self.dim = dim
+        self._corpus = DeviceCorpus(dim, use_pallas=use_pallas)
+
+    def insert(self, node_id: str, vector: np.ndarray, *,
+               kind: str = "", source_agent: str = "") -> None:
+        self._corpus.upsert(node_id, np.asarray(vector, np.float32),
+                            kind, source_agent)
+
+    def insert_batch(self, ids: Sequence[str], vectors: np.ndarray, *,
+                     kinds: Optional[Sequence[str]] = None,
+                     agents: Optional[Sequence[str]] = None) -> None:
+        if len(ids) == 0:
+            return
+        self._corpus.upsert_batch(
+            ids, np.asarray(vectors, np.float32),
+            list(kinds) if kinds else [""] * len(ids),
+            list(agents) if agents else [""] * len(ids))
+
+    def remove(self, node_id: str) -> bool:
+        return self._corpus.remove(node_id)
+
+    def search_batch(self, vectors: np.ndarray, k: int,
+                     flt: Optional[VectorFilter] = None
+                     ) -> List[List[SearchHit]]:
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2:
+            raise IndexError_("search_batch expects [B, d]")
+        flt = flt or VectorFilter()
+        scores, ids = self._corpus.topk(
+            vectors, k, kinds=flt.kinds, agent=flt.source_agent,
+            exclude_ids=flt.exclude_ids)
+        out: List[List[SearchHit]] = []
+        for b in range(vectors.shape[0]):
+            out.append([(nid, float(scores[b, j]))
+                        for j, nid in enumerate(ids[b]) if nid is not None])
+        return out
+
+    def __len__(self) -> int:
+        return len(self._corpus)
+
+    def __contains__(self, node_id: str) -> bool:
+        return node_id in self._corpus
+
+    def rebuild(self) -> None:
+        self._corpus.compact()
+
+    def save(self, path: str) -> None:
+        st = self._corpus.state()
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        np.savez_compressed(
+            path, vectors=st["vectors"],
+            meta=json.dumps({
+                "dim": self.dim,
+                "ids": list(st["ids"]),
+                "kinds": list(st["kinds"]),
+                "agents": list(st["agents"]),
+            }))
+
+    def load(self, path: str) -> None:
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        if meta["dim"] != self.dim:
+            raise IndexError_(
+                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+        self._corpus = DeviceCorpus(self.dim,
+                                    use_pallas=self._corpus._use_pallas)
+        if meta["ids"]:
+            self._corpus.upsert_batch(meta["ids"], z["vectors"],
+                                      meta["kinds"], meta["agents"])
+
+
+class BruteForceIndex(VectorIndex):
+    """Numpy exact scan; ground truth for recall tests."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self._vecs: Dict[str, np.ndarray] = {}
+        self._kind: Dict[str, str] = {}
+        self._agent: Dict[str, str] = {}
+
+    def insert(self, node_id: str, vector: np.ndarray, *,
+               kind: str = "", source_agent: str = "") -> None:
+        v = np.asarray(vector, np.float32)
+        if v.shape != (self.dim,):
+            raise IndexError_(f"vector shape {v.shape} != ({self.dim},)")
+        self._vecs[node_id] = _norm_rows(v[None, :])[0]
+        self._kind[node_id] = kind
+        self._agent[node_id] = source_agent
+
+    def remove(self, node_id: str) -> bool:
+        self._kind.pop(node_id, None)
+        self._agent.pop(node_id, None)
+        return self._vecs.pop(node_id, None) is not None
+
+    def search_batch(self, vectors: np.ndarray, k: int,
+                     flt: Optional[VectorFilter] = None
+                     ) -> List[List[SearchHit]]:
+        flt = flt or VectorFilter()
+        ids = [i for i in self._vecs
+               if (flt.kinds is None or self._kind[i] in flt.kinds)
+               and (flt.source_agent is None
+                    or self._agent[i] == flt.source_agent)
+               and i not in flt.exclude_ids]
+        if not ids:
+            return [[] for _ in range(len(vectors))]
+        mat = np.stack([self._vecs[i] for i in ids])
+        q = _norm_rows(np.asarray(vectors, np.float32))
+        s = q @ mat.T
+        out = []
+        for b in range(q.shape[0]):
+            order = np.argsort(-s[b], kind="stable")[:k]
+            out.append([(ids[j], float(s[b, j])) for j in order])
+        return out
+
+    def __len__(self) -> int:
+        return len(self._vecs)
+
+    def __contains__(self, node_id: str) -> bool:
+        return node_id in self._vecs
+
+    def save(self, path: str) -> None:
+        ids = list(self._vecs)
+        np.savez_compressed(
+            path,
+            vectors=(np.stack([self._vecs[i] for i in ids]) if ids
+                     else np.zeros((0, self.dim), np.float32)),
+            meta=json.dumps({"dim": self.dim, "ids": ids,
+                             "kinds": [self._kind[i] for i in ids],
+                             "agents": [self._agent[i] for i in ids]}))
+
+    def load(self, path: str) -> None:
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        self._vecs.clear()
+        self._kind.clear()
+        self._agent.clear()
+        for j, nid in enumerate(meta["ids"]):
+            self._vecs[nid] = z["vectors"][j]
+            self._kind[nid] = meta["kinds"][j]
+            self._agent[nid] = meta["agents"][j]

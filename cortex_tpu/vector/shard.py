@@ -1,0 +1,323 @@
+"""Device-resident embedding corpus.
+
+The TPU-native replacement for the reference's HNSW index state
+(crates/cortex-core/src/vector/index.rs: `vectors: HashMap<NodeId,Vec<f32>>`
++ metadata maps + rebuilt HNSW graph). Layout:
+
+    emb        [cap, d] float32   row-L2-normalized; zeros for dead rows
+    live       [cap]    bool
+    kind_code  [cap]    int32     interned node kind (-1 dead)
+    agent_code [cap]    int32     interned source agent (-1 dead)
+
+Host keeps an authoritative numpy mirror plus id<->row maps; the device
+copy is refreshed lazily before a search:
+
+  * small diffs  -> fused scatter update on device (jnp .at[rows].set)
+  * big diffs / capacity growth -> full re-upload
+
+This is the stale-index + rebuild model of the reference (index.rs:416-435)
+re-expressed functionally: the device arrays are immutable values swapped
+whole, so readers never see torn state and no locks exist
+(SURVEY §2.4: "immutable device arrays + versioned swap").
+
+Capacity grows by doubling along a fixed ladder so jit caches stay warm
+across many inserts (recompiles amortize to O(log N)).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import IndexError_
+from ..ops.similarity import NEG_INF, cosine_topk_pallas, cosine_topk_xla
+
+MIN_CAP = 1024
+MAX_FILTER_KINDS = 16
+MAX_EXCLUDE = 64
+NO_FILTER = -1
+PAD_CODE = -2
+
+
+def _norm_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return (x / np.maximum(n, 1e-12)).astype(np.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_update(emb, live, kind_code, agent_code, rows, vecs, lv, kc, ac):
+    emb = emb.at[rows].set(vecs)
+    live = live.at[rows].set(lv)
+    kind_code = kind_code.at[rows].set(kc)
+    agent_code = agent_code.at[rows].set(ac)
+    return emb, live, kind_code, agent_code
+
+
+@jax.jit
+def _build_bias(live, kind_code, agent_code, allowed_kinds, allowed_agent,
+                exclude_rows):
+    """[N] additive bias: 0 for admissible rows, <= -1e30 otherwise.
+
+    allowed_kinds: [MAX_FILTER_KINDS] int32, first element NO_FILTER when
+    unfiltered, padded with PAD_CODE. allowed_agent: scalar int32 or
+    NO_FILTER. exclude_rows: [MAX_EXCLUDE] int32 padded with NO_FILTER.
+    """
+    bias = jnp.where(live, 0.0, NEG_INF)
+    kind_on = allowed_kinds[0] != NO_FILTER
+    kind_ok = jnp.any(kind_code[:, None] == allowed_kinds[None, :], axis=1)
+    bias = bias + jnp.where(kind_on & ~kind_ok, NEG_INF, 0.0)
+    agent_on = allowed_agent != NO_FILTER
+    bias = bias + jnp.where(agent_on & (agent_code != allowed_agent),
+                            NEG_INF, 0.0)
+    n = live.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    excluded = jnp.any(row_ids[:, None] == exclude_rows[None, :], axis=1)
+    bias = bias + jnp.where(excluded, NEG_INF, 0.0)
+    return bias
+
+
+class Interner:
+    """string <-> int32 code, append-only."""
+
+    def __init__(self):
+        self._code: Dict[str, int] = {}
+        self._name: List[str] = []
+
+    def code(self, name: str) -> int:
+        c = self._code.get(name)
+        if c is None:
+            c = len(self._name)
+            self._code[name] = c
+            self._name.append(name)
+        return c
+
+    def lookup(self, name: str) -> int:
+        """Code for name, or PAD_CODE (matches nothing) when unseen."""
+        return self._code.get(name, PAD_CODE)
+
+    def name(self, code: int) -> str:
+        return self._name[code]
+
+
+class DeviceCorpus:
+    """Padded [cap, d] embedding corpus with liveness + metadata codes."""
+
+    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None):
+        self.dim = dim
+        self._cap = 0
+        self._emb_h = np.zeros((0, dim), np.float32)
+        self._live_h = np.zeros((0,), bool)
+        self._kind_h = np.full((0,), PAD_CODE, np.int32)
+        self._agent_h = np.full((0,), PAD_CODE, np.int32)
+        self._row_of: Dict[str, int] = {}
+        self._id_of: List[Optional[str]] = []
+        self._free: List[int] = []
+        self._dirty: set[int] = set()
+        self._full_resync = True
+        self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
+        self.kinds = Interner()
+        self.agents = Interner()
+        self._lock = threading.RLock()
+        if use_pallas is None:
+            try:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            except Exception:  # noqa: BLE001
+                use_pallas = False
+        self._use_pallas = use_pallas
+
+    # ------------------------------------------------------------- mutation
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._row_of)
+
+    def __contains__(self, node_id: str) -> bool:
+        return node_id in self._row_of
+
+    def _grow(self, need: int) -> None:
+        new_cap = max(MIN_CAP, self._cap)
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self._cap:
+            return
+        pad = new_cap - self._cap
+        self._emb_h = np.vstack([self._emb_h,
+                                 np.zeros((pad, self.dim), np.float32)])
+        self._live_h = np.concatenate([self._live_h, np.zeros(pad, bool)])
+        self._kind_h = np.concatenate(
+            [self._kind_h, np.full(pad, PAD_CODE, np.int32)])
+        self._agent_h = np.concatenate(
+            [self._agent_h, np.full(pad, PAD_CODE, np.int32)])
+        self._free.extend(range(self._cap, new_cap))
+        self._id_of.extend([None] * pad)
+        self._cap = new_cap
+        self._full_resync = True
+
+    def upsert(self, node_id: str, vector: np.ndarray, kind: str,
+               agent: str) -> None:
+        self.upsert_batch([node_id], np.asarray(vector, np.float32)[None, :],
+                          [kind], [agent])
+
+    def upsert_batch(self, ids: Sequence[str], vectors: np.ndarray,
+                     kinds: Sequence[str], agents: Sequence[str]) -> None:
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise IndexError_(
+                f"vector dim {vectors.shape} != corpus dim {self.dim}")
+        vectors = _norm_rows(vectors)
+        with self._lock:
+            new_count = sum(1 for i in ids if i not in self._row_of)
+            if new_count > len(self._free):
+                self._grow(self._cap - len(self._free) + new_count)
+            for j, nid in enumerate(ids):
+                row = self._row_of.get(nid)
+                if row is None:
+                    if not self._free:
+                        self._grow(self._cap + 1)
+                    row = self._free.pop()
+                    self._row_of[nid] = row
+                    self._id_of[row] = nid
+                self._emb_h[row] = vectors[j]
+                self._live_h[row] = True
+                self._kind_h[row] = self.kinds.code(kinds[j])
+                self._agent_h[row] = self.agents.code(agents[j])
+                self._dirty.add(row)
+
+    def remove(self, node_id: str) -> bool:
+        with self._lock:
+            row = self._row_of.pop(node_id, None)
+            if row is None:
+                return False
+            self._live_h[row] = False
+            self._emb_h[row] = 0.0
+            self._kind_h[row] = PAD_CODE
+            self._agent_h[row] = PAD_CODE
+            self._id_of[row] = None
+            self._free.append(row)
+            self._dirty.add(row)
+            return True
+
+    def compact(self) -> None:
+        """Repack live rows contiguously (reference rebuild() analog)."""
+        with self._lock:
+            ids = [i for i in self._id_of if i is not None]
+            rows = [self._row_of[i] for i in ids]
+            emb = self._emb_h[rows].copy()
+            kinds = self._kind_h[rows].copy()
+            agents = self._agent_h[rows].copy()
+            self._cap = 0
+            self._emb_h = np.zeros((0, self.dim), np.float32)
+            self._live_h = np.zeros((0,), bool)
+            self._kind_h = np.full((0,), PAD_CODE, np.int32)
+            self._agent_h = np.full((0,), PAD_CODE, np.int32)
+            self._row_of.clear()
+            self._id_of = []
+            self._free = []
+            self._grow(max(len(ids), 1))
+            for j, nid in enumerate(ids):
+                row = self._free.pop()
+                self._row_of[nid] = row
+                self._id_of[row] = nid
+                self._emb_h[row] = emb[j]
+                self._live_h[row] = True
+                self._kind_h[row] = kinds[j]
+                self._agent_h[row] = agents[j]
+            self._full_resync = True
+            self._dirty.clear()
+
+    # ---------------------------------------------------------------- device
+    def sync(self) -> None:
+        """Push host diffs to device. Cheap when clean."""
+        with self._lock:
+            if self._cap == 0:
+                return
+            if self._dev is None or self._full_resync:
+                self._dev = (
+                    jnp.asarray(self._emb_h), jnp.asarray(self._live_h),
+                    jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
+                self._full_resync = False
+                self._dirty.clear()
+                return
+            if not self._dirty:
+                return
+            if len(self._dirty) > max(4096, self._cap // 8):
+                self._dev = (
+                    jnp.asarray(self._emb_h), jnp.asarray(self._live_h),
+                    jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
+            else:
+                rows = np.fromiter(self._dirty, np.int32)
+                self._dev = _scatter_update(
+                    *self._dev, jnp.asarray(rows),
+                    jnp.asarray(self._emb_h[rows]),
+                    jnp.asarray(self._live_h[rows]),
+                    jnp.asarray(self._kind_h[rows]),
+                    jnp.asarray(self._agent_h[rows]))
+            self._dirty.clear()
+
+    def _bias(self, kinds: Optional[Sequence[str]],
+              agent: Optional[str],
+              exclude_ids: Optional[Sequence[str]]) -> Optional[jnp.ndarray]:
+        if kinds is None and agent is None and not exclude_ids:
+            live = self._dev[1]
+            return jnp.where(live, 0.0, NEG_INF)
+        ak = np.full(MAX_FILTER_KINDS, PAD_CODE, np.int32)
+        if kinds is None:
+            ak[0] = NO_FILTER
+        else:
+            codes = [self.kinds.lookup(k) for k in kinds][:MAX_FILTER_KINDS]
+            ak[:len(codes)] = codes
+        aa = np.int32(NO_FILTER if agent is None else self.agents.lookup(agent))
+        ex = np.full(MAX_EXCLUDE, NO_FILTER, np.int32)
+        if exclude_ids:
+            rows = [self._row_of[i] for i in exclude_ids
+                    if i in self._row_of][:MAX_EXCLUDE]
+            ex[:len(rows)] = rows
+        return _build_bias(self._dev[1], self._dev[2], self._dev[3],
+                           jnp.asarray(ak), jnp.asarray(aa), jnp.asarray(ex))
+
+    def topk(self, queries: np.ndarray, k: int, *,
+             kinds: Optional[Sequence[str]] = None,
+             agent: Optional[str] = None,
+             exclude_ids: Optional[Sequence[str]] = None
+             ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
+        """Batched exact search. Returns (scores [B,k], ids [B][k]);
+        dead/padded hits have score <= -1e29 and id None."""
+        with self._lock:
+            if len(self._row_of) == 0:
+                b = queries.shape[0]
+                return (np.full((b, k), NEG_INF, np.float32),
+                        [[None] * k for _ in range(b)])
+            self.sync()
+            q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
+            bias = self._bias(kinds, agent, exclude_ids)
+            kk = min(k, self._cap)
+            if self._use_pallas and self._cap >= 4096:
+                v, i = cosine_topk_pallas(self._dev[0], q, kk, bias[None, :])
+            else:
+                v, i = cosine_topk_xla(self._dev[0], q, kk, bias[None, :])
+            v = np.asarray(v)
+            i = np.asarray(i)
+            if kk < k:
+                v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+                i = np.pad(i, ((0, 0), (0, k - kk)))
+            ids = [[self._id_of[r] if v[b_, j] > -1e29 else None
+                    for j, r in enumerate(row)]
+                   for b_, row in enumerate(i)]
+            return v, ids
+
+    # ------------------------------------------------------------- snapshot
+    def state(self) -> Dict[str, np.ndarray]:
+        with self._lock:
+            ids = [i for i in self._id_of if i is not None]
+            rows = [self._row_of[i] for i in ids]
+            return {
+                "ids": np.array(ids, dtype=object),
+                "vectors": self._emb_h[rows].copy(),
+                "kinds": np.array([self.kinds.name(self._kind_h[r])
+                                   for r in rows], dtype=object),
+                "agents": np.array([self.agents.name(self._agent_h[r])
+                                    for r in rows], dtype=object),
+            }

@@ -1,0 +1,238 @@
+"""Vector layer: index parity vs brute force, filters, persistence, decay."""
+
+import numpy as np
+import pytest
+
+from cortex_tpu.errors import ConfigError, IndexError_
+from cortex_tpu.types import Node, Source
+from cortex_tpu.vector import (BruteForceIndex, HashingEmbedder,
+                               ScoreDecayConfig, SimilarityConfig,
+                               TpuFlatIndex, VectorFilter,
+                               apply_score_decay, apply_score_decay_batch,
+                               embedding_input)
+
+DIM = 32
+
+
+def rand_vecs(n, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, DIM)).astype(np.float32)
+
+
+@pytest.fixture
+def filled():
+    """TpuFlatIndex + BruteForceIndex with identical contents."""
+    tpu = TpuFlatIndex(DIM)
+    bf = BruteForceIndex(DIM)
+    vecs = rand_vecs(100)
+    kinds = ["fact" if i % 2 == 0 else "event" for i in range(100)]
+    agents = ["alice" if i % 3 == 0 else "bob" for i in range(100)]
+    for i in range(100):
+        for idx in (tpu, bf):
+            idx.insert(f"n{i}", vecs[i], kind=kinds[i], source_agent=agents[i])
+    return tpu, bf, vecs
+
+
+class TestIndexParity:
+    def test_topk_matches_bruteforce(self, filled):
+        tpu, bf, vecs = filled
+        q = rand_vecs(3, seed=9)
+        for b in range(3):
+            t = tpu.search(q[b], 10)
+            r = bf.search(q[b], 10)
+            assert [i for i, _ in t] == [i for i, _ in r]
+            np.testing.assert_allclose([s for _, s in t], [s for _, s in r],
+                                       atol=1e-5)
+
+    def test_kind_filter(self, filled):
+        tpu, bf, _ = filled
+        q = rand_vecs(1, seed=10)[0]
+        flt = VectorFilter(kinds=["fact"])
+        hits = tpu.search(q, 20, flt)
+        assert hits and all(int(i[1:]) % 2 == 0 for i, _ in hits)
+        assert [i for i, _ in hits] == [i for i, _ in bf.search(q, 20, flt)]
+
+    def test_agent_filter(self, filled):
+        tpu, _, _ = filled
+        q = rand_vecs(1, seed=11)[0]
+        hits = tpu.search(q, 50, VectorFilter(source_agent="alice"))
+        assert hits and all(int(i[1:]) % 3 == 0 for i, _ in hits)
+
+    def test_exclude_ids(self, filled):
+        tpu, _, vecs = filled
+        hits = tpu.search(vecs[5], 5, VectorFilter(exclude_ids=["n5"]))
+        assert "n5" not in [i for i, _ in hits]
+
+    def test_self_top1(self, filled):
+        tpu, _, vecs = filled
+        hits = tpu.search(vecs[7], 1)
+        assert hits[0][0] == "n7"
+        assert hits[0][1] == pytest.approx(1.0, abs=1e-5)
+
+    def test_remove(self, filled):
+        tpu, _, vecs = filled
+        assert tpu.remove("n7")
+        assert not tpu.remove("n7")
+        assert "n7" not in tpu
+        hits = tpu.search(vecs[7], 3)
+        assert "n7" not in [i for i, _ in hits]
+        assert len(tpu) == 99
+
+    def test_update_in_place(self, filled):
+        tpu, _, vecs = filled
+        tpu.insert("n3", vecs[50], kind="fact", source_agent="alice")
+        assert len(tpu) == 100
+        hits = tpu.search(vecs[50], 2)
+        assert "n3" in [i for i, _ in hits]
+
+    def test_search_threshold(self, filled):
+        tpu, _, vecs = filled
+        hits = tpu.search_threshold(vecs[0], 0.99)
+        assert [i for i, _ in hits] == ["n0"]
+        all_hits = tpu.search_threshold(vecs[0], -1.0)
+        assert len(all_hits) == 100
+
+    def test_growth_beyond_min_cap(self):
+        tpu = TpuFlatIndex(8)
+        vecs = np.random.default_rng(1).normal(size=(3000, 8)).astype(np.float32)
+        tpu.insert_batch([f"x{i}" for i in range(3000)], vecs)
+        assert len(tpu) == 3000
+        hits = tpu.search(vecs[2500], 1)
+        assert hits[0][0] == "x2500"
+
+    def test_dim_mismatch(self):
+        tpu = TpuFlatIndex(8)
+        with pytest.raises(IndexError_):
+            tpu.insert("a", np.zeros(9, np.float32))
+
+    def test_empty_search(self):
+        tpu = TpuFlatIndex(8)
+        assert tpu.search(np.ones(8, np.float32), 5) == []
+
+    def test_rebuild_compacts(self, filled):
+        tpu, _, vecs = filled
+        for i in range(0, 50):
+            tpu.remove(f"n{i}")
+        tpu.rebuild()
+        assert len(tpu) == 50
+        hits = tpu.search(vecs[75], 1)
+        assert hits[0][0] == "n75"
+
+    def test_save_load(self, filled, tmp_path):
+        tpu, _, vecs = filled
+        p = str(tmp_path / "idx.npz")
+        tpu.save(p)
+        tpu2 = TpuFlatIndex(DIM)
+        tpu2.load(p)
+        assert len(tpu2) == 100
+        assert tpu2.search(vecs[12], 1)[0][0] == "n12"
+        # metadata survives: filters still work
+        hits = tpu2.search(vecs[12], 20, VectorFilter(kinds=["fact"]))
+        assert all(int(i[1:]) % 2 == 0 for i, _ in hits)
+
+
+class TestEmbedding:
+    def test_deterministic(self):
+        e = HashingEmbedder(64)
+        a = e.embed("the quick brown fox")
+        b = e.embed("the quick brown fox")
+        np.testing.assert_array_equal(a, b)
+        assert np.linalg.norm(a) == pytest.approx(1.0, abs=1e-5)
+
+    def test_similar_text_scores_higher(self):
+        e = HashingEmbedder(384)
+        a = e.embed("rust memory engine for ai agents")
+        b = e.embed("memory engine for ai agents in rust")
+        c = e.embed("weather forecast tomorrow sunny intervals")
+        assert float(a @ b) > float(a @ c)
+
+    def test_batch_matches_single(self):
+        e = HashingEmbedder(64)
+        texts = ["one two", "three four five"]
+        batch = e.embed_batch(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], e.embed(t))
+
+    def test_embedding_input_format(self):
+        n = Node.new("fact", "Title here", "Body text", Source(agent="a"))
+        n.tags = ["x", "y"]
+        assert embedding_input(n) == "Fact: Title here\nBody text\ntags: x, y"
+
+    def test_empty_text(self):
+        e = HashingEmbedder(16)
+        v = e.embed("")
+        assert np.linalg.norm(v) == pytest.approx(1.0)
+
+
+class TestSimilarityConfig:
+    def test_defaults_valid(self):
+        SimilarityConfig().validate()
+
+    def test_link_ge_dedup_rejected(self):
+        with pytest.raises(ConfigError):
+            SimilarityConfig(auto_link_threshold=0.95).validate()
+
+    def test_contradiction_ge_dedup_rejected(self):
+        with pytest.raises(ConfigError):
+            SimilarityConfig(contradiction_threshold=0.93).validate()
+
+
+class TestScoreDecay:
+    def mknode(self, kind="fact", idle_days=0.0, access=0, now=1_000_000.0):
+        n = Node.new(kind, "Title for decay", "Body", Source(agent="a"))
+        n.last_accessed_at = now - idle_days * 86400
+        n.access_count = access
+        return n
+
+    def test_disabled_passthrough(self):
+        cfg = ScoreDecayConfig(enabled=False)
+        n = self.mknode(idle_days=100)
+        assert apply_score_decay(n, 0.8, cfg, now=1_000_000.0) == pytest.approx(0.8)
+
+    def test_zero_bias_passthrough(self):
+        cfg = ScoreDecayConfig()
+        n = self.mknode(idle_days=100)
+        assert apply_score_decay(n, 0.8, cfg, 0.0, now=1_000_000.0) == \
+            pytest.approx(0.8)
+
+    def test_fresh_node_unchanged(self):
+        cfg = ScoreDecayConfig()
+        n = self.mknode(idle_days=0, access=0)
+        got = apply_score_decay(n, 0.8, cfg, now=1_000_000.0)
+        assert got == pytest.approx(0.8, abs=1e-5)
+
+    def test_stale_event_decays_more_than_decision(self):
+        cfg = ScoreDecayConfig()
+        now = 1_000_000.0
+        ev = self.mknode(kind="event", idle_days=30, now=now)
+        de = self.mknode(kind="decision", idle_days=30, now=now)
+        assert apply_score_decay(ev, 0.8, cfg, now=now) < \
+            apply_score_decay(de, 0.8, cfg, now=now)
+
+    def test_echo_boost_caps(self):
+        cfg = ScoreDecayConfig()
+        now = 1_000_000.0
+        hot = self.mknode(access=1000, idle_days=0, now=now)
+        # echo capped at 2.0: final = .8*.85 + .8*1*2*.15
+        expect = 0.8 * 0.85 + 0.8 * 2.0 * 0.15
+        assert apply_score_decay(hot, 0.8, cfg, now=now) == \
+            pytest.approx(expect, abs=1e-5)
+
+    def test_min_factor_floor(self):
+        cfg = ScoreDecayConfig()
+        now = 1_000_000_000.0
+        ancient = self.mknode(kind="event", idle_days=10000, now=now)
+        expect = 0.8 * 0.85 + 0.8 * cfg.min_factor * 0.15
+        assert apply_score_decay(ancient, 0.8, cfg, now=now) == \
+            pytest.approx(expect, abs=1e-5)
+
+    def test_batch_matches_scalar(self):
+        cfg = ScoreDecayConfig()
+        now = 1_000_000.0
+        nodes = [self.mknode(kind=k, idle_days=d, access=a, now=now)
+                 for k, d, a in [("event", 5, 2), ("fact", 50, 0),
+                                 ("decision", 1, 9)]]
+        raw = np.array([0.9, 0.7, 0.5], np.float32)
+        batch = apply_score_decay_batch(cfg, raw, nodes, now=now)
+        for i, n in enumerate(nodes):
+            assert batch[i] == pytest.approx(
+                apply_score_decay(n, float(raw[i]), cfg, now=now), abs=1e-5)

@@ -1,0 +1,139 @@
+"""GraphEngine: traversal dispatch, path finding, analytics.
+
+Parity surface: the reference `GraphEngine` trait
+(crates/cortex-core/src/graph/engine.rs:12-52): traverse / find_paths /
+neighbors / neighborhood / reachable / roots / leaves / find_cycles /
+components / most_connected, with cycle DFS (:371-401) and component BFS
+(:404-436). Backed by the AdjacencyCache; analytics run on host over the
+cached adjacency (small per-query frontiers), while bulk proximity
+scoring for hybrid search runs on device via graph/csr.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..storage.base import NodeFilter, Storage
+from .cache import AdjacencyCache
+from .paths import find_paths as _find_paths
+from .subgraph import Subgraph
+from .traversal import traverse as _traverse
+from .types import (BOTH, INCOMING, OUTGOING, NeighborhoodNode, PathRequest,
+                    PathResult, TraversalBudget, TraversalRequest)
+
+
+class GraphEngine:
+    def __init__(self, storage: Storage,
+                 budget: Optional[TraversalBudget] = None):
+        self.storage = storage
+        self.cache = AdjacencyCache(storage)
+        self.budget = budget or TraversalBudget()
+
+    # -- write-path hook ---------------------------------------------------
+    def invalidate(self) -> None:
+        self.cache.invalidate()
+
+    # -- core queries ------------------------------------------------------
+    def traverse(self, req: TraversalRequest) -> Subgraph:
+        return _traverse(self.storage, self.cache, req, self.budget)
+
+    def find_paths(self, req: PathRequest) -> PathResult:
+        return _find_paths(self.storage, self.cache, req)
+
+    def neighbors(self, node_id: str, direction: str = BOTH) -> List[str]:
+        out: Set[str] = set()
+        if direction in (OUTGOING, BOTH):
+            out.update(a.neighbor for a in self.cache.outgoing(node_id))
+        if direction in (INCOMING, BOTH):
+            out.update(a.neighbor for a in self.cache.incoming(node_id))
+        return sorted(out)
+
+    def neighborhood(self, node_id: str, depth: int = 1,
+                     direction: str = BOTH) -> List[NeighborhoodNode]:
+        sub = self.traverse(TraversalRequest(
+            start=[node_id], max_depth=depth, direction=direction,
+            include_start=False))
+        return [NeighborhoodNode(node_id=i, depth=d)
+                for i, d in sorted(sub.depths.items(), key=lambda x: (x[1], x[0]))
+                if i != node_id]
+
+    def reachable(self, from_id: str, to_id: str,
+                  max_depth: Optional[int] = None) -> bool:
+        req = PathRequest(from_id=from_id, to_id=to_id, max_length=max_depth)
+        return bool(self.find_paths(req).paths)
+
+    def roots(self) -> List[str]:
+        """Live nodes with no incoming edges."""
+        return [n.id for n in self.storage.list_nodes(NodeFilter())
+                if not self.cache.incoming(n.id)]
+
+    def leaves(self) -> List[str]:
+        """Live nodes with no outgoing edges."""
+        return [n.id for n in self.storage.list_nodes(NodeFilter())
+                if not self.cache.outgoing(n.id)]
+
+    def most_connected(self, limit: int = 10) -> List[Tuple[str, int]]:
+        degrees = [(n.id, self.cache.degree(n.id))
+                   for n in self.storage.list_nodes(NodeFilter())]
+        degrees.sort(key=lambda x: (-x[1], x[0]))
+        return degrees[:limit]
+
+    def find_cycles(self, max_cycles: int = 100) -> List[List[str]]:
+        """Directed cycles via DFS with colored marks (engine.rs:371-401)."""
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color: Dict[str, int] = {}
+        cycles: List[List[str]] = []
+        path: List[str] = []
+
+        ids = [n.id for n in self.storage.list_nodes(NodeFilter())]
+        for nid in ids:
+            color.setdefault(nid, WHITE)
+
+        def dfs(u: str) -> None:
+            if len(cycles) >= max_cycles:
+                return
+            color[u] = GRAY
+            path.append(u)
+            for a in self.cache.outgoing(u):
+                v = a.neighbor
+                c = color.get(v, WHITE)
+                if c == GRAY:
+                    try:
+                        i = path.index(v)
+                        cycles.append(path[i:] + [v])
+                    except ValueError:
+                        pass
+                    if len(cycles) >= max_cycles:
+                        break
+                elif c == WHITE and v in color:
+                    dfs(v)
+            path.pop()
+            color[u] = BLACK
+
+        for nid in ids:
+            if color[nid] == WHITE:
+                dfs(nid)
+            if len(cycles) >= max_cycles:
+                break
+        return cycles
+
+    def components(self) -> List[List[str]]:
+        """Weakly-connected components via BFS (engine.rs:404-436)."""
+        seen: Set[str] = set()
+        comps: List[List[str]] = []
+        for n in self.storage.list_nodes(NodeFilter()):
+            if n.id in seen:
+                continue
+            comp = []
+            frontier = [n.id]
+            seen.add(n.id)
+            while frontier:
+                cur = frontier.pop()
+                comp.append(cur)
+                for a in (self.cache.outgoing(cur) + self.cache.incoming(cur)):
+                    if a.neighbor not in seen:
+                        seen.add(a.neighbor)
+                        frontier.append(a.neighbor)
+            comps.append(sorted(comp))
+        comps.sort(key=len, reverse=True)
+        return comps

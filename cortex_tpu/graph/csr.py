@@ -104,6 +104,36 @@ class DeviceGraphMirror:
         self._nbrs = jnp.asarray(nbrs)
         self._built_version = self._cache.version
 
+    def per_anchor_depths(self, anchor_ids: Sequence[str],
+                          max_hops: int) -> Dict[str, "np.ndarray"]:
+        """depth-from-each-anchor, batched: one vmapped BFS over an
+        [A, N] distance matrix. Returns {node_id: [A] int32 depths}
+        (entries omitted when unreachable from every anchor)."""
+        self.ensure()
+        if self._nbrs is None or self.n == 0:
+            return {}
+        rows = [(a, self._row_of[a]) for a in anchor_ids
+                if a in self._row_of]
+        if not rows:
+            return {}
+        n_pad = self._nbrs.shape[0]
+        dist0 = np.full((len(rows), n_pad), INF_DEPTH, np.int32)
+        for j, (_, r) in enumerate(rows):
+            dist0[j, r] = 0
+        hops = jnp.int32(min(max_hops, 8))
+        dist = np.asarray(jax.vmap(_bfs_hops, in_axes=(None, 0, None))(
+            self._nbrs, jnp.asarray(dist0), hops))     # [A, n_pad]
+        out: Dict[str, np.ndarray] = {}
+        reachable = (dist[:, :self.n] <= max_hops).any(axis=0)
+        for i in np.nonzero(reachable)[0]:
+            out[self._id_of[int(i)]] = dist[:, int(i)]
+        return out
+
+    def anchor_row_ids(self, anchor_ids: Sequence[str]) -> List[str]:
+        """Anchor ids present in the graph, in per_anchor_depths order."""
+        self.ensure()
+        return [a for a in anchor_ids if a in self._row_of]
+
     def depths_from(self, anchor_ids: Sequence[str],
                     max_hops: int) -> Dict[str, int]:
         """Min depth from any anchor for every reachable node (<= max_hops)."""

@@ -1,0 +1,245 @@
+"""AutoLinker: the background graph-growing loop.
+
+Behavioral parity with crates/cortex-core/src/linker/auto_linker.rs:
+  - cursor protocol: cursor + cycle count persisted in storage metadata,
+    resumed at boot (:94-132); config-change detection (threshold /
+    embedding model) resets the cursor to epoch for a full re-scan
+    (:137-182)
+  - run_cycle (:185-364): scan nodes since cursor -> ensure embeddings ->
+    candidate search -> link rules per (node, neighbor) with per-node
+    edge cap (50) + generic-content warning (30) -> batch edge create
+    (<=2000/cycle) tolerating Duplicate/Invalid races -> periodic decay
+    (every 60 cycles) -> periodic dedup (every 360) -> persist cursor
+  - apply_link_rules (:401-444): similarity rule, legacy structural
+    rules (when enabled), config rules, contradiction detector
+  - reinforce-on-access (:457-459)
+
+TPU redesign (the "auto-link pairs/sec" north star): the per-node ANN
+loop becomes ONE batched device search — all M new nodes' embeddings as
+a [M, d] query block against the corpus, k=candidate_k, fused
+cosine+top-k on the MXU — then rules evaluate on host over the gathered
+pairs. Embedding backfill is batched likewise.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..errors import DuplicateEdge, InvalidEdge
+from ..storage.base import NodeFilter, Storage
+from ..types import Node
+from ..vector.embedding import EmbeddingService, embedding_input
+from ..vector.index import VectorIndex
+from .config import AutoLinkerConfig
+from .decay import DecayEngine
+from .dedup import DedupScanner
+from .metrics import LinkerMetrics
+from .rules import (ContradictionDetector, ProposedEdge, StructuralRules,
+                    similarity_rule)
+
+log = logging.getLogger(__name__)
+
+CURSOR_KEY = "auto_linker_cursor"
+CYCLE_COUNT_KEY = "auto_linker_cycle_count"
+LAST_THRESHOLD_KEY = "auto_linker_last_threshold"
+LAST_MODEL_KEY = "auto_linker_last_model"
+
+_EMBED_BATCH = 512
+
+
+class AutoLinker:
+    def __init__(self, storage: Storage, index: VectorIndex,
+                 embedder: EmbeddingService,
+                 config: Optional[AutoLinkerConfig] = None):
+        self.storage = storage
+        self.index = index
+        self.embedder = embedder
+        self.config = config or AutoLinkerConfig()
+        self.config.validate()
+        self.metrics = LinkerMetrics()
+        self.decay_engine = DecayEngine(storage, self.config.decay)
+        self.structural = StructuralRules()
+        self.contradictions = ContradictionDetector(
+            self.config.similarity.contradiction_threshold)
+        self.cursor = self._load_float(CURSOR_KEY, 0.0)
+        self.cycle_count = int(self._load_float(CYCLE_COUNT_KEY, 0.0))
+        self.metrics.cursor = self.cursor
+        self.metrics.cycles_completed = self.cycle_count
+
+    # ------------------------------------------------------------ persistence
+    def _load_float(self, key: str, default: float) -> float:
+        v = self.storage.get_metadata(key)
+        try:
+            return float(v) if v is not None else default
+        except ValueError:
+            return default
+
+    def _save_state(self) -> None:
+        self.storage.put_metadata(CURSOR_KEY, repr(self.cursor))
+        self.storage.put_metadata(CYCLE_COUNT_KEY, str(self.cycle_count))
+
+    def _check_config_change(self) -> None:
+        cur_thr = self.config.similarity.auto_link_threshold
+        cur_model = self.embedder.model_name
+        stored_thr = self.storage.get_metadata(LAST_THRESHOLD_KEY)
+        stored_model = self.storage.get_metadata(LAST_MODEL_KEY)
+        thr_changed = (stored_thr is not None
+                       and abs(float(stored_thr) - cur_thr) > 1e-9)
+        model_changed = (stored_model is not None
+                         and stored_model != cur_model)
+        if thr_changed or model_changed:
+            log.info("linker config change (threshold %s -> %s, model %s -> "
+                     "%s); resetting cursor", stored_thr, cur_thr,
+                     stored_model, cur_model)
+            self.cursor = 0.0
+            self.metrics.cursor = 0.0
+        self.storage.put_metadata(LAST_THRESHOLD_KEY, repr(cur_thr))
+        self.storage.put_metadata(LAST_MODEL_KEY, cur_model)
+
+    # ----------------------------------------------------------------- scan
+    def _nodes_since_cursor(self) -> List[Node]:
+        nodes = [n for n in self.storage.list_nodes(NodeFilter())
+                 if n.created_at > self.cursor]
+        nodes.sort(key=lambda n: n.created_at)
+        return nodes
+
+    def _ensure_embeddings(self, nodes: List[Node]) -> None:
+        """Batch-embed any nodes lacking embeddings; persist + index."""
+        missing = [n for n in nodes if n.embedding is None]
+        for start in range(0, len(missing), _EMBED_BATCH):
+            chunk = missing[start:start + _EMBED_BATCH]
+            embs = self.embedder.embed_batch(
+                [embedding_input(n) for n in chunk])
+            for j, n in enumerate(chunk):
+                n.embedding = embs[j].tolist()
+                self.storage.put_node(n)
+        to_index = [n for n in nodes if n.id not in self.index]
+        if to_index:
+            self.index.insert_batch(
+                [n.id for n in to_index],
+                np.stack([np.asarray(n.embedding, np.float32)
+                          for n in to_index]),
+                kinds=[n.kind for n in to_index],
+                agents=[n.source.agent for n in to_index])
+
+    # ---------------------------------------------------------------- rules
+    def _apply_link_rules(self, node: Node, neighbor: Node,
+                          score: float) -> List[ProposedEdge]:
+        out: List[ProposedEdge] = []
+        e = similarity_rule(node, neighbor, score, self.config.similarity)
+        if e is not None:
+            out.append(e)
+        if self.config.use_legacy_rules():
+            out.extend(self.structural.evaluate_all(node, neighbor, score))
+        for rule in self.config.rules:
+            out.extend(rule.evaluate(node, neighbor, score))
+        c = self.contradictions.check(node, neighbor, score)
+        if c is not None:
+            out.append(self.contradictions.to_edge(c))
+        return out
+
+    # ---------------------------------------------------------------- cycle
+    def run_cycle(self, now: float | None = None) -> LinkerMetrics:
+        start = time.monotonic()
+        now = time.time() if now is None else now
+        self.metrics.reset_cycle()
+
+        self._check_config_change()
+        new_nodes = self._nodes_since_cursor()
+        decay_due = self.cycle_count % self.config.decay_every_n_cycles == 0
+        dedup_due = self.cycle_count % self.config.dedup_every_n_cycles == 0
+
+        if not new_nodes and not decay_due:
+            self.metrics.cycle_duration_secs = time.monotonic() - start
+            return self.metrics
+
+        batch = new_nodes[:self.config.max_nodes_per_cycle]
+        self.metrics.backlog_size = max(0, len(new_nodes) - len(batch))
+        proposed: List[ProposedEdge] = []
+
+        if batch:
+            self._ensure_embeddings(batch)
+            # ONE batched device search for all new nodes' candidates
+            queries = np.stack([np.asarray(n.embedding, np.float32)
+                                for n in batch])
+            all_hits = self.index.search_batch(
+                queries, self.config.candidate_k)
+
+            node_cache: Dict[str, Node] = {n.id: n for n in batch}
+
+            def fetch(nid: str) -> Optional[Node]:
+                n = node_cache.get(nid)
+                if n is None:
+                    n = self.storage.get_node(nid)
+                    if n is not None:
+                        node_cache[nid] = n
+                return n
+
+            for j, node in enumerate(batch):
+                existing: Set[Tuple[str, str]] = {
+                    (e.to_id, e.relation)
+                    for e in self.storage.edges_from(node.id)}
+                node_edge_count = 0
+                for nid, score in all_hits[j]:
+                    if nid == node.id:
+                        continue
+                    neighbor = fetch(nid)
+                    if neighbor is None or neighbor.deleted:
+                        continue
+                    for e in self._apply_link_rules(node, neighbor, score):
+                        if e.relation == "contradicts":
+                            self.metrics.add_contradictions_found(1)
+                        key = (e.to_id, e.relation)
+                        if key in existing:
+                            continue
+                        existing.add(key)
+                        proposed.append(e)
+                        node_edge_count += 1
+                    if node_edge_count >= self.config.max_edges_per_node:
+                        break
+                if node_edge_count >= self.config.generic_content_threshold:
+                    log.warning("node %s produced %d candidate edges — "
+                                "possible generic content", node.id,
+                                node_edge_count)
+                self.metrics.add_nodes_processed(1)
+                if node.created_at > self.cursor:
+                    self.cursor = node.created_at
+
+        for e in proposed[:self.config.max_edges_per_cycle]:
+            try:
+                self.storage.put_edge(e.to_edge())
+                self.metrics.add_edges_created(1)
+            except (DuplicateEdge, InvalidEdge):
+                continue    # race-tolerant (auto_linker.rs:292-303)
+
+        if decay_due:
+            pruned, deleted = self.decay_engine.apply_decay(now)
+            self.metrics.add_edges_pruned(pruned)
+            self.metrics.add_edges_deleted(deleted)
+
+        if dedup_due:
+            scanner = DedupScanner(self.storage, self.index,
+                                   self.config.similarity)
+            result = scanner.scan()
+            self.metrics.add_duplicates_found(len(result.duplicates))
+            for pair in result.duplicates:
+                scanner.execute_action(pair)
+
+        self.cycle_count += 1
+        self.metrics.cycles_completed = self.cycle_count
+        self.metrics.cursor = self.cursor
+        stats = self.storage.stats()
+        self.metrics.total_nodes = stats.node_count
+        self.metrics.total_edges = stats.edge_count
+        self._save_state()
+        self.metrics.cycle_duration_secs = time.monotonic() - start
+        log.info("%s", self.metrics.summary())
+        return self.metrics
+
+    # --------------------------------------------------------------- access
+    def reinforce(self, node_id: str) -> int:
+        return self.decay_engine.reinforce(node_id)

@@ -1,0 +1,102 @@
+"""Edge decay engine — device-vectorized sweep.
+
+Behavioral parity with crates/cortex-core/src/linker/decay.rs:21-157
+(exponential decay with importance shielding, manual exemption, delete
+below threshold, prune counting, reinforce-on-access), but the per-edge
+loop becomes ONE fused array op (cortex_tpu.ops.decay.decay_sweep) over
+packed [E] arrays — the O(E) sweep the BASELINE targets at 10M+ edges.
+Host applies the results (weight writes / deletions) in batch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decay import decay_sweep
+from ..storage.base import Storage
+from ..types import EdgeProvenance
+from .config import DecayConfig
+
+
+class DecayEngine:
+    def __init__(self, storage: Storage, config: DecayConfig):
+        self.storage = storage
+        self.config = config
+
+    def apply_decay(self, now: float | None = None) -> Tuple[int, int]:
+        """Sweep all edges. Returns (pruned_count, deleted_count)."""
+        now = time.time() if now is None else now
+        edges = self.storage.all_edges()
+        if not edges:
+            return 0, 0
+
+        e_count = len(edges)
+        weights = np.empty(e_count, np.float32)
+        days = np.empty(e_count, np.float32)
+        max_imp = np.empty(e_count, np.float32)
+        exempt = np.empty(e_count, bool)
+
+        imp_cache: dict[str, float] = {}
+
+        def importance(nid: str) -> float:
+            v = imp_cache.get(nid)
+            if v is None:
+                n = self.storage.get_node(nid)
+                v = n.importance if n is not None else 0.0
+                imp_cache[nid] = v
+            return v
+
+        for i, e in enumerate(edges):
+            weights[i] = e.weight
+            days[i] = (now - e.updated_at) / 86400.0
+            max_imp[i] = max(importance(e.from_id), importance(e.to_id))
+            exempt[i] = self.config.exempt_manual and e.provenance.is_manual
+
+        new_w, delete, prune, changed = decay_sweep(
+            jnp.asarray(weights), jnp.asarray(days), jnp.asarray(max_imp),
+            jnp.asarray(exempt), jnp.float32(self.config.daily_decay_rate),
+            jnp.float32(self.config.importance_shield),
+            jnp.float32(self.config.delete_threshold),
+            jnp.float32(self.config.prune_threshold))
+        new_w = np.asarray(new_w)
+        delete = np.asarray(delete)
+        prune = np.asarray(prune)
+        changed = np.asarray(changed)
+
+        deleted_count = 0
+        pruned_count = 0
+        for i, e in enumerate(edges):
+            if delete[i]:
+                if self.storage.delete_edge(e.id):
+                    deleted_count += 1
+            elif changed[i]:
+                # decay writes don't touch updated_at — the decay clock
+                # keeps running (weight RMW only)
+                self.storage.update_edge_weight_atomic(
+                    e.id, float(new_w[i]), touch=False)
+                if prune[i]:
+                    pruned_count += 1
+        return pruned_count, deleted_count
+
+    def reinforce(self, node_id: str) -> int:
+        """Reset the decay timer on all edges of an accessed node and bump
+        its access count (decay.rs:104-135)."""
+        now = time.time()
+        edges = self.storage.edges_from(node_id) + self.storage.edges_to(node_id)
+        for e in edges:
+            # weight unchanged; updated_at reset restarts the decay window
+            self.storage.update_edge_weight_atomic(e.id, e.weight, touch=True)
+        node = self.storage.get_node(node_id)
+        if node is not None:
+            node.access_count += 1
+            node.updated_at = now
+            self.storage.put_node(node)
+        return len(edges)
+
+    def get_pruned_edges(self) -> List[str]:
+        return [e.id for e in self.storage.all_edges()
+                if e.weight < self.config.prune_threshold]

@@ -1,0 +1,65 @@
+"""Vectorized decay sweeps — one fused elementwise pass over edge arrays.
+
+Replaces the reference's per-edge loop
+(crates/cortex-core/src/linker/decay.rs:21-101) with a single jitted
+computation over packed [E] arrays (BASELINE north star: "vectorized
+decay sweep ... over 10M+ edges"):
+
+    eff_rate   = daily_rate * (1 - max(importance_from, importance_to) * shield)
+    new_weight = weight * exp(-eff_rate * days_since_update)
+    delete     = new_weight < delete_threshold        (and not exempt)
+    pruned     = new_weight < prune_threshold         (kept, counted)
+
+Manual-provenance exemption is a mask input so the whole sweep stays
+branch-free on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decay_sweep(weights: jnp.ndarray, days_since_update: jnp.ndarray,
+                max_importance: jnp.ndarray, exempt: jnp.ndarray,
+                daily_rate: jnp.ndarray, shield: jnp.ndarray,
+                delete_threshold: jnp.ndarray, prune_threshold: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (new_weights, delete_mask, prune_mask, changed_mask)."""
+    eff_rate = daily_rate * (1.0 - max_importance * shield)
+    days = jnp.maximum(days_since_update, 0.0)
+    factor = jnp.exp(-eff_rate * days)
+    decayed = weights * factor
+    active = (~exempt) & (days > 0.0)
+    new_w = jnp.where(active, decayed, weights)
+    delete = active & (new_w < delete_threshold)
+    prune = active & (new_w < prune_threshold) & ~delete
+    changed = active & (new_w != weights)
+    return new_w, delete, prune, changed
+
+
+@jax.jit
+def retention_eligibility(created_at: jnp.ndarray, last_accessed_at: jnp.ndarray,
+                          importance: jnp.ndarray, has_inbound: jnp.ndarray,
+                          now: jnp.ndarray, ttl_days: jnp.ndarray,
+                          grace_days: jnp.ndarray, min_score: jnp.ndarray,
+                          protect_inbound: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized retention sweep eligibility over packed node arrays
+    (policies/retention.rs sweep logic re-expressed as one masked op).
+    A node is expirable when:
+      - its TTL has elapsed since creation (ttl_days > 0), and
+      - it has been idle past the grace window, and
+      - its importance is below min_score, and
+      - it isn't protected by inbound edges (when protection is on).
+    """
+    age_days = (now - created_at) / 86400.0
+    idle_days = (now - last_accessed_at) / 86400.0
+    expired = (ttl_days > 0) & (age_days > ttl_days)
+    idle = idle_days > grace_days
+    unimportant = importance < min_score
+    protected = protect_inbound & has_inbound
+    return expired & idle & unimportant & ~protected

@@ -1,0 +1,99 @@
+"""Hybrid search: vector similarity x graph proximity.
+
+Behavioral parity with crates/cortex-core/src/vector/hybrid.rs:95-225:
+  - HybridQuery{query_text, anchors, vector_weight=0.7, limit=10,
+    kind_filter, max_anchor_depth=3}
+  - vector search over-fetches limit*3 (:125)
+  - no anchors -> pure vector results
+  - graph score = 1/(1+depth), best (nearest) anchor kept (:189-225)
+  - combined = w*vec + (1-w)*graph (:163-164); sort desc, truncate
+
+TPU-native difference: anchor proximity is NOT a per-anchor host BFS —
+all anchors run as one vmapped masked min-plus relaxation over the
+device adjacency table (graph/csr.py), and the vector leg is the fused
+device top-k. The two device calls can overlap (async dispatch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..graph.csr import DeviceGraphMirror
+from ..storage.base import Storage
+from ..types import Node
+from .embedding import EmbeddingService
+from .index import VectorFilter, VectorIndex
+
+
+@dataclass
+class HybridQuery:
+    query_text: str
+    anchors: List[str] = field(default_factory=list)
+    vector_weight: float = 0.7
+    limit: int = 10
+    kind_filter: Optional[List[str]] = None
+    max_anchor_depth: int = 3
+
+
+@dataclass
+class HybridResult:
+    node: Node
+    vector_score: float
+    graph_score: float
+    combined_score: float
+    nearest_anchor: Optional[Tuple[str, int]] = None   # (anchor_id, depth)
+
+
+class HybridSearch:
+    def __init__(self, storage: Storage, embedder: EmbeddingService,
+                 index: VectorIndex, mirror: DeviceGraphMirror):
+        self.storage = storage
+        self.embedder = embedder
+        self.index = index
+        self.mirror = mirror
+
+    def search(self, query: HybridQuery) -> List[HybridResult]:
+        emb = self.embedder.embed(query.query_text)
+        flt = VectorFilter(kinds=query.kind_filter) \
+            if query.kind_filter else None
+        hits = self.index.search(emb, max(query.limit * 3, 1), flt)
+
+        if not query.anchors:
+            out = []
+            for nid, score in hits[:query.limit]:
+                node = self.storage.get_node(nid)
+                if node is None:
+                    continue
+                out.append(HybridResult(node=node, vector_score=score,
+                                        graph_score=0.0,
+                                        combined_score=score))
+            return out
+
+        anchors = self.mirror.anchor_row_ids(query.anchors)
+        depth_map = self.mirror.per_anchor_depths(
+            query.anchors, query.max_anchor_depth)
+
+        results: List[HybridResult] = []
+        w = query.vector_weight
+        for nid, vscore in hits:
+            node = self.storage.get_node(nid)
+            if node is None:
+                continue
+            gscore = 0.0
+            nearest: Optional[Tuple[str, int]] = None
+            per = depth_map.get(nid)
+            if per is not None and anchors:
+                j = int(np.argmin(per))
+                d = int(per[j])
+                if d <= query.max_anchor_depth:
+                    gscore = 1.0 / (1.0 + d)
+                    nearest = (anchors[j], d)
+            results.append(HybridResult(
+                node=node, vector_score=vscore, graph_score=gscore,
+                combined_score=w * vscore + (1.0 - w) * gscore,
+                nearest_anchor=nearest))
+        results.sort(key=lambda r: -r.combined_score)
+        return results[:query.limit]

@@ -1,0 +1,522 @@
+"""Auto-linker subsystem tests (parity model: rules/decay/dedup/config tests
+in the reference linker module, 31+ tests)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cortex_tpu.linker import (AutoLinker, AutoLinkerConfig, ConfigRule,
+                               ContradictionDetector, DecayConfig,
+                               DecayEngine, DedupScanner, RuleCondition,
+                               StructuralRules, jaccard_similarity,
+                               similarity_rule)
+from cortex_tpu.errors import ValidationError
+from cortex_tpu.storage import MemoryStorage
+from cortex_tpu.types import Edge, EdgeProvenance, Node, Source
+from cortex_tpu.vector import (HashingEmbedder, SimilarityConfig,
+                               TpuFlatIndex, embedding_input)
+
+DIM = 64
+
+
+def mknode(title="A node title", kind="fact", agent="a", session=None,
+           tags=(), body="Body text", created=None, importance=0.5):
+    n = Node.new(kind, title, body, Source(agent=agent, session=session),
+                 importance)
+    n.tags = list(tags)
+    if created is not None:
+        n.created_at = created
+    return n
+
+
+class TestJaccard:
+    def test_identical(self):
+        assert jaccard_similarity("a b c", "a b c") == 1.0
+
+    def test_disjoint(self):
+        assert jaccard_similarity("a b", "c d") == 0.0
+
+    def test_both_empty(self):
+        assert jaccard_similarity("", "") == 1.0
+
+    def test_one_empty(self):
+        assert jaccard_similarity("a", "") == 0.0
+
+    def test_case_insensitive(self):
+        assert jaccard_similarity("Hello World", "hello world") == 1.0
+
+
+class TestSimilarityRule:
+    def test_fires_at_threshold(self):
+        a, b = mknode(), mknode(title="Other node title")
+        cfg = SimilarityConfig()
+        e = similarity_rule(a, b, 0.75, cfg)
+        assert e is not None
+        assert e.relation == "related_to"
+        assert e.weight == pytest.approx(0.75)
+        assert e.provenance.kind == "auto_similarity"
+
+    def test_below_threshold(self):
+        a, b = mknode(), mknode(title="Other node title")
+        assert similarity_rule(a, b, 0.74, SimilarityConfig()) is None
+
+
+class TestStructuralRules:
+    def setup_method(self):
+        self.rules = StructuralRules()
+
+    def test_same_agent(self):
+        a, b = mknode(agent="x"), mknode(title="Title b", agent="x")
+        out = self.rules.evaluate_all(a, b, 0.0)
+        assert any(e.provenance.rule == "same_agent" and e.weight == 0.3
+                   for e in out)
+
+    def test_different_agent_no_same_agent_edge(self):
+        now = time.time()
+        a = mknode(agent="x", created=now - 10_000)
+        b = mknode(title="Title b", agent="y", created=now)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        assert not any(e.provenance.rule == "same_agent" for e in out)
+
+    def test_temporal_proximity(self):
+        now = time.time()
+        a = mknode(agent="x", created=now)
+        b = mknode(title="Title b", agent="y", created=now + 60)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        assert any(e.provenance.rule == "temporal_proximity"
+                   and e.weight == 0.4 for e in out)
+
+    def test_temporal_window_exceeded(self):
+        now = time.time()
+        a = mknode(agent="x", created=now)
+        b = mknode(title="Title b", agent="y", created=now + 31 * 60)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        assert not any(e.provenance.rule == "temporal_proximity" for e in out)
+
+    def test_shared_tags_scaling(self):
+        a = mknode(agent="x", tags=["t1", "t2", "t3", "t4"])
+        b = mknode(title="Title b", agent="y", tags=["t1", "t2", "t3", "t4"],
+                   created=time.time() + 100_000)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        st = [e for e in out if e.provenance.rule == "shared_tags"]
+        assert st and st[0].weight == pytest.approx(0.5 * 1.2)   # 2 extra tags
+
+    def test_decision_to_event_same_session(self):
+        now = time.time()
+        a = mknode(kind="decision", agent="x", session="s1", created=now - 100)
+        b = mknode(title="Title b", kind="event", agent="y", session="s1",
+                   created=now)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        led = [e for e in out if e.relation == "led_to"]
+        assert led and led[0].weight == 0.6
+
+    def test_decision_to_event_requires_order(self):
+        now = time.time()
+        a = mknode(kind="decision", agent="x", session="s1", created=now)
+        b = mknode(title="Title b", kind="event", agent="y", session="s1",
+                   created=now - 100)
+        out = self.rules.evaluate_all(a, b, 0.0)
+        assert not any(e.relation == "led_to" for e in out)
+
+    def test_observation_to_pattern(self):
+        a = mknode(kind="observation", agent="x")
+        b = mknode(title="Title b", kind="pattern", agent="y",
+                   created=time.time() + 100_000)
+        out = self.rules.evaluate_all(a, b, 0.75)
+        inst = [e for e in out if e.relation == "instance_of"]
+        assert inst and inst[0].weight == 0.7
+        assert not any(e.relation == "instance_of"
+                       for e in self.rules.evaluate_all(a, b, 0.6))
+
+    def test_fact_supersedes(self):
+        now = time.time()
+        old = mknode(title="The server uses port 8080", created=now - 1000,
+                     agent="x")
+        new = mknode(title="The server uses port 8080", created=now,
+                     agent="y")
+        out = self.rules.evaluate_all(new, old, 0.0)
+        sup = [e for e in out if e.relation == "supersedes"]
+        assert sup and sup[0].from_id == new.id and sup[0].weight == 0.9
+        # older -> newer direction never fires
+        assert not any(e.relation == "supersedes"
+                       for e in self.rules.evaluate_all(old, new, 0.0))
+
+
+class TestContradiction:
+    def test_detects_asymmetric_negation(self):
+        det = ContradictionDetector()
+        now = time.time()
+        a = mknode(title="Service X is deployed", body="X runs in prod",
+                   created=now - 100)
+        b = mknode(title="Service X deployment", body="X is no longer running",
+                   created=now)
+        c = det.check(a, b, 0.85)
+        assert c is not None
+        assert c.keep == b.id and c.retire == a.id
+        e = det.to_edge(c)
+        assert e.relation == "contradicts"
+
+    def test_below_threshold_ignored(self):
+        det = ContradictionDetector()
+        a = mknode(body="yes")
+        b = mknode(body="not at all")
+        assert det.check(a, b, 0.79) is None
+
+    def test_symmetric_negation_ignored(self):
+        det = ContradictionDetector()
+        a = mknode(body="not happening")
+        b = mknode(body="never again")
+        assert det.check(a, b, 0.9) is None
+
+
+class TestConfigRules:
+    def test_kind_gate(self):
+        r = ConfigRule(name="r", from_kind="decision", to_kind="event",
+                       relation="led_to",
+                       condition=RuleCondition(type="always"))
+        a, b = mknode(kind="decision"), mknode(kind="event")
+        assert len(r.evaluate(a, b, 0.0)) == 1
+        assert r.evaluate(b, a, 0.0) == []
+
+    def test_weight_from_score(self):
+        r = ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                       relation="related_to", weight_from_score=True,
+                       condition=RuleCondition(type="min_similarity",
+                                               threshold=0.5))
+        a, b = mknode(), mknode(title="Other title")
+        out = r.evaluate(a, b, 0.83)
+        assert out[0].weight == pytest.approx(0.83)
+        assert r.evaluate(a, b, 0.4) == []
+
+    def test_bidirectional(self):
+        r = ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                       relation="related_to", bidirectional=True,
+                       condition=RuleCondition(type="always"))
+        a, b = mknode(), mknode(title="Other title")
+        out = r.evaluate(a, b, 0.0)
+        assert len(out) == 2
+        assert {(out[0].from_id, out[0].to_id), (out[1].from_id, out[1].to_id)} \
+            == {(a.id, b.id), (b.id, a.id)}
+
+    def test_body_field_ref(self):
+        r = ConfigRule(name="r", from_kind="observation", to_kind="prompt",
+                       relation="observed_with",
+                       condition=RuleCondition(type="body_field_ref",
+                                               field="prompt_id",
+                                               match_field="id"))
+        b = mknode(kind="prompt", title="The prompt")
+        a = mknode(kind="observation",
+                   body=f'{{"prompt_id": "{b.id}"}}')
+        assert len(r.evaluate(a, b, 0.0)) == 1
+        a2 = mknode(kind="observation", body='{"prompt_id": "other"}')
+        assert r.evaluate(a2, b, 0.0) == []
+
+    def test_body_field_contains(self):
+        b = mknode(kind="fact", title="TargetTitle")
+        r = ConfigRule(name="r", from_kind="decision", to_kind="fact",
+                       relation="informed_by",
+                       condition=RuleCondition(type="body_field_contains",
+                                               field="facts",
+                                               match_field="title"))
+        a = mknode(kind="decision", body='{"facts": ["TargetTitle", "x"]}')
+        assert len(r.evaluate(a, b, 0.0)) == 1
+
+    def test_tag_references_title(self):
+        b = mknode(kind="goal", title="ship-v2")
+        r = ConfigRule(name="r", from_kind="event", to_kind="goal",
+                       relation="applies_to",
+                       condition=RuleCondition(type="tag_references_title",
+                                               tag_prefix="goal-"))
+        a = mknode(kind="event", tags=["goal-ship-v2"])
+        assert len(r.evaluate(a, b, 0.0)) == 1
+
+    def test_validation(self):
+        with pytest.raises(ValidationError):
+            ConfigRule(name="", from_kind="fact", to_kind="fact",
+                       relation="related_to").validate()
+        with pytest.raises(ValidationError):
+            ConfigRule(name="r", from_kind="Fact", to_kind="fact",
+                       relation="related_to").validate()
+        with pytest.raises(ValidationError):
+            ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                       relation="related_to", weight=1.5).validate()
+        with pytest.raises(ValidationError):
+            ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                       relation="related_to",
+                       condition=RuleCondition(type="shared_tags",
+                                               min_shared=0)).validate()
+
+    def test_legacy_rules_auto_disabled(self):
+        cfg = AutoLinkerConfig()
+        assert cfg.use_legacy_rules()
+        cfg.rules = [ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                                relation="related_to")]
+        assert not cfg.use_legacy_rules()
+        cfg.legacy_rules_enabled = True
+        assert cfg.use_legacy_rules()
+
+
+class TestDecayEngine:
+    def _storage_with_edge(self, weight=0.5, age_days=10.0, importance=0.0,
+                           manual=False):
+        s = MemoryStorage()
+        a = mknode(importance=importance)
+        b = mknode(title="Other node title", importance=0.0)
+        s.put_node(a)
+        s.put_node(b)
+        prov = EdgeProvenance.manual("t") if manual else \
+            EdgeProvenance.auto_similarity(weight)
+        e = Edge.new(a.id, b.id, "related_to", weight, prov)
+        e.updated_at = time.time() - age_days * 86400
+        s.put_edge(e)
+        return s, e
+
+    def test_exponential_decay(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=10)
+        DecayEngine(s, DecayConfig()).apply_decay()
+        got = s.get_edge(e.id).weight
+        assert got == pytest.approx(0.5 * np.exp(-0.01 * 10), rel=1e-4)
+
+    def test_importance_shield(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=10, importance=1.0)
+        DecayEngine(s, DecayConfig()).apply_decay()
+        got = s.get_edge(e.id).weight
+        # shielded rate = .01 * (1 - 1.0*0.8) = .002
+        assert got == pytest.approx(0.5 * np.exp(-0.002 * 10), rel=1e-4)
+
+    def test_manual_exempt(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=100, manual=True)
+        DecayEngine(s, DecayConfig()).apply_decay()
+        assert s.get_edge(e.id).weight == pytest.approx(0.5)
+
+    def test_manual_not_exempt_when_configured(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=100, manual=True)
+        DecayEngine(s, DecayConfig(exempt_manual=False)).apply_decay()
+        assert s.get_edge(e.id).weight < 0.5
+
+    def test_delete_below_threshold(self):
+        s, e = self._storage_with_edge(weight=0.06, age_days=100)
+        pruned, deleted = DecayEngine(s, DecayConfig()).apply_decay()
+        assert deleted == 1
+        assert s.get_edge(e.id) is None
+
+    def test_recent_edge_untouched(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=0.0)
+        DecayEngine(s, DecayConfig()).apply_decay()
+        assert s.get_edge(e.id).weight == pytest.approx(0.5)
+
+    def test_reinforce_resets_timer_and_bumps_access(self):
+        s, e = self._storage_with_edge(weight=0.5, age_days=10)
+        eng = DecayEngine(s, DecayConfig())
+        count = eng.reinforce(e.from_id)
+        assert count == 1
+        assert s.get_edge(e.id).updated_at > time.time() - 5
+        assert s.get_node(e.from_id).access_count == 1
+        # now decay is a no-op again
+        eng.apply_decay()
+        assert s.get_edge(e.id).weight == pytest.approx(0.5, abs=1e-4)
+
+
+def build_linker(storage=None, dim=DIM, **cfg_kw):
+    storage = storage or MemoryStorage()
+    emb = HashingEmbedder(dim)
+    idx = TpuFlatIndex(dim)
+    cfg = AutoLinkerConfig(**cfg_kw)
+    return AutoLinker(storage, idx, emb, cfg), storage, idx, emb
+
+
+class TestDedup:
+    def test_scan_and_merge(self):
+        linker, s, idx, emb = build_linker()
+        # two near-identical nodes; a gets many connections
+        a = mknode(title="Database uses postgres fourteen",
+                   body="The database engine is postgres version fourteen")
+        b = mknode(title="Database uses postgres fourteen",
+                   body="The database engine is postgres version fourteen")
+        others = [mknode(title=f"Unrelated thing number {i}",
+                         body=f"totally different topic {i} about weather")
+                  for i in range(4)]
+        for n in [a, b] + others:
+            n.embedding = emb.embed_node(n).tolist()
+            s.put_node(n)
+            idx.insert(n.id, np.asarray(n.embedding), kind=n.kind,
+                       source_agent=n.source.agent)
+        for o in others:
+            s.put_edge(Edge.new(a.id, o.id, "related_to", 0.9,
+                                EdgeProvenance.manual("t")))
+        scanner = DedupScanner(s, idx, SimilarityConfig())
+        result = scanner.scan()
+        assert len(result.duplicates) == 1
+        pair = result.duplicates[0]
+        assert pair.action == "merge"
+        assert pair.keep == a.id     # 4 connections vs 0
+        scanner.execute_action(pair)
+        assert s.get_node(b.id).deleted
+
+    def test_supersede_for_near_exact(self):
+        linker, s, idx, emb = build_linker()
+        now = time.time()
+        a = mknode(title="Same exact content here",
+                   body="identical body text", created=now - 100)
+        b = mknode(title="Same exact content here",
+                   body="identical body text", created=now)
+        for n in (a, b):
+            n.embedding = emb.embed_node(n).tolist()
+            s.put_node(n)
+            idx.insert(n.id, np.asarray(n.embedding))
+        scanner = DedupScanner(s, idx, SimilarityConfig())
+        pairs = scanner.scan().duplicates
+        assert pairs and pairs[0].action == "supersede"
+        assert pairs[0].keep == b.id
+        scanner.execute_action(pairs[0])
+        rels = [e.relation for e in s.edges_from(b.id)]
+        assert "supersedes" in rels
+
+
+class TestAutoLinkerCycle:
+    def test_creates_similarity_links(self):
+        linker, s, idx, emb = build_linker()
+        a = mknode(title="Kubernetes cluster upgrade process",
+                   body="Upgrading the kubernetes cluster to latest version",
+                   agent="x")
+        b = mknode(title="Kubernetes cluster upgrade steps",
+                   body="Steps for upgrading the kubernetes cluster version",
+                   agent="y", created=time.time() - 90_000)
+        s.put_node(a)
+        s.put_node(b)
+        m = linker.run_cycle()
+        assert m.cycle_nodes_processed == 2
+        assert m.cycle_edges_created >= 1
+        rels = {(e.relation, e.provenance.kind) for e in s.all_edges()}
+        assert ("related_to", "auto_similarity") in rels
+
+    def test_cursor_advances_and_persists(self):
+        linker, s, idx, emb = build_linker()
+        a = mknode()
+        s.put_node(a)
+        linker.run_cycle()
+        assert linker.cursor == pytest.approx(a.created_at)
+        # second cycle: nothing new
+        m = linker.run_cycle()
+        assert m.cycle_nodes_processed == 0
+        # new linker instance resumes from stored cursor
+        linker2 = AutoLinker(s, idx, emb, AutoLinkerConfig())
+        assert linker2.cursor == pytest.approx(a.created_at)
+        assert linker2.cycle_count == linker.cycle_count
+
+    def test_config_change_resets_cursor(self):
+        linker, s, idx, emb = build_linker()
+        s.put_node(mknode())
+        linker.run_cycle()
+        assert linker.cursor > 0
+        cfg2 = AutoLinkerConfig()
+        cfg2.similarity.auto_link_threshold = 0.8
+        linker2 = AutoLinker(s, idx, emb, cfg2)
+        linker2.run_cycle()
+        # cursor was reset to epoch then re-advanced over the single node
+        assert linker2.metrics.cycle_nodes_processed == 1
+
+    def test_max_edges_per_node_cap(self):
+        linker, s, idx, emb = build_linker(max_edges_per_node=3)
+        base = "Shared topic about machine learning pipelines"
+        for i in range(10):
+            s.put_node(mknode(title=base, body=f"{base} variant {i}",
+                              agent="x"))
+        linker.run_cycle()
+        for n in s.list_nodes():
+            assert len(s.edges_from(n.id)) <= 3 * 2  # cap applies per cycle pass
+
+    def test_deleted_neighbors_skipped(self):
+        linker, s, idx, emb = build_linker()
+        a = mknode(title="Identical content body", body="Same text")
+        b = mknode(title="Identical content body", body="Same text")
+        s.put_node(a)
+        s.put_node(b)
+        linker.run_cycle()
+        s.delete_node(b.id)
+        idx.remove(b.id)
+        c = mknode(title="Identical content body", body="Same text")
+        s.put_node(c)
+        linker.run_cycle()
+        # the new node links to the live twin only, never the tombstoned one
+        assert any(e.to_id == a.id for e in s.edges_from(c.id))
+        assert not any(e.to_id == b.id for e in s.edges_from(c.id))
+
+    def test_no_duplicate_edges_across_cycles(self):
+        linker, s, idx, emb = build_linker()
+        a = mknode(title="Same topic alpha beta", body="alpha beta gamma")
+        b = mknode(title="Same topic alpha beta", body="alpha beta gamma")
+        s.put_node(a)
+        s.put_node(b)
+        linker.run_cycle()
+        first = len(s.all_edges())
+        # touching a re-inserts it as new (created_at bump)
+        a2 = s.get_node(a.id)
+        a2.created_at = time.time() + 1
+        s.put_node(a2)
+        linker.run_cycle()
+        # similarity edge already exists; no duplicates created
+        pairs = [(e.from_id, e.to_id, e.relation) for e in s.all_edges()]
+        assert len(pairs) == len(set(pairs))
+
+    def test_decay_runs_on_schedule(self):
+        linker, s, idx, emb = build_linker(decay_every_n_cycles=1)
+        a, b = mknode(), mknode(title="Other node title")
+        s.put_node(a)
+        s.put_node(b)
+        e = Edge.new(a.id, b.id, "related_to", 0.06,
+                     EdgeProvenance.auto_similarity(0.06))
+        e.updated_at = time.time() - 200 * 86400
+        s.put_edge(e)
+        m = linker.run_cycle()
+        assert m.cycle_edges_deleted == 1
+
+
+class TestHybridSearch:
+    def test_vector_plus_proximity(self):
+        from cortex_tpu.graph import AdjacencyCache, DeviceGraphMirror
+        from cortex_tpu.vector.hybrid import HybridQuery, HybridSearch
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        idx = TpuFlatIndex(DIM)
+        anchor = mknode(title="Anchor node about deployment")
+        near = mknode(title="Deployment process detail notes",
+                      body="how deployment works in detail")
+        far = mknode(title="Deployment process detail notes",
+                     body="how deployment works in detail today")
+        for n in (anchor, near, far):
+            n.embedding = emb.embed_node(n).tolist()
+            s.put_node(n)
+            idx.insert(n.id, np.asarray(n.embedding), kind=n.kind,
+                       source_agent=n.source.agent)
+        s.put_edge(Edge.new(anchor.id, near.id, "related_to", 0.9,
+                            EdgeProvenance.manual("t")))
+        cache = AdjacencyCache(s)
+        mirror = DeviceGraphMirror(cache)
+        hs = HybridSearch(s, emb, idx, mirror)
+        res = hs.search(HybridQuery(
+            query_text="deployment process details",
+            anchors=[anchor.id], limit=3))
+        scores = {r.node.id: r for r in res}
+        # near and far have near-identical vector scores; graph proximity
+        # must rank `near` above `far`
+        assert scores[near.id].combined_score > scores[far.id].combined_score
+        assert scores[near.id].graph_score == pytest.approx(0.5)
+        assert scores[near.id].nearest_anchor == (anchor.id, 1)
+        assert scores[far.id].graph_score == 0.0
+
+    def test_no_anchors_pure_vector(self):
+        from cortex_tpu.graph import AdjacencyCache, DeviceGraphMirror
+        from cortex_tpu.vector.hybrid import HybridQuery, HybridSearch
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        idx = TpuFlatIndex(DIM)
+        n = mknode(title="Only result in the corpus")
+        n.embedding = emb.embed_node(n).tolist()
+        s.put_node(n)
+        idx.insert(n.id, np.asarray(n.embedding))
+        hs = HybridSearch(s, emb, idx, DeviceGraphMirror(AdjacencyCache(s)))
+        res = hs.search(HybridQuery(query_text="corpus result", limit=5))
+        assert len(res) == 1
+        assert res[0].combined_score == res[0].vector_score

@@ -31,11 +31,14 @@ class NodeFilter:
     min_importance: Optional[float] = None
     max_importance: Optional[float] = None
     include_deleted: bool = False
+    deleted_only: bool = False          # only tombstoned nodes
     limit: Optional[int] = None
     offset: int = 0
 
     def matches(self, node: Node) -> bool:
-        if not self.include_deleted and node.deleted:
+        if self.deleted_only and not node.deleted:
+            return False
+        if not self.include_deleted and not self.deleted_only and node.deleted:
             return False
         if self.kinds is not None and node.kind not in self.kinds:
             return False

@@ -297,7 +297,9 @@ class SqliteStorage(Storage):
     def _filter_sql(self, f: NodeFilter):
         where = []
         params: List[Any] = []
-        if not f.include_deleted:
+        if f.deleted_only:
+            where.append("deleted=1")
+        elif not f.include_deleted:
             where.append("deleted=0")
         if f.kinds is not None:
             where.append(f"kind IN ({','.join('?' * len(f.kinds))})")

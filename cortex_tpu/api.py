@@ -1,0 +1,323 @@
+"""Embedded Cortex: the library-mode top-level API.
+
+Parity surface: crates/cortex-core/src/api.rs:38-213 (open / store /
+search / get_node / list_nodes / create_edge / traverse / add_hook +
+kind convenience constructors) — but unlike the reference's library mode,
+hybrid search, briefings, the auto-linker, the write gate, retention and
+the prompt subsystem are all wired here too: the server layer
+(cortex_tpu.server) is a thin surface over this object.
+
+Store/search run the TPU path: deterministic or model embeddings on the
+host, device-resident index with fused cosine+top-k search.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .briefing import (Briefing, BriefingConfig, BriefingEngine, GraphVersion)
+from .config import CortexConfig
+from .errors import GateRejection as GateRejectionError
+from .gate import SchemaValidator, WriteGate
+from .graph import (BOTH, DeviceGraphMirror, GraphEngine, PathRequest,
+                    Subgraph, TraversalRequest)
+from .hooks import HookRegistry, MutationHook
+from .linker import AutoLinker
+from .policies import AuditLog, RetentionEngine
+from .prompt import PromptResolver, RollbackMonitor
+from .query import parse_and_compile
+from .storage import MemoryStorage, NodeFilter, SqliteStorage, Storage
+from .types import Edge, EdgeProvenance, Node, Source
+from .vector import (ScoreDecayConfig, TpuFlatIndex, VectorFilter,
+                     apply_score_decay_batch, default_embedder)
+from .vector.hybrid import HybridQuery, HybridResult, HybridSearch
+
+
+class Cortex:
+    """Embedded engine. `Cortex.open(path)` for durable SQLite-backed
+    state; `Cortex.in_memory()` for tests/ephemeral use."""
+
+    def __init__(self, storage: Storage, config: Optional[CortexConfig] = None):
+        self.config = config or CortexConfig()
+        self.storage = storage
+        self.embedder = default_embedder(self.config.embedding.model,
+                                         self.config.embedding.dimension)
+        self.index = TpuFlatIndex(self.embedder.dimension)
+        self._rebuild_index()
+        self.graph = GraphEngine(storage)
+        self.mirror = DeviceGraphMirror(self.graph.cache)
+        self.graph_version = GraphVersion()
+        self.hooks = HookRegistry()
+        self.hybrid = HybridSearch(storage, self.embedder, self.index,
+                                   self.mirror)
+        self.briefing_engine = BriefingEngine(
+            storage, self.graph, self.index, self.embedder, self.hybrid,
+            self.graph_version, self.config.briefing)
+        self.linker = AutoLinker(storage, self.index, self.embedder,
+                                 self.config.auto_linker)
+        self.retention = RetentionEngine(self.config.retention,
+                                         self.config.score_decay)
+        self.audit = AuditLog(storage)
+        self.schema_validator = SchemaValidator(self.config.schemas)
+        self.prompts = PromptResolver(storage)
+        self.rollback_monitor = RollbackMonitor(storage,
+                                                self.config.prompt_rollback)
+
+    # ------------------------------------------------------------------ boot
+    @staticmethod
+    def open(path: str, config: Optional[CortexConfig] = None) -> "Cortex":
+        return Cortex(SqliteStorage(path), config)
+
+    @staticmethod
+    def in_memory(config: Optional[CortexConfig] = None) -> "Cortex":
+        return Cortex(MemoryStorage(), config)
+
+    def _rebuild_index(self) -> None:
+        """Rebuild the device index from stored embeddings
+        (api.rs:54-69 / serve.rs:100-123)."""
+        nodes = [n for n in self.storage.list_nodes(NodeFilter())
+                 if n.embedding is not None
+                 and len(n.embedding) == self.embedder.dimension]
+        if nodes:
+            self.index.insert_batch(
+                [n.id for n in nodes],
+                np.stack([np.asarray(n.embedding, np.float32)
+                          for n in nodes]),
+                kinds=[n.kind for n in nodes],
+                agents=[n.source.agent for n in nodes])
+
+    def close(self) -> None:
+        self.storage.close()
+
+    # ------------------------------------------------------------ mutation
+    def _on_write(self) -> None:
+        self.graph.invalidate()
+        self.graph_version.bump()
+
+    def store(self, node: Node, *, gate: bool = False,
+              skip_quality: bool = False, actor: str = "library") -> str:
+        """Embed + persist + index + fire hooks (api.rs:99-114). With
+        gate=True the 4-check write gate runs first and raises
+        GateRejection on failure."""
+        if node.embedding is None:
+            node.embedding = self.embedder.embed_node(node).tolist()
+        if gate:
+            rej = WriteGate.check_all(
+                node, np.asarray(node.embedding, np.float32), self.index,
+                self.storage, self.config.write_gate, self.schema_validator,
+                skip_quality=skip_quality)
+            if rej is not None:
+                raise GateRejectionError(rej.check, rej.reason,
+                                         rej.suggestion)
+        is_update = self.storage.get_node(node.id) is not None
+        self.storage.put_node(node, actor=actor)
+        self.index.insert(node.id, np.asarray(node.embedding, np.float32),
+                          kind=node.kind, source_agent=node.source.agent)
+        self._on_write()
+        self.hooks.notify_node("updated" if is_update else "created", node)
+        return node.id
+
+    def store_batch(self, nodes: Sequence[Node], *,
+                    actor: str = "library") -> List[str]:
+        """Batch admission: one embed_batch + one device upload — the
+        idiomatic TPU ingest path (SURVEY §3.2 consequence)."""
+        missing = [n for n in nodes if n.embedding is None]
+        if missing:
+            embs = self.embedder.embed_nodes(missing)
+            for j, n in enumerate(missing):
+                n.embedding = embs[j].tolist()
+        self.storage.put_nodes_batch(nodes, actor=actor)
+        self.index.insert_batch(
+            [n.id for n in nodes],
+            np.stack([np.asarray(n.embedding, np.float32) for n in nodes]),
+            kinds=[n.kind for n in nodes],
+            agents=[n.source.agent for n in nodes])
+        self._on_write()
+        for n in nodes:
+            self.hooks.notify_node("created", n)
+        return [n.id for n in nodes]
+
+    def update_node(self, node: Node, *, actor: str = "library") -> None:
+        """Re-embed on update (grpc service.rs:170+ behavior)."""
+        node.embedding = self.embedder.embed_node(node).tolist()
+        node.updated_at = time.time()
+        self.storage.put_node(node, actor=actor)
+        self.index.insert(node.id, np.asarray(node.embedding, np.float32),
+                          kind=node.kind, source_agent=node.source.agent)
+        self._on_write()
+        self.hooks.notify_node("updated", node)
+
+    def delete_node(self, node_id: str, *, hard: bool = False,
+                    actor: str = "library") -> bool:
+        node = self.storage.get_node(node_id)
+        if node is None:
+            return False
+        ok = (self.storage.hard_delete_node(node_id, actor=actor) if hard
+              else self.storage.delete_node(node_id, actor=actor))
+        if ok:
+            self.index.remove(node_id)
+            self._on_write()
+            self.hooks.notify_node("deleted", node)
+        return ok
+
+    def create_edge(self, edge: Edge, *, actor: str = "library") -> str:
+        self.storage.put_edge(edge, actor=actor)
+        self._on_write()
+        self.hooks.notify_edge("created", edge)
+        return edge.id
+
+    def delete_edge(self, edge_id: str, *, actor: str = "library") -> bool:
+        edge = self.storage.get_edge(edge_id)
+        ok = self.storage.delete_edge(edge_id, actor=actor)
+        if ok and edge is not None:
+            self._on_write()
+            self.hooks.notify_edge("deleted", edge)
+        return ok
+
+    def add_hook(self, hook: MutationHook) -> None:
+        self.hooks.add(hook)
+
+    # --------------------------------------------------------------- queries
+    def get_node(self, node_id: str) -> Optional[Node]:
+        return self.storage.get_node(node_id)
+
+    def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]:
+        return self.storage.list_nodes(f)
+
+    def query(self, dsl: str) -> List[Node]:
+        """Query-DSL filtered listing."""
+        return self.storage.list_nodes(parse_and_compile(dsl))
+
+    def search(self, query: str, limit: int = 10, *,
+               flt: Optional[VectorFilter] = None,
+               decay: bool = True,
+               recency_bias: Optional[float] = None,
+               record_access: bool = True) -> List[Tuple[float, Node]]:
+        """Device search + vectorized score-decay re-rank (the reference
+        search hot path, http/routes.rs:887-988, collapsed to one device
+        round-trip + one batch re-rank)."""
+        emb = self.embedder.embed(query)
+        cfg = self.config.score_decay
+        over = max(limit * 3, 30) if decay and cfg.enabled else limit
+        hits = self.index.search(emb, over, flt)
+        nodes, raw = [], []
+        for nid, score in hits:
+            n = self.storage.get_node(nid)
+            if n is None or n.deleted:
+                continue
+            nodes.append(n)
+            raw.append(score)
+        if decay:
+            final = apply_score_decay_batch(
+                cfg, np.asarray(raw, np.float32), nodes, now=time.time(),
+                recency_bias=recency_bias)
+        else:
+            final = np.asarray(raw, np.float32)
+        order = np.argsort(-final, kind="stable")[:limit]
+        out = [(float(final[i]), nodes[i]) for i in order]
+        if record_access:
+            for _, n in out:
+                n.record_access()
+                self.storage.put_node(n)
+        return out
+
+    def search_hybrid(self, query: str, anchors: Sequence[str] = (),
+                      limit: int = 10, *,
+                      vector_weight: float = 0.7,
+                      kind_filter: Optional[List[str]] = None,
+                      max_anchor_depth: int = 3) -> List[HybridResult]:
+        return self.hybrid.search(HybridQuery(
+            query_text=query, anchors=list(anchors),
+            vector_weight=vector_weight, limit=limit,
+            kind_filter=kind_filter, max_anchor_depth=max_anchor_depth))
+
+    def traverse(self, req: TraversalRequest) -> Subgraph:
+        return self.graph.traverse(req)
+
+    def neighborhood(self, node_id: str, depth: int = 1) -> Subgraph:
+        return self.graph.traverse(TraversalRequest(
+            start=[node_id], max_depth=depth, direction=BOTH))
+
+    def find_paths(self, req: PathRequest):
+        return self.graph.find_paths(req)
+
+    def briefing(self, agent_id: str, *, compact: bool = False) -> str:
+        b = self.briefing_engine.generate(agent_id)
+        return self.briefing_engine.render(b, compact=compact)
+
+    def briefing_full(self, agent_id: str) -> Briefing:
+        return self.briefing_engine.generate(agent_id)
+
+    def stats(self):
+        return self.storage.stats()
+
+    # ------------------------------------------------------------ background
+    def run_linker_cycle(self):
+        m = self.linker.run_cycle()
+        self._on_write()
+        return m
+
+    def run_retention(self) -> Tuple[int, int]:
+        swept = self.retention.sweep(self.storage)
+        purged = self.retention.purge_expired(self.storage)
+        if swept or purged:
+            self._on_write()
+        return swept, purged
+
+    def reindex(self) -> int:
+        """Re-embed every live node (gRPC Reindex after model change)."""
+        nodes = self.storage.list_nodes(NodeFilter())
+        if not nodes:
+            return 0
+        embs = self.embedder.embed_nodes(nodes)
+        for j, n in enumerate(nodes):
+            n.embedding = embs[j].tolist()
+        self.storage.put_nodes_batch(nodes)
+        self.index = TpuFlatIndex(self.embedder.dimension)
+        self._rebuild_index()
+        self.hybrid.index = self.index
+        self.briefing_engine.index = self.index
+        self.linker.index = self.index
+        self._on_write()
+        return len(nodes)
+
+    # --------------------------------------------- convenience constructors
+    @staticmethod
+    def _make(kind: str, title: str, body: str, importance: float) -> Node:
+        return Node.new(kind, title, body, Source(agent="library"),
+                        importance)
+
+    @staticmethod
+    def fact(title: str, importance: float = 0.5) -> Node:
+        return Cortex._make("fact", title, title, importance)
+
+    @staticmethod
+    def decision(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("decision", title, body, importance)
+
+    @staticmethod
+    def event(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("event", title, body, importance)
+
+    @staticmethod
+    def goal(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("goal", title, body, importance)
+
+    @staticmethod
+    def observation(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("observation", title, body, importance)
+
+    @staticmethod
+    def pattern(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("pattern", title, body, importance)
+
+    @staticmethod
+    def preference(title: str, body: str, importance: float = 0.5) -> Node:
+        return Cortex._make("preference", title, body, importance)
+
+    @staticmethod
+    def agent(title: str, body: str, importance: float = 0.8) -> Node:
+        return Cortex._make("agent", title, body, importance)

@@ -293,13 +293,22 @@ class DeviceCorpus:
             self.sync()
             q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
             bias = self._bias(kinds, agent, exclude_ids)
+            # bucket k to the next power of two: distinct k values would
+            # each trigger an XLA recompile of top_k, so pay one compile
+            # per bucket and slice down
             kk = min(k, self._cap)
+            k_bucket = 8
+            while k_bucket < kk:
+                k_bucket *= 2
+            k_bucket = min(k_bucket, self._cap)
             if self._use_pallas and self._cap >= 4096:
-                v, i = cosine_topk_pallas(self._dev[0], q, kk, bias[None, :])
+                v, i = cosine_topk_pallas(self._dev[0], q, k_bucket,
+                                          bias[None, :])
             else:
-                v, i = cosine_topk_xla(self._dev[0], q, kk, bias[None, :])
-            v = np.asarray(v)
-            i = np.asarray(i)
+                v, i = cosine_topk_xla(self._dev[0], q, k_bucket,
+                                       bias[None, :])
+            v = np.asarray(v)[:, :kk]
+            i = np.asarray(i)[:, :kk]
             if kk < k:
                 v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
                 i = np.pad(i, ((0, 0), (0, k - kk)))

@@ -1,0 +1,141 @@
+"""Embedded Cortex API end-to-end tests — the library-mode E2E milestone
+(SURVEY §7 step 2: open -> store -> search returns ranked nodes)."""
+
+import pytest
+
+from cortex_tpu.api import Cortex
+from cortex_tpu.config import CortexConfig
+from cortex_tpu.errors import DuplicateEdge, GateRejection
+from cortex_tpu.storage import NodeFilter
+from cortex_tpu.types import Edge, EdgeProvenance
+from cortex_tpu.graph import PathRequest, TraversalRequest
+
+
+@pytest.fixture
+def cx():
+    c = Cortex.in_memory()
+    yield c
+    c.close()
+
+
+class TestEndToEnd:
+    def test_store_search_roundtrip(self, cx):
+        cx.store(Cortex.fact("The database is postgres fourteen", 0.8))
+        cx.store(Cortex.fact("The cache layer uses redis seven", 0.6))
+        cx.store(Cortex.event("Deployed new version to production",
+                              "The deploy completed fine", 0.5))
+        hits = cx.search("postgres database", limit=2)
+        assert hits
+        assert "postgres" in hits[0][1].title
+
+    def test_open_persists_and_rebuilds_index(self, tmp_path):
+        path = str(tmp_path / "cx.db")
+        c1 = Cortex.open(path)
+        c1.store(Cortex.fact("Persistent fact about databases", 0.7))
+        c1.close()
+        c2 = Cortex.open(path)
+        hits = c2.search("databases", limit=1)
+        assert hits and "databases" in hits[0][1].title
+        c2.close()
+
+    def test_edges_and_traverse(self, cx):
+        a = Cortex.decision("Use postgres for storage",
+                            "We decided to use postgres", 0.8)
+        b = Cortex.event("Migrated to postgres", "Migration done", 0.5)
+        cx.store(a)
+        cx.store(b)
+        cx.create_edge(Edge.new(a.id, b.id, "led_to", 0.9,
+                                EdgeProvenance.manual("me")))
+        sub = cx.neighborhood(a.id, depth=1)
+        assert b.id in sub.nodes
+        paths = cx.find_paths(PathRequest(from_id=a.id, to_id=b.id))
+        assert paths.paths and paths.paths[0].length == 1
+
+    def test_duplicate_edge_raises(self, cx):
+        a, b = Cortex.fact("Fact one here", 0.5), Cortex.fact("Fact two here", 0.5)
+        cx.store(a)
+        cx.store(b)
+        cx.create_edge(Edge.new(a.id, b.id, "related_to", 0.5,
+                                EdgeProvenance.manual("m")))
+        with pytest.raises(DuplicateEdge):
+            cx.create_edge(Edge.new(a.id, b.id, "related_to", 0.5,
+                                    EdgeProvenance.manual("m")))
+
+    def test_delete_removes_from_search(self, cx):
+        n = Cortex.fact("Removable fact about quokkas", 0.5)
+        cx.store(n)
+        assert cx.delete_node(n.id)
+        hits = cx.search("quokkas", limit=5)
+        assert all(h[1].id != n.id for h in hits)
+
+    def test_gate_enforced_when_requested(self, cx):
+        bad = Cortex.fact("short", 0.5)
+        bad.body = "tiny"
+        with pytest.raises(GateRejection):
+            cx.store(bad, gate=True)
+
+    def test_query_dsl(self, cx):
+        cx.store(Cortex.fact("Important fact stored here", 0.9))
+        cx.store(Cortex.event("Minor event stored here", "body text", 0.2))
+        got = cx.query("kind:fact AND importance>0.5")
+        assert len(got) == 1 and got[0].kind == "fact"
+
+    def test_search_records_access(self, cx):
+        n = Cortex.fact("Access counted fact here", 0.5)
+        cx.store(n)
+        cx.search("access counted", limit=1)
+        assert cx.get_node(n.id).access_count == 1
+
+    def test_hybrid_search_via_api(self, cx):
+        anchor = Cortex.fact("Anchor fact about deployments", 0.8)
+        near = Cortex.fact("Deployment details noted down", 0.5)
+        cx.store(anchor)
+        cx.store(near)
+        cx.create_edge(Edge.new(anchor.id, near.id, "related_to", 0.9,
+                                EdgeProvenance.manual("m")))
+        res = cx.search_hybrid("deployment details", anchors=[anchor.id])
+        assert res and res[0].combined_score > 0
+
+    def test_briefing_via_api(self, cx):
+        cx.store(Cortex.agent("Kai the assistant", "An agent node for kai"))
+        cx.store(Cortex.goal("Ship the release", "Finish v2", 0.8))
+        text = cx.briefing("library")
+        assert "Briefing" in text
+
+    def test_linker_cycle_via_api(self, cx):
+        cx.store(Cortex.fact("Kubernetes upgrade procedure notes", 0.6))
+        cx.store(Cortex.fact("Kubernetes upgrade procedure steps", 0.6))
+        m = cx.run_linker_cycle()
+        assert m.cycle_nodes_processed == 2
+
+    def test_stats(self, cx):
+        cx.store(Cortex.fact("A fact for the stats", 0.5))
+        s = cx.stats()
+        assert s.node_count == 1
+
+    def test_reindex(self, cx):
+        cx.store(Cortex.fact("Reindexable fact about llamas", 0.5))
+        count = cx.reindex()
+        assert count == 1
+        hits = cx.search("llamas", limit=1)
+        assert hits
+
+    def test_update_node_reembeds(self, cx):
+        n = Cortex.fact("Original topic about trains", 0.5)
+        cx.store(n)
+        n.title = "Changed topic about boats"
+        n.body = "Now all about boats instead"
+        cx.update_node(n)
+        hits = cx.search("boats", limit=1)
+        assert hits[0][1].id == n.id
+
+    def test_retention_via_api(self, cx):
+        import time
+        from cortex_tpu.policies import KindRetention
+        cx.config.retention.by_kind["observation"] = KindRetention(ttl_days=1)
+        n = Cortex.observation("Old observation gone soon", "body here", 0.1)
+        n.created_at = time.time() - 10 * 86400
+        n.last_accessed_at = time.time() - 40 * 86400
+        cx.store(n)
+        swept, purged = cx.run_retention()
+        assert swept == 1

@@ -1,0 +1,129 @@
+"""Corpus-axis parallelism over a jax.sharding.Mesh.
+
+The ICI/DCN layer of the rebuild (SURVEY §2.4 / §5): the reference is
+single-machine by design, so the capability-equivalent here is sharding
+the [N, d] embedding corpus across chips along the corpus axis:
+
+  - corpus rows + liveness bias: NamedSharding along "shard"
+  - query batch: replicated
+  - per-shard fused cosine + local top-k (MXU matmul per device)
+  - cross-shard merge: all_gather the k local candidates per shard over
+    ICI, then a final top-k over [B, n_dev * k] — the flash-style online
+    merge applied across devices instead of N-blocks
+  - decay sweeps shard the edge arrays the same way (pure elementwise,
+    no collectives needed)
+
+Single-chip is a 1-device mesh — the layer exists even at mesh size 1.
+Multi-host scale-out keeps this exact program: only the Mesh's device
+list changes (DCN between hosts, ICI within).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.similarity import NEG_INF
+
+SHARD_AXIS = "shard"
+
+
+def build_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (SHARD_AXIS,))
+
+
+def _pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0,
+                     value: float = 0.0) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def shard_corpus(mesh: Mesh, corpus: jnp.ndarray,
+                 bias: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lay out corpus rows and their bias across the mesh's shard axis."""
+    n_dev = mesh.devices.size
+    corpus = _pad_to_multiple(corpus, n_dev, axis=0)
+    bias = _pad_to_multiple(bias, n_dev, axis=0, value=NEG_INF)
+    c = jax.device_put(corpus, NamedSharding(mesh, P(SHARD_AXIS, None)))
+    b = jax.device_put(bias, NamedSharding(mesh, P(SHARD_AXIS)))
+    return c, b
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_cosine_topk(mesh: Mesh, corpus: jnp.ndarray, queries: jnp.ndarray,
+                        bias: jnp.ndarray, k: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact global top-k over a corpus sharded along axis 0.
+
+    corpus [N, d] sharded P("shard", None); bias [N] sharded P("shard");
+    queries [B, d] replicated. Returns replicated ([B, k], [B, k]) with
+    global row indices.
+    """
+    n_dev = mesh.devices.size
+    shard_rows = corpus.shape[0] // n_dev
+
+    def local(corpus_blk, bias_blk, q):
+        scores = jnp.dot(q, corpus_blk.T,
+                         preferred_element_type=jnp.float32) + bias_blk[None, :]
+        kk = min(k, shard_rows)
+        v, i = jax.lax.top_k(scores, kk)                       # local rows
+        gi = i + jax.lax.axis_index(SHARD_AXIS) * shard_rows   # global rows
+        # ICI merge: gather each shard's candidates, re-top-k
+        av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
+        ai = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
+        gv, sel = jax.lax.top_k(av, min(k, av.shape[1]))
+        gidx = jnp.take_along_axis(ai, sel, axis=1)
+        return gv, gidx
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(corpus, bias, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "mesh"))
+def sharded_engine_step(mesh: Mesh, corpus: jnp.ndarray, bias: jnp.ndarray,
+                        queries: jnp.ndarray, new_embs: jnp.ndarray,
+                        edge_weights: jnp.ndarray, edge_days: jnp.ndarray,
+                        edge_imp: jnp.ndarray, k: int = 10,
+                        threshold: float = 0.75):
+    """The full multi-chip engine step: batched query search + auto-link
+    candidate scan (new x corpus) + decay sweep, all sharded. This is the
+    jit target dryrun_multichip exercises (the framework's 'training
+    step' equivalent — one cycle of the always-on engine loop).
+    """
+    # 1. query search with cross-shard merge
+    qv, qi = sharded_cosine_topk(mesh, corpus, queries, bias, k)
+
+    # 2. auto-link candidate scan: new nodes vs full corpus, top-k + mask
+    lv, li = sharded_cosine_topk(mesh, corpus, new_embs, bias, k)
+    link_mask = lv >= threshold
+
+    # 3. decay sweep over edges sharded along the edge axis
+    def decay_local(w, days, imp):
+        eff = 0.01 * (1.0 - imp * 0.8)
+        neww = w * jnp.exp(-eff * jnp.maximum(days, 0.0))
+        return neww, neww < 0.05
+
+    dec = jax.shard_map(
+        decay_local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False)
+    new_w, delete_mask = dec(edge_weights, edge_days, edge_imp)
+    return qv, qi, lv, li, link_mask, new_w, delete_mask

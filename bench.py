@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 N, D, B, K = 1_000_000, 768, 64, 10
 BASELINE_QPS = 100.0        # reference CPU claim: <10ms per top-10 query
-ROUNDS = 20
+ROUNDS = 10
 
 
 def main():
@@ -73,7 +73,7 @@ def main():
     sample = np.asarray(jnp.dot(queries[:4], corpus.T,
                                 preferred_element_type=jnp.float32))
     ref_top = np.argsort(-sample, axis=1)[:, :K]
-    got = i[:4]
+    got = np.asarray(i)[:4]
     recall = float(np.mean([len(set(ref_top[r]) & set(got[r])) / K
                             for r in range(4)]))
 

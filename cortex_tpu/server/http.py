@@ -72,6 +72,8 @@ async def error_middleware(request: web.Request, handler):
         return await handler(request)
     except web.HTTPException:
         raise
+    except json.JSONDecodeError as e:
+        return json_err(f"invalid JSON body: {e}", 400)
     except (ValidationError, QueryParseError, InvalidEdge) as e:
         return json_err(str(e), 422)
     except DuplicateEdge as e:

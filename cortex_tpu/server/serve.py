@@ -1,0 +1,184 @@
+"""Serve orchestration — the composition root.
+
+Parity: cortex-server/src/serve.rs:33-459. Boot order: auth validation
+-> optional decrypt-at-rest (EncryptedDbGuard) -> storage + audit ->
+embedder -> device index rebuild from stored embeddings -> graph engine
+-> auto-linker (cursor restore) -> briefing engine + graph version ->
+SSE event bus + hook -> metrics -> background tasks (auto-linker loop
+with retention sweep/purge + metrics mirror, briefing precomputer, file
+ingest) -> gRPC server with bearer interceptor -> HTTP server with
+auth/metrics middleware -> signal-driven shutdown that aborts tasks and
+re-encrypts the DB via the guard (serve.rs:448-458, 21-31).
+
+All background work is asyncio tasks driving the embedded `Cortex`
+(the reference's tokio tasks, SURVEY §2.4 mapping).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import contextlib
+import logging
+import os
+import signal
+from typing import List, Optional
+
+from aiohttp import web
+
+from ..api import Cortex
+from ..briefing.precompute import BriefingPrecomputer, agents_from_env
+from ..config import CortexConfig
+from ..errors import ConfigError
+from ..ingest import FileIngest
+from ..storage.encrypted import EncryptedDbGuard, derive_key
+from .grpc_service import create_grpc_server
+from .http import create_app
+from .state import ServerState
+
+log = logging.getLogger("cortex.serve")
+
+DB_FILENAME = "cortex.db"
+ENC_SUFFIX = ".enc"
+
+
+def open_storage_path(config: CortexConfig) -> str:
+    os.makedirs(config.server.data_dir, exist_ok=True)
+    return os.path.join(config.server.data_dir, DB_FILENAME)
+
+
+class Server:
+    """Composed server. `await Server.start(config)` boots everything;
+    `await .stop()` tears down in reverse order."""
+
+    def __init__(self, config: CortexConfig):
+        self.config = config
+        self.cortex: Optional[Cortex] = None
+        self.state: Optional[ServerState] = None
+        self.guard: Optional[EncryptedDbGuard] = None
+        self.grpc_server = None
+        self.http_runner: Optional[web.AppRunner] = None
+        self.tasks: List[asyncio.Task] = []
+        self.http_port: Optional[int] = None
+        self.grpc_port: Optional[int] = None
+
+    # ----------------------------------------------------------------- boot
+    async def start(self) -> None:
+        config = self.config
+        config.validate()
+
+        db_path = open_storage_path(config)
+        if config.security.encryption_at_rest:
+            key = derive_key()  # raises ConfigError if env key missing
+            self.guard = EncryptedDbGuard(db_path + ENC_SUFFIX, key)
+            db_path = self.guard.plain_path
+
+        self.cortex = Cortex.open(db_path, config)
+        self.state = ServerState(self.cortex)
+        self.state.metrics.mirror_storage(self.cortex.stats())
+
+        # background tasks (serve.rs:176-290)
+        self.tasks.append(asyncio.create_task(
+            self._linker_loop(), name="auto-linker"))
+        precomputer = BriefingPrecomputer(
+            self.cortex.briefing_engine, agents_from_env())
+        if precomputer.agents:
+            self.tasks.append(asyncio.create_task(
+                self._precompute_loop(precomputer), name="briefing-precompute"))
+        if config.ingest.file.enabled:
+            ingest = FileIngest(
+                self.cortex,
+                os.environ.get("CORTEX_INGEST_DIR",
+                               config.ingest.file.watch_dir))
+            self.tasks.append(asyncio.create_task(
+                self._ingest_loop(ingest, config.ingest.file.interval_secs),
+                name="file-ingest"))
+
+        # gRPC (serve.rs:292-339)
+        self.grpc_server = create_grpc_server(
+            self.state, config.server.grpc_addr)
+        self.grpc_server.start()
+        self.grpc_port = int(config.server.grpc_addr.rsplit(":", 1)[1])
+
+        # HTTP (serve.rs:341-400)
+        app = create_app(self.state)
+        self.http_runner = web.AppRunner(app)
+        await self.http_runner.setup()
+        host, port = config.server.http_addr.rsplit(":", 1)
+        site = web.TCPSite(self.http_runner, host, int(port))
+        await site.start()
+        self.http_port = int(port)
+        log.info("cortex serving: grpc=%s http=%s data=%s",
+                 config.server.grpc_addr, config.server.http_addr,
+                 config.server.data_dir)
+
+    # ----------------------------------------------------------- background
+    async def _linker_loop(self) -> None:
+        """Every interval: linker cycle -> metrics mirror -> retention
+        sweep/purge (serve.rs:194-235). Errors log-and-continue."""
+        interval = self.config.auto_linker.interval_secs
+        while True:
+            await asyncio.sleep(interval)
+            try:
+                m = await asyncio.to_thread(self.cortex.run_linker_cycle)
+                self.state.metrics.mirror_linker(m)
+                self.state.metrics.mirror_storage(self.cortex.stats())
+                await asyncio.to_thread(self.cortex.run_retention)
+            except Exception:
+                log.exception("auto-linker cycle failed (continuing)")
+
+    async def _precompute_loop(self, pre: BriefingPrecomputer) -> None:
+        while True:
+            await asyncio.sleep(pre.interval_secs)
+            try:
+                await asyncio.to_thread(pre.run_once)
+            except Exception:
+                log.exception("briefing precompute failed (continuing)")
+
+    async def _ingest_loop(self, ingest: FileIngest,
+                           interval: float) -> None:
+        while True:
+            await asyncio.sleep(interval)
+            try:
+                report = await asyncio.to_thread(ingest.scan_once)
+                if report.files_processed:
+                    log.info("file ingest: %d files -> %d nodes",
+                             report.files_processed, report.nodes_created)
+            except Exception:
+                log.exception("file ingest failed (continuing)")
+
+    # ------------------------------------------------------------- shutdown
+    async def stop(self) -> None:
+        for t in self.tasks:
+            t.cancel()
+        for t in self.tasks:
+            with contextlib.suppress(asyncio.CancelledError):
+                await t
+        self.tasks.clear()
+        if self.grpc_server is not None:
+            self.grpc_server.stop(grace=2.0)
+        if self.http_runner is not None:
+            await self.http_runner.cleanup()
+        if self.cortex is not None:
+            self.cortex.close()
+        if self.guard is not None:
+            self.guard.close()  # re-encrypt at rest (serve.rs:21-31)
+        log.info("cortex stopped")
+
+
+async def run_async(config: CortexConfig) -> None:
+    """Boot, then block until SIGINT/SIGTERM (serve.rs ctrl_c)."""
+    server = Server(config)
+    await server.start()
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        with contextlib.suppress(NotImplementedError):
+            loop.add_signal_handler(sig, stop.set)
+    try:
+        await stop.wait()
+    finally:
+        await server.stop()
+
+
+def run(config: CortexConfig) -> None:
+    asyncio.run(run_async(config))

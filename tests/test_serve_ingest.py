@@ -1,0 +1,216 @@
+"""Serve composition root + ingest subsystem tests.
+
+Parity model: reference serve.rs boot/shutdown behavior, file ingest
+(briefing/ingest.rs), stdin JSONL adapter, warren event conversion.
+"""
+
+import asyncio
+import io
+import json
+import os
+import socket
+
+import pytest
+
+from cortex_tpu.api import Cortex
+from cortex_tpu.briefing.precompute import BriefingPrecomputer, agents_from_env
+from cortex_tpu.config import CortexConfig
+from cortex_tpu.ingest import (FileIngest, IngestEvent, StdinJsonlAdapter,
+                               WarrenEvent, chunk_text, warren_event_to_node)
+from cortex_tpu.server.serve import Server
+from cortex_tpu.types import Node, Source
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class TestChunker:
+    def test_short_text_single_chunk(self):
+        assert chunk_text("hello world") == ["hello world"]
+
+    def test_paragraphs_packed(self):
+        text = "\n\n".join(f"para {i} " + "x" * 300 for i in range(10))
+        chunks = chunk_text(text)
+        assert len(chunks) > 1
+        assert all(len(c) <= 2100 for c in chunks)
+        # no content lost
+        assert sum(c.count("para") for c in chunks) == 10
+
+    def test_giant_paragraph_hard_split(self):
+        chunks = chunk_text("word " * 2000)   # 10k chars, no newlines
+        assert len(chunks) >= 4
+        assert all(len(c) <= 2000 for c in chunks)
+
+    def test_empty(self):
+        assert chunk_text("") == []
+
+
+class TestFileIngest:
+    def test_scan_ingests_and_moves(self, tmp_path):
+        cx = Cortex.in_memory()
+        watch = tmp_path / "ingest"
+        watch.mkdir()
+        (watch / "notes.md").write_text(
+            "# Notes\n\nFirst paragraph of real content here.\n\n"
+            "Second paragraph with more detail about the system.")
+        (watch / "skipped.pdf").write_text("binaryish")
+        ing = FileIngest(cx, str(watch))
+        report = ing.scan_once()
+        assert report.files_processed == 1
+        assert report.nodes_created >= 1
+        assert not (watch / "notes.md").exists()
+        assert (watch / "processed" / "notes.md").exists()
+        assert (watch / "skipped.pdf").exists()
+        nodes = cx.list_nodes()
+        assert any("notes" in n.title for n in nodes)
+        assert all(n.source.agent == "file-ingest" for n in nodes)
+        # chunks are searchable (they were embedded + indexed)
+        hits = cx.search("paragraph detail system", limit=5)
+        assert hits
+
+    def test_missing_dir_is_noop(self, tmp_path):
+        cx = Cortex.in_memory()
+        report = FileIngest(cx, str(tmp_path / "nope")).scan_once()
+        assert report.files_processed == 0
+
+    def test_duplicate_filename_timestamped(self, tmp_path):
+        cx = Cortex.in_memory()
+        watch = tmp_path / "w"
+        watch.mkdir()
+        for _ in range(2):
+            (watch / "a.txt").write_text("some real content " * 5)
+            FileIngest(cx, str(watch)).scan_once()
+        processed = os.listdir(watch / "processed")
+        assert len(processed) == 2
+
+
+class TestAdapters:
+    def test_stdin_jsonl(self):
+        lines = io.StringIO(
+            json.dumps({"kind": "fact", "title": "t1", "body": "b1"}) + "\n"
+            + "not json\n"
+            + json.dumps({"title": "t2", "agent": "a2",
+                          "tags": ["x"]}) + "\n")
+        adapter = StdinJsonlAdapter(lines)
+        events = adapter.poll()
+        assert [e.title for e in events] == ["t1", "t2"]
+        assert events[1].kind == "event"      # default kind
+        assert adapter.errors == 1
+        n = events[0].to_node()
+        assert n.kind == "fact" and n.body == "b1"
+
+    def test_warren_event_mapping(self):
+        ev = WarrenEvent.from_json({
+            "type": "gate.approved", "agent": "reviewer",
+            "title": "Gate passed for item 7",
+            "payload": {"item": 7}})
+        n = warren_event_to_node(ev)
+        assert n.kind == "decision"
+        assert n.source.channel == "warren"
+        assert "warren" in n.tags and "gate-approved" in n.tags
+        assert n.metadata["item"] == 7
+
+    def test_warren_unknown_event_dropped(self):
+        assert warren_event_to_node(WarrenEvent(event_type="nope")) is None
+
+
+class TestPrecomputer:
+    def test_warms_cache(self):
+        cx = Cortex.in_memory()
+        cx.store(Cortex.agent("helper", "An assistant agent profile"))
+        pre = BriefingPrecomputer(cx.briefing_engine, ["helper"],
+                                  interval_secs=0.01)
+        assert pre.run_once() == 1
+        # cached: second generate hits the version-checked cache
+        b1 = cx.briefing_engine.generate("helper")
+        b2 = cx.briefing_engine.generate("helper")
+        assert b1.generated_at == b2.generated_at
+
+    def test_agents_from_env(self):
+        assert agents_from_env({"CORTEX_BRIEFING_AGENTS": "a, b ,"}) == \
+            ["a", "b"]
+        assert agents_from_env({}) == []
+
+
+class TestServerLifecycle:
+    def test_boot_serve_shutdown(self, tmp_path):
+        async def scenario():
+            import aiohttp
+            cfg = CortexConfig()
+            cfg.server.data_dir = str(tmp_path / "data")
+            cfg.server.http_addr = f"127.0.0.1:{free_port()}"
+            cfg.server.grpc_addr = f"127.0.0.1:{free_port()}"
+            cfg.auto_linker.interval_secs = 3600   # don't fire during test
+            srv = Server(cfg)
+            await srv.start()
+            try:
+                base = f"http://{cfg.server.http_addr}"
+                async with aiohttp.ClientSession() as sess:
+                    async with sess.get(f"{base}/health") as r:
+                        assert r.status == 200
+                    async with sess.post(f"{base}/nodes", json={
+                        "kind": "fact",
+                        "title": "Server boots and serves requests",
+                        "body": "End-to-end node write through the "
+                                "composed server works.",
+                    }) as r:
+                        assert r.status in (200, 201)
+                    async with sess.get(f"{base}/stats") as r:
+                        stats = await r.json()
+                        assert stats["data"]["node_count"] == 1
+            finally:
+                await srv.stop()
+            # durable: reopen the db directly and see the node
+            cx = Cortex.open(os.path.join(cfg.server.data_dir, "cortex.db"))
+            assert len(cx.list_nodes()) == 1
+            cx.close()
+        asyncio.run(scenario())
+
+    def test_encrypted_at_rest_roundtrip(self, tmp_path, monkeypatch):
+        from cortex_tpu.storage.encrypted import generate_key
+        monkeypatch.setenv("CORTEX_ENCRYPTION_KEY", generate_key())
+
+        async def boot_store_stop():
+            cfg = CortexConfig()
+            cfg.server.data_dir = str(tmp_path / "enc")
+            cfg.server.http_addr = f"127.0.0.1:{free_port()}"
+            cfg.server.grpc_addr = f"127.0.0.1:{free_port()}"
+            cfg.security.encryption_at_rest = True
+            cfg.auto_linker.interval_secs = 3600
+            srv = Server(cfg)
+            await srv.start()
+            srv.cortex.store(Node.new(
+                "fact", "Encrypted data survives restart",
+                "At-rest encryption round-trips through the guard.",
+                Source(agent="t")))
+            await srv.stop()
+            return cfg
+
+        cfg = asyncio.run(boot_store_stop())
+        enc_path = os.path.join(cfg.server.data_dir, "cortex.db.enc")
+        assert os.path.exists(enc_path)
+        blob = open(enc_path, "rb").read()
+        assert b"Encrypted data survives" not in blob   # actually encrypted
+        # plaintext temp removed
+        assert not os.path.exists(os.path.join(cfg.server.data_dir,
+                                               "cortex.db"))
+
+        async def reopen():
+            cfg2 = CortexConfig()
+            cfg2.server.data_dir = cfg.server.data_dir
+            cfg2.server.http_addr = f"127.0.0.1:{free_port()}"
+            cfg2.server.grpc_addr = f"127.0.0.1:{free_port()}"
+            cfg2.security.encryption_at_rest = True
+            cfg2.auto_linker.interval_secs = 3600
+            srv = Server(cfg2)
+            await srv.start()
+            nodes = srv.cortex.list_nodes()
+            await srv.stop()
+            return nodes
+
+        nodes = asyncio.run(reopen())
+        assert len(nodes) == 1
+        assert nodes[0].title == "Encrypted data survives restart"

@@ -1,0 +1,326 @@
+"""Data lifecycle commands: import / export / backup / restore /
+migrate / doctor.
+
+Parity: cortex-server/src/cli/{import,export,backup,doctor}.rs and
+migration/mod.rs:20-44. Import formats: JSON (list or {nodes,edges}),
+JSONL, CSV, Markdown (one node per file/heading-chunk). Export: JSON
+graph dump. Backup/restore: consistent file snapshots via
+Storage.snapshot. Migrate: schema-version gated with automatic backup.
+Doctor: store health diagnostics (the reference's preflight +
+`cortex doctor`).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import sys
+import time
+from typing import Any, Dict, List
+
+from ..storage.base import SCHEMA_VERSION, NodeFilter
+from ..types import Edge, EdgeProvenance, Node, Source
+
+
+def _emit(args, data, human=None):
+    from .main import emit
+    emit(args, data, human)
+
+
+# ---------------------------------------------------------------- import
+
+
+def _nodes_from_json(payload: Any, agent: str) -> (List[Node], List[Edge]):
+    nodes, edges = [], []
+    if isinstance(payload, dict):
+        node_rows = payload.get("nodes", [])
+        edge_rows = payload.get("edges", [])
+    else:
+        node_rows, edge_rows = payload, []
+    for row in node_rows:
+        if "id" in row and "kind" in row and ("data" in row
+                                              or "title" in row):
+            nodes.append(Node.from_dict(row))
+        else:
+            n = Node.new(row.get("kind", "fact"), row.get("title", ""),
+                         row.get("body", row.get("title", "")),
+                         Source(agent=row.get("agent", agent)),
+                         float(row.get("importance", 0.5)))
+            n.tags = list(row.get("tags", []))
+            n.metadata = dict(row.get("metadata", {}))
+            nodes.append(n)
+    for row in edge_rows:
+        if "id" in row and "provenance" in row:
+            edges.append(Edge.from_dict(row))
+        else:
+            edges.append(Edge.new(
+                row.get("from", row.get("from_id", "")),
+                row.get("to", row.get("to_id", "")),
+                row.get("relation", "related_to"),
+                float(row.get("weight", 0.5)),
+                EdgeProvenance.imported("import")))
+    return nodes, edges
+
+
+def load_import_file(path: str, fmt: str, agent: str):
+    """Parse an import file into (nodes, edges) (cli/import.rs:91-186)."""
+    if fmt == "auto":
+        ext = os.path.splitext(path)[1].lower()
+        fmt = {".json": "json", ".jsonl": "jsonl", ".csv": "csv",
+               ".md": "markdown", ".markdown": "markdown",
+               ".txt": "markdown"}.get(ext)
+        if fmt is None:
+            raise ValueError(f"cannot infer format from {path}")
+    if fmt == "json":
+        with open(path) as f:
+            return _nodes_from_json(json.load(f), agent)
+    if fmt == "jsonl":
+        nodes, edges = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ns, es = _nodes_from_json([json.loads(line)], agent)
+                nodes.extend(ns)
+                edges.extend(es)
+        return nodes, edges
+    if fmt == "csv":
+        nodes = []
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                n = Node.new(row.get("kind", "fact"),
+                             row.get("title", ""),
+                             row.get("body", row.get("title", "")),
+                             Source(agent=row.get("agent", agent)),
+                             float(row.get("importance", 0.5) or 0.5))
+                if row.get("tags"):
+                    n.tags = [t.strip() for t in row["tags"].split(";")
+                              if t.strip()]
+                nodes.append(n)
+        return nodes, []
+    if fmt == "markdown":
+        from ..ingest.file_ingest import chunk_text
+        with open(path, encoding="utf-8", errors="replace") as f:
+            text = f.read()
+        stem = os.path.splitext(os.path.basename(path))[0]
+        chunks = chunk_text(text)
+        nodes = []
+        for i, c in enumerate(chunks):
+            title = f"{stem} ({i+1}/{len(chunks)})" if len(chunks) > 1 \
+                else stem
+            n = Node.new("fact", title[:256], c, Source(agent=agent), 0.4)
+            n.tags = ["imported"]
+            nodes.append(n)
+        return nodes, []
+    raise ValueError(f"unknown format: {fmt}")
+
+
+def cmd_import(ctx, args) -> int:
+    nodes, edges = load_import_file(args.file, args.format, args.agent)
+    cx = ctx.cortex()
+    cx.store_batch(nodes, actor="import")
+    created_edges = 0
+    for e in edges:
+        try:
+            cx.create_edge(e)
+            created_edges += 1
+        except Exception:
+            pass    # tolerate duplicate/invalid imported edges
+    _emit(args, {"nodes": len(nodes), "edges": created_edges},
+          f"imported {len(nodes)} nodes, {created_edges} edges")
+    return 0
+
+
+# ---------------------------------------------------------------- export
+
+
+def cmd_export(ctx, args) -> int:
+    cx = ctx.cortex()
+    nodes = cx.list_nodes(NodeFilter(include_deleted=args.include_deleted))
+    seen, edges = set(), []
+    for n in nodes:
+        for e in cx.storage.edges_from(n.id):
+            if e.id not in seen:
+                seen.add(e.id)
+                edges.append(e)
+    dump = {"schema_version": SCHEMA_VERSION,
+            "exported_at": time.time(),
+            "nodes": [n.to_dict() for n in nodes],
+            "edges": [e.to_dict() for e in edges]}
+    out = args.output or "-"
+    text = json.dumps(dump, indent=None if args.compact else 2, default=str)
+    if out == "-":
+        print(text)
+    else:
+        with open(out, "w") as f:
+            f.write(text)
+        _emit(args, {"nodes": len(nodes), "edges": len(edges),
+                     "file": out},
+              f"exported {len(nodes)} nodes, {len(edges)} edges -> {out}")
+    return 0
+
+
+# ------------------------------------------------------- backup / restore
+
+
+def _db_path(ctx) -> str:
+    from .main import DB_FILENAME
+    return os.path.join(ctx.config.server.data_dir, DB_FILENAME)
+
+
+def cmd_backup(ctx, args) -> int:
+    cx = ctx.cortex()
+    dest = args.output or (
+        _db_path(ctx) + f".backup-{time.strftime('%Y%m%d-%H%M%S')}")
+    cx.storage.snapshot(dest)
+    _emit(args, {"backup": dest}, f"backup written to {dest}")
+    return 0
+
+
+def cmd_restore(ctx, args) -> int:
+    db = _db_path(ctx)
+    if not os.path.exists(args.backup):
+        raise FileNotFoundError(args.backup)
+    if os.path.exists(db) and not args.force:
+        from .main import CliError
+        raise CliError(f"{db} exists; use --force to overwrite")
+    os.makedirs(os.path.dirname(db), exist_ok=True)
+    shutil.copyfile(args.backup, db)
+    for suffix in ("-wal", "-shm"):
+        side = db + suffix
+        if os.path.exists(side):
+            os.unlink(side)
+    _emit(args, {"restored": db}, f"restored {args.backup} -> {db}")
+    return 0
+
+
+# ---------------------------------------------------------------- migrate
+
+
+def cmd_migrate(ctx, args) -> int:
+    """Schema-version gated migration with automatic backup
+    (migration/mod.rs:20-44). Current schema has a single version; a
+    mismatched older store gets a backup then an in-place upgrade."""
+    import sqlite3
+    db = _db_path(ctx)
+    if not os.path.exists(db):
+        from .main import CliError
+        raise CliError(f"no store at {db}")
+    con = sqlite3.connect(db)
+    try:
+        row = con.execute(
+            "SELECT value FROM meta WHERE key='schema_version'").fetchone()
+        current = int(row[0]) if row else 0
+    except sqlite3.OperationalError:
+        current = 0
+    finally:
+        con.close()
+    if current == SCHEMA_VERSION:
+        _emit(args, {"schema_version": current, "migrated": False},
+              f"store already at schema v{current}")
+        return 0
+    backup = db + f".pre-migrate-v{current}"
+    shutil.copyfile(db, backup)
+    # opening the store runs _check_schema_version, which upgrades/creates
+    cx = ctx.cortex()
+    cx.stats()
+    _emit(args, {"from": current, "to": SCHEMA_VERSION, "backup": backup},
+          f"migrated v{current} -> v{SCHEMA_VERSION} (backup: {backup})")
+    return 0
+
+
+# ----------------------------------------------------------------- doctor
+
+
+def cmd_doctor(ctx, args) -> int:
+    """Store health diagnostics (cli/doctor.rs + the open preflight
+    redb_storage.rs:126-158): schema version, deserialization preflight
+    over a sample, dangling-edge scan, index/storage consistency."""
+    checks: List[Dict[str, Any]] = []
+
+    def check(name, ok, detail=""):
+        checks.append({"check": name, "ok": bool(ok), "detail": detail})
+
+    db = _db_path(ctx)
+    check("db_exists", os.path.exists(db), db)
+    if not os.path.exists(db):
+        _emit(args, checks, _render_doctor(checks))
+        return 1
+    cx = ctx.cortex()
+    s = cx.stats()
+    check("schema_version", True, f"v{SCHEMA_VERSION}")
+    check("stats", True,
+          f"{s.node_count} nodes / {s.edge_count} edges / "
+          f"{s.deleted_node_count} deleted")
+
+    # deserialization preflight over up to 10 records (redb :126-158)
+    sample = cx.list_nodes(NodeFilter(limit=10, include_deleted=True))
+    bad = 0
+    for n in sample:
+        try:
+            n.validate()
+        except Exception:
+            bad += 1
+    check("node_preflight", bad == 0,
+          f"{len(sample) - bad}/{len(sample)} sample nodes valid")
+
+    # dangling edges
+    nodes = {n.id for n in cx.list_nodes(NodeFilter(include_deleted=True))}
+    dangling = 0
+    for nid in nodes:
+        for e in cx.storage.edges_from(nid):
+            if e.to_id not in nodes:
+                dangling += 1
+    check("dangling_edges", dangling == 0, f"{dangling} dangling")
+
+    # embedding/index consistency
+    embedded = sum(1 for n in cx.list_nodes(NodeFilter())
+                   if n.embedding is not None)
+    check("index_consistency", len(cx.index) == embedded,
+          f"index={len(cx.index)} embedded={embedded}")
+
+    ok = all(c["ok"] for c in checks)
+    _emit(args, checks, _render_doctor(checks))
+    return 0 if ok else 1
+
+
+def _render_doctor(checks) -> str:
+    return "\n".join(
+        f"[{'ok' if c['ok'] else 'FAIL'}] {c['check']:<20} {c['detail']}"
+        for c in checks)
+
+
+# ------------------------------------------------------------- registration
+
+
+def register_data_commands(sub) -> None:
+    sp = sub.add_parser("import", help="import nodes from a file")
+    sp.add_argument("file")
+    sp.add_argument("--format", default="auto",
+                    choices=["auto", "json", "jsonl", "csv", "markdown"])
+    sp.add_argument("--agent", default="import")
+    sp.set_defaults(fn=cmd_import)
+
+    sp = sub.add_parser("export", help="export the graph as JSON")
+    sp.add_argument("--output", "-o")
+    sp.add_argument("--compact", action="store_true")
+    sp.add_argument("--include-deleted", action="store_true")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("backup", help="snapshot the store")
+    sp.add_argument("--output", "-o")
+    sp.set_defaults(fn=cmd_backup)
+
+    sp = sub.add_parser("restore", help="restore a snapshot")
+    sp.add_argument("backup")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("migrate", help="upgrade store schema")
+    sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("doctor", help="diagnose store health")
+    sp.set_defaults(fn=cmd_doctor)

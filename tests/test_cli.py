@@ -1,0 +1,263 @@
+"""CLI tests — drives cortex_tpu.cli.main in-process.
+
+Parity model: reference cli/mod.rs command surface (21 families).
+"""
+
+import json
+import os
+
+import pytest
+
+from cortex_tpu.cli.main import main
+
+
+def run(capsys, *argv):
+    code = main(list(argv))
+    out = capsys.readouterr()
+    return code, out.out, out.err
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    return str(tmp_path / "data")
+
+
+class TestBasicCommands:
+    def test_init_create_get_list_delete(self, capsys, data_dir):
+        code, out, _ = run(capsys, "--data-dir", data_dir, "init")
+        assert code == 0 and "initialized" in out
+        code, out, _ = run(capsys, "--data-dir", data_dir, "node", "create",
+                           "fact", "CLI test fact title here",
+                           "A body with enough substance for the gate.",
+                           "--tag", "cli")
+        assert code == 0
+        nid = out.strip().split()[-1]
+        code, out, _ = run(capsys, "--data-dir", data_dir, "node", "get", nid)
+        assert code == 0 and "CLI test fact" in out
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "node", "list", "--kind", "fact")
+        assert code == 0
+        assert len(json.loads(out)) == 1
+        code, out, _ = run(capsys, "--data-dir", data_dir, "node", "delete",
+                           nid)
+        assert code == 0
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "node", "list")
+        assert json.loads(out) == []
+
+    def test_gate_rejects_thin_node(self, capsys, data_dir):
+        code, _, err = run(capsys, "--data-dir", data_dir, "node", "create",
+                           "fact", "tiny", "x")
+        assert code == 1 and "error" in err
+        # --no-gate bypasses
+        code, _, _ = run(capsys, "--data-dir", data_dir, "node", "create",
+                         "fact", "tiny", "x", "--no-gate")
+        assert code == 0
+
+    def test_search_and_stats(self, capsys, data_dir):
+        run(capsys, "--data-dir", data_dir, "node", "create", "fact",
+            "Kubernetes cluster autoscaling configuration",
+            "The cluster autoscaler scales node pools based on pending pods.")
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "search", "cluster autoscaling", "--limit", "3")
+        assert code == 0
+        rows = json.loads(out)
+        assert rows and "autoscaling" in rows[0]["node"]["data"]["title"]
+        code, out, _ = run(capsys, "--data-dir", data_dir, "stats")
+        assert code == 0 and "nodes: 1" in out
+
+    def test_edge_and_traverse_and_path(self, capsys, data_dir):
+        _, o1, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
+                       "create", "decision", "Use blue-green deployments",
+                       "We decided to use blue-green deploys for safety.")
+        _, o2, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
+                       "create", "event", "Deployed v2 with blue-green",
+                       "The v2 release used the blue-green deploy path.")
+        id1, id2 = json.loads(o1)["id"], json.loads(o2)["id"]
+        code, out, _ = run(capsys, "--data-dir", data_dir, "edge", "create",
+                           id1, id2, "led_to", "--weight", "0.8")
+        assert code == 0
+        code, out, _ = run(capsys, "--data-dir", data_dir, "edge", "list",
+                           id1)
+        assert "led_to" in out
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "traverse", id1, "--depth", "2")
+        d = json.loads(out)
+        assert len(d["nodes"]) == 2
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir, "path",
+                           id1, id2)
+        paths = json.loads(out)
+        assert paths and paths[0]["nodes"] == [id1, id2]
+
+    def test_query_dsl(self, capsys, data_dir):
+        run(capsys, "--data-dir", data_dir, "node", "create", "fact",
+            "Important fact about the system",
+            "This fact has high importance for later filtering.",
+            "--importance", "0.9", "--no-gate")
+        run(capsys, "--data-dir", data_dir, "node", "create", "fact",
+            "Minor fact about the system",
+            "This fact has low importance for later filtering.",
+            "--importance", "0.1")
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "query", "kind:fact AND importance>0.5")
+        rows = json.loads(out)
+        assert len(rows) == 1 and "Important" in rows[0]["data"]["title"]
+
+    def test_audit(self, capsys, data_dir):
+        run(capsys, "--data-dir", data_dir, "node", "create", "fact",
+            "Audited node creation event",
+            "Creating this node must appear in the audit trail.")
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir, "audit")
+        rows = json.loads(out)
+        assert any(r["action"] == "node_created" for r in rows)
+
+    def test_config_and_security(self, capsys, data_dir):
+        code, out, _ = run(capsys, "--data-dir", data_dir, "config",
+                           "validate")
+        assert code == 0 and "OK" in out
+        code, out, _ = run(capsys, "--data-dir", data_dir, "config", "show")
+        assert json.loads(out)["server"]["data_dir"] == data_dir
+        code, out, _ = run(capsys, "security", "generate-key")
+        assert code == 0
+        import base64
+        assert len(base64.b64decode(out.strip())) == 32
+
+
+class TestDataLifecycle:
+    def test_import_jsonl_csv_markdown(self, capsys, data_dir, tmp_path):
+        jl = tmp_path / "in.jsonl"
+        jl.write_text(json.dumps({"kind": "fact", "title": "jsonl row one",
+                                  "body": "body of the first row"}) + "\n")
+        code, out, _ = run(capsys, "--data-dir", data_dir, "import", str(jl))
+        assert code == 0 and "1 nodes" in out
+        cv = tmp_path / "in.csv"
+        cv.write_text("kind,title,body,tags\n"
+                      "decision,csv decision row,detailed body,a;b\n")
+        code, out, _ = run(capsys, "--data-dir", data_dir, "import", str(cv))
+        assert code == 0 and "1 nodes" in out
+        md = tmp_path / "doc.md"
+        md.write_text("# Doc\n\nSome markdown content to import as a node.")
+        code, out, _ = run(capsys, "--data-dir", data_dir, "import", str(md))
+        assert code == 0
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "node", "list")
+        assert len(json.loads(out)) == 3
+
+    def test_export_backup_restore_roundtrip(self, capsys, data_dir,
+                                             tmp_path):
+        run(capsys, "--data-dir", data_dir, "node", "create", "fact",
+            "Durable node for roundtrip",
+            "This node must survive export, backup and restore.")
+        exp = tmp_path / "graph.json"
+        code, _, _ = run(capsys, "--data-dir", data_dir, "export", "-o",
+                         str(exp))
+        assert code == 0
+        dump = json.loads(exp.read_text())
+        assert len(dump["nodes"]) == 1 and dump["schema_version"] == 2
+        snap = tmp_path / "snap.db"
+        code, _, _ = run(capsys, "--data-dir", data_dir, "backup", "-o",
+                         str(snap))
+        assert code == 0 and snap.exists()
+        dd2 = str(tmp_path / "data2")
+        code, _, _ = run(capsys, "--data-dir", dd2, "restore", str(snap))
+        assert code == 0
+        code, out, _ = run(capsys, "--data-dir", dd2, "stats")
+        assert "nodes: 1" in out
+        # import the export into a third store (re-import path)
+        dd3 = str(tmp_path / "data3")
+        code, out, _ = run(capsys, "--data-dir", dd3, "import", str(exp))
+        assert code == 0 and "1 nodes" in out
+
+    def test_restore_refuses_overwrite(self, capsys, data_dir, tmp_path):
+        run(capsys, "--data-dir", data_dir, "init")
+        snap = tmp_path / "s.db"
+        run(capsys, "--data-dir", data_dir, "backup", "-o", str(snap))
+        code, _, err = run(capsys, "--data-dir", data_dir, "restore",
+                           str(snap))
+        assert code == 1 and "--force" in err
+        code, _, _ = run(capsys, "--data-dir", data_dir, "restore",
+                         str(snap), "--force")
+        assert code == 0
+
+    def test_doctor_and_migrate(self, capsys, data_dir):
+        run(capsys, "--data-dir", data_dir, "init")
+        code, out, _ = run(capsys, "--data-dir", data_dir, "doctor")
+        assert code == 0 and "[ok]" in out and "FAIL" not in out
+        code, out, _ = run(capsys, "--data-dir", data_dir, "migrate")
+        assert code == 0 and "already at schema v2" in out
+
+
+class TestAgentPrompt:
+    def seed(self, capsys, data_dir):
+        run(capsys, "--data-dir", data_dir, "prompt", "create",
+            "helper-persona", "--sections", '{"intro": "be helpful"}')
+        run(capsys, "--data-dir", data_dir, "agent", "bind", "helper",
+            "helper-persona")
+
+    def test_bind_resolve_select(self, capsys, data_dir):
+        self.seed(capsys, data_dir)
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "agent", "resolve", "helper")
+        d = json.loads(out)
+        assert d["slug"] == "helper-persona"
+        assert d["content"]["intro"] == "be helpful"
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "agent", "select", "helper")
+        scores = json.loads(out)
+        assert scores and scores[0]["edge_weight"] == 0.5
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "agent", "list")
+        assert json.loads(out)[0]["bound_prompts"] == 1
+        code, out, _ = run(capsys, "--data-dir", data_dir, "agent",
+                           "unbind", "helper", "helper-persona")
+        assert "1 binding" in out
+
+    def test_deploy_observe_history_status(self, capsys, data_dir):
+        self.seed(capsys, data_dir)
+        code, out, _ = run(capsys, "--data-dir", data_dir, "prompt",
+                           "deploy", "helper-persona")
+        assert code == 0 and "deployed" in out
+        _, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                        "prompt", "list")
+        variant_id = json.loads(out)[0]["node_id"]
+        code, out, _ = run(capsys, "--data-dir", data_dir, "agent",
+                           "observe", "helper", variant_id,
+                           "--sentiment", "0.9", "--outcome", "success")
+        assert code == 0 and "recorded observation" in out
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "agent", "history", "helper")
+        assert len(json.loads(out)) == 1
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "prompt", "rollback-status", "helper-persona")
+        d = json.loads(out)
+        assert d["slug"] == "helper-persona"
+        assert d["active_deployment"] is not None
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "prompt", "performance", "helper-persona")
+        perf = json.loads(out)
+        assert perf[0]["observations"] == 1
+
+    def test_prompt_get_missing(self, capsys, data_dir):
+        code, _, err = run(capsys, "--data-dir", data_dir, "prompt", "get",
+                           "nope")
+        assert code == 1 and "not found" in err
+
+
+class TestShellParsing:
+    def test_shell_dispatch(self, data_dir, monkeypatch, capsys):
+        import io
+        import sys
+        from cortex_tpu.cli.main import build_parser
+        from cortex_tpu.cli.shell import run_shell
+        args = build_parser().parse_args(["--data-dir", data_dir, "shell"])
+        monkeypatch.setattr(sys, "stdin", io.StringIO(
+            'node create fact "Shell created node title" '
+            '"A body long enough to pass the gate checks."\n'
+            "stats\nexit\n"))
+        monkeypatch.setattr("builtins.input",
+                            lambda prompt="": sys.stdin.readline().rstrip(
+                                "\n") or (_ for _ in ()).throw(EOFError))
+        code = run_shell(args)
+        out = capsys.readouterr().out
+        assert code == 0
+        assert "created" in out and "nodes: 1" in out

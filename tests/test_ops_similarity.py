@@ -82,11 +82,53 @@ class TestPallasTopK:
         rng = np.random.default_rng(7)
         corpus = _norm(rng.normal(size=(256, 32)).astype(np.float32))
         queries = _norm(rng.normal(size=(2, 32)).astype(np.float32))
-        bias = np.zeros((2, 256), np.float32)
+        bias = np.zeros((1, 256), np.float32)   # per-corpus-row mask
         bias[:, ::2] = -1e30        # mask even rows
         pv, pi = cosine_topk_pallas(corpus, queries, 8, jnp.asarray(bias),
                                     block_n=128, interpret=True)
         assert np.all(np.asarray(pi) % 2 == 1)
+
+    def test_approx_topk_matches_exact(self):
+        from cortex_tpu.ops.similarity import cosine_topk_approx
+        rng = np.random.default_rng(11)
+        corpus = _norm(rng.normal(size=(2048, 64)).astype(np.float32))
+        queries = _norm(rng.normal(size=(8, 64)).astype(np.float32))
+        xv, xi = cosine_topk_xla(corpus, queries, 10)
+        av, ai = cosine_topk_approx(corpus, queries, 10, over=256)
+        # with over >> k the candidate set contains the exact top-10
+        recall = np.mean([
+            len(set(np.asarray(xi)[r]) & set(np.asarray(ai)[r])) / 10
+            for r in range(8)])
+        assert recall >= 0.99
+        np.testing.assert_allclose(np.asarray(av), np.asarray(xv),
+                                   atol=1e-5)
+
+    def test_approx_topk_respects_bias(self):
+        from cortex_tpu.ops.similarity import cosine_topk_approx
+        rng = np.random.default_rng(12)
+        corpus = _norm(rng.normal(size=(1024, 32)).astype(np.float32))
+        queries = _norm(rng.normal(size=(2, 32)).astype(np.float32))
+        bias = np.zeros((1, 1024), np.float32)
+        bias[:, ::2] = -1e30
+        av, ai = cosine_topk_approx(corpus, queries, 8,
+                                    jnp.asarray(bias), over=128)
+        assert np.all(np.asarray(ai) % 2 == 1)
+
+    def test_bf16_corpus(self):
+        rng = np.random.default_rng(9)
+        corpus = _norm(rng.normal(size=(512, 64)).astype(np.float32))
+        queries = _norm(rng.normal(size=(4, 64)).astype(np.float32))
+        xv, xi = cosine_topk_xla(corpus, queries, 5)
+        pv, pi = cosine_topk_pallas(
+            jnp.asarray(corpus, jnp.bfloat16), queries, 5,
+            block_n=128, interpret=True)
+        # bf16 rounding can permute near-ties; require >=4/5 overlap
+        overlap = np.mean([
+            len(set(np.asarray(xi)[r]) & set(np.asarray(pi)[r])) / 5
+            for r in range(4)])
+        assert overlap >= 0.8
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(xv),
+                                   atol=0.01)
 
 
 class TestDispatcher:

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import IndexError_
-from ..ops.similarity import NEG_INF, cosine_topk_pallas, cosine_topk_xla
+from ..ops.similarity import (NEG_INF, cosine_topk_approx,
+                              cosine_topk_pallas, cosine_topk_xla)
 
 MIN_CAP = 1024
 MAX_FILTER_KINDS = 16
@@ -301,7 +302,15 @@ class DeviceCorpus:
             while k_bucket < kk:
                 k_bucket *= 2
             k_bucket = min(k_bucket, self._cap)
-            if self._use_pallas and self._cap >= 4096:
+            if self._use_pallas and self._cap >= 4096 and k_bucket <= 64:
+                # serving fast path: hardware PartialReduce top-k with
+                # 256-candidate over-fetch (>= 4x k) + exact merge —
+                # measured recall@10 = 1.0 at 1Mx768 (bench.py); masked
+                # rows carry -1e30 bias so they never enter the
+                # candidate set while admissible rows remain
+                v, i = cosine_topk_approx(self._dev[0], q, k_bucket,
+                                          bias[None, :], over=256)
+            elif self._use_pallas and self._cap >= 4096:
                 v, i = cosine_topk_pallas(self._dev[0], q, k_bucket,
                                           bias[None, :])
             else:

@@ -13,9 +13,13 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set, Tuple
 
+import numpy as np
+
 from ..storage.base import NodeFilter, Storage
+from .. import native
 from .cache import AdjacencyCache
-from .paths import find_paths as _find_paths
+from .host_csr import HostCSR
+from .paths import Path, find_paths as _find_paths
 from .subgraph import Subgraph
 from .traversal import traverse as _traverse
 from .types import (BOTH, INCOMING, OUTGOING, NeighborhoodNode, PathRequest,
@@ -28,6 +32,7 @@ class GraphEngine:
         self.storage = storage
         self.cache = AdjacencyCache(storage)
         self.budget = budget or TraversalBudget()
+        self._csr = HostCSR(self.cache)
 
     # -- write-path hook ---------------------------------------------------
     def invalidate(self) -> None:
@@ -38,7 +43,55 @@ class GraphEngine:
         return _traverse(self.storage, self.cache, req, self.budget)
 
     def find_paths(self, req: PathRequest) -> PathResult:
+        native_result = self._find_paths_native(req)
+        if native_result is not None:
+            return native_result
         return _find_paths(self.storage, self.cache, req)
+
+    def _find_paths_native(self, req: PathRequest) -> Optional[PathResult]:
+        """C++ fast path for the unfiltered single-path queries (the
+        common case); filtered / k-shortest queries take the Python
+        implementation with its per-edge predicates."""
+        if (req.max_paths != 1 or req.relation_filter is not None
+                or not native.available()):
+            return None
+        for nid in (req.from_id, req.to_id):
+            n = self.storage.get_node(nid)
+            if n is None or n.deleted:
+                return PathResult()
+        if req.from_id == req.to_id:
+            return PathResult(paths=[Path([req.from_id], [], 1.0)])
+        csr = self._csr.ensure()
+        src = csr.row_of.get(req.from_id)
+        dst = csr.row_of.get(req.to_id)
+        if src is None or dst is None:
+            return PathResult()
+        if req.min_weight is not None:
+            # max-product Dijkstra; min_weight prunes edges below the
+            # floor, which the CSR doesn't encode — python path handles it
+            return None
+        out = native.bfs_depths(csr.indptr, csr.indices,
+                                np.array([src], np.int32),
+                                max_depth=(req.max_length or -1),
+                                want_parents=True)
+        if out is None:
+            return None
+        depths, _, parents = out
+        if depths[dst] < 0:
+            return PathResult()
+        rows = [dst]
+        while rows[-1] != src:
+            rows.append(int(parents[rows[-1]]))
+        rows.reverse()
+        edges, weight = [], 1.0
+        for u, v in zip(rows, rows[1:]):
+            e = csr.edge_between(u, v)
+            if e is None:
+                return None     # cache changed underfoot; python path
+            edges.append(e[0])
+            weight *= e[1]
+        return PathResult(paths=[Path([csr.ids[r] for r in rows], edges,
+                                      weight)])
 
     def neighbors(self, node_id: str, direction: str = BOTH) -> List[str]:
         out: Set[str] = set()
@@ -118,7 +171,23 @@ class GraphEngine:
         return cycles
 
     def components(self) -> List[List[str]]:
-        """Weakly-connected components via BFS (engine.rs:404-436)."""
+        """Weakly-connected components (engine.rs:404-436). Native C++
+        labeling over the undirected CSR when available; isolated
+        nodes become singleton components either way."""
+        if native.available():
+            csr = self._csr.ensure()
+            labels = native.components_native(csr.u_indptr, csr.u_indices)
+            if labels is not None:
+                groups: Dict[int, List[str]] = {}
+                for r, lbl in enumerate(labels):
+                    groups.setdefault(int(lbl), []).append(csr.ids[r])
+                comps = [sorted(g) for g in groups.values()]
+                in_edge = set(csr.row_of)
+                comps.extend([n.id] for n in
+                             self.storage.list_nodes(NodeFilter())
+                             if n.id not in in_edge)
+                comps.sort(key=len, reverse=True)
+                return comps
         seen: Set[str] = set()
         comps: List[List[str]] = []
         for n in self.storage.list_nodes(NodeFilter()):

@@ -91,6 +91,13 @@ class HybridSearch:
                 if d <= query.max_anchor_depth:
                     gscore = 1.0 / (1.0 + d)
                     nearest = (anchors[j], d)
+            if nid in query.anchors and gscore < 1.0:
+                # an anchor is depth 0 from itself even when it has no
+                # edges (reference BFS visits the start node;
+                # hybrid.rs:189-225) — edge-less anchors are absent from
+                # the device mirror, so handle them here
+                gscore = 1.0
+                nearest = (nid, 0)
             results.append(HybridResult(
                 node=node, vector_score=vscore, graph_score=gscore,
                 combined_score=w * vscore + (1.0 - w) * gscore,

@@ -474,6 +474,19 @@ class TestAutoLinkerCycle:
 
 
 class TestHybridSearch:
+    def test_edgeless_anchor_scores_depth_zero(self):
+        """An anchor with no edges is depth 0 from itself
+        (hybrid.rs BFS visits the start node)."""
+        from cortex_tpu.api import Cortex
+        cx = Cortex.in_memory()
+        anchor = cx.store(Cortex.fact(
+            "Isolated anchor note about databases"))
+        cx.store(Cortex.fact("Unrelated note about databases too"))
+        results = cx.search_hybrid("databases", anchors=[anchor], limit=5)
+        by_id = {r.node.id: r for r in results}
+        assert by_id[anchor].graph_score == 1.0
+        assert by_id[anchor].nearest_anchor == (anchor, 0)
+
     def test_vector_plus_proximity(self):
         from cortex_tpu.graph import AdjacencyCache, DeviceGraphMirror
         from cortex_tpu.vector.hybrid import HybridQuery, HybridSearch

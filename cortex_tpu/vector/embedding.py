@@ -157,10 +157,92 @@ class STEmbedder(EmbeddingService):
         return out.astype(np.float32)
 
 
+class JaxEncoderEmbedder(EmbeddingService):
+    """Device-side BERT-class encoder (cortex_tpu.models.encoder): the
+    whole embed step runs batched on the MXU under one jit — the TPU
+    answer to the reference's ~30ms/text CPU ONNX bottleneck
+    (ARCHITECTURE.md:78).
+
+    `weights_npz` is a converted checkpoint (models.encoder.save_npz);
+    `tokenizer` is a HF tokenizer path/name (loaded offline-only) or a
+    callable texts -> (input_ids, attention_mask). Sequence lengths are
+    bucketed to powers of two so jit caches stay warm.
+    """
+
+    BUCKETS = (32, 64, 128, 256, 512)
+
+    def __init__(self, weights_npz: str, tokenizer=None):
+        from ..models.encoder import load_npz
+        self._params, self._cfg = load_npz(weights_npz)
+        self._name = f"flax:{weights_npz}"
+        if callable(tokenizer):
+            self._tok = tokenizer
+        elif tokenizer is not None:
+            try:
+                from transformers import AutoTokenizer
+                hf = AutoTokenizer.from_pretrained(tokenizer,
+                                                   local_files_only=True)
+            except Exception as e:  # noqa: BLE001
+                raise EmbeddingError(
+                    f"cannot load tokenizer {tokenizer}: {e}") from e
+
+            def _hf_tok(texts):
+                enc = hf(list(texts), padding=True, truncation=True,
+                         max_length=self._cfg.max_position,
+                         return_tensors="np")
+                return enc["input_ids"], enc["attention_mask"]
+            self._tok = _hf_tok
+        else:
+            raise EmbeddingError("JaxEncoderEmbedder needs a tokenizer")
+
+    @property
+    def dimension(self) -> int:
+        return self._cfg.hidden
+
+    @property
+    def model_name(self) -> str:
+        return self._name
+
+    def _bucket(self, s: int) -> int:
+        for b in self.BUCKETS:
+            if s <= b:
+                return b
+        return self.BUCKETS[-1]
+
+    def embed(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        from ..models.encoder import bert_encode
+        if not texts:
+            return np.zeros((0, self.dimension), dtype=np.float32)
+        ids, mask = self._tok(texts)
+        ids = np.asarray(ids)[:, :self._cfg.max_position]
+        mask = np.asarray(mask)[:, :self._cfg.max_position]
+        b = self._bucket(ids.shape[1])
+        if ids.shape[1] < b:
+            pad = b - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        return bert_encode(self._params, self._cfg, ids, mask)
+
+
 def default_embedder(model: str = "", dim: int = 384) -> EmbeddingService:
     """Build the configured embedder; fall back to hashing when model
-    weights are unavailable (offline envs)."""
-    if model and not model.startswith("hash"):
+    weights are unavailable (offline envs).
+
+    Model schemes: "hash"/"hash-<dim>" (deterministic),
+    "flax:<weights.npz>[::<tokenizer>]" (device encoder), anything else
+    tries sentence-transformers then falls back to hashing.
+    """
+    if model.startswith("flax:"):
+        spec = model[len("flax:"):]
+        weights, _, tok = spec.partition("::")
+        try:
+            return JaxEncoderEmbedder(weights, tokenizer=tok or None)
+        except EmbeddingError:
+            pass
+    elif model and not model.startswith("hash"):
         try:
             return STEmbedder(model)
         except EmbeddingError:

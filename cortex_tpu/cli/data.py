@@ -293,6 +293,65 @@ def _render_doctor(checks) -> str:
         for c in checks)
 
 
+# ----------------------------------------------------------------- repair
+
+
+def cmd_repair(ctx, args) -> int:
+    """Repair the store (reference bins fix_nodes + repair_db): back up,
+    re-serialize every node through current validation (clamping what
+    can be clamped), drop edges with missing endpoints, rebuild the
+    vector index from stored embeddings."""
+    db = _db_path(ctx)
+    if not os.path.exists(db):
+        from .main import CliError
+        raise CliError(f"no store at {db}")
+    backup = db + f".pre-repair-{time.strftime('%Y%m%d-%H%M%S')}"
+    shutil.copyfile(db, backup)
+    cx = ctx.cortex()
+
+    fixed_nodes = 0
+    nodes = cx.list_nodes(NodeFilter(include_deleted=True))
+    live_ids = {n.id for n in nodes}
+    for n in nodes:
+        dirty = False
+        if not (0.0 <= n.importance <= 1.0):
+            n.importance = min(1.0, max(0.0, n.importance))
+            dirty = True
+        if len(n.title) > 256:
+            n.title = n.title[:256]
+            dirty = True
+        if len(n.tags) > 32:
+            n.tags = n.tags[:32]
+            dirty = True
+        try:
+            n.validate()
+        except Exception:
+            # unfixable rule violations: tombstone rather than lose data
+            if not n.deleted:
+                n.deleted = True
+                dirty = True
+        if dirty:
+            cx.storage.put_node(n, actor="repair")
+            fixed_nodes += 1
+
+    dropped_edges = 0
+    for nid in list(live_ids):
+        for e in cx.storage.edges_from(nid):
+            if e.to_id not in live_ids or e.from_id not in live_ids:
+                cx.storage.delete_edge(e.id, actor="repair")
+                dropped_edges += 1
+
+    reindexed = cx.reindex() if args.reindex else 0
+    _emit(args, {"fixed_nodes": fixed_nodes,
+                 "dropped_edges": dropped_edges,
+                 "reindexed": reindexed, "backup": backup},
+          f"repair: fixed {fixed_nodes} nodes, dropped {dropped_edges} "
+          f"dangling edges"
+          + (f", re-embedded {reindexed} nodes" if args.reindex else "")
+          + f" (backup: {backup})")
+    return 0
+
+
 # ------------------------------------------------------------- registration
 
 
@@ -324,3 +383,8 @@ def register_data_commands(sub) -> None:
 
     sp = sub.add_parser("doctor", help="diagnose store health")
     sp.set_defaults(fn=cmd_doctor)
+
+    sp = sub.add_parser("repair", help="repair the store (auto-backup)")
+    sp.add_argument("--reindex", action="store_true",
+                    help="also re-embed all nodes")
+    sp.set_defaults(fn=cmd_repair)

@@ -56,6 +56,7 @@ class Server:
         self.state: Optional[ServerState] = None
         self.guard: Optional[EncryptedDbGuard] = None
         self.grpc_server = None
+        self.webhooks = None
         self.http_runner: Optional[web.AppRunner] = None
         self.tasks: List[asyncio.Task] = []
         self.http_port: Optional[int] = None
@@ -75,6 +76,11 @@ class Server:
         self.cortex = Cortex.open(db_path, config)
         self.state = ServerState(self.cortex)
         self.state.metrics.mirror_storage(self.cortex.stats())
+
+        from .webhooks import from_config as webhooks_from_config
+        self.webhooks = webhooks_from_config(config.webhooks)
+        if self.webhooks is not None:
+            self.cortex.add_hook(self.webhooks)
 
         # background tasks (serve.rs:176-290)
         self.tasks.append(asyncio.create_task(
@@ -158,6 +164,8 @@ class Server:
             self.grpc_server.stop(grace=2.0)
         if self.http_runner is not None:
             await self.http_runner.cleanup()
+        if getattr(self, "webhooks", None) is not None:
+            self.webhooks.close()
         if self.cortex is not None:
             self.cortex.close()
         if self.guard is not None:

@@ -38,8 +38,8 @@ from .config import AutoLinkerConfig
 from .decay import DecayEngine
 from .dedup import DedupScanner
 from .metrics import LinkerMetrics
-from .rules import (ContradictionDetector, ProposedEdge, StructuralRules,
-                    similarity_rule)
+from .rules import (ContradictionDetector, FeatureCache, ProposedEdge,
+                    StructuralRules, similarity_rule)
 
 log = logging.getLogger(__name__)
 
@@ -127,17 +127,19 @@ class AutoLinker:
                 agents=[n.source.agent for n in to_index])
 
     # ---------------------------------------------------------------- rules
-    def _apply_link_rules(self, node: Node, neighbor: Node,
-                          score: float) -> List[ProposedEdge]:
+    def _apply_link_rules(self, node: Node, neighbor: Node, score: float,
+                          cache: Optional[FeatureCache] = None
+                          ) -> List[ProposedEdge]:
         out: List[ProposedEdge] = []
         e = similarity_rule(node, neighbor, score, self.config.similarity)
         if e is not None:
             out.append(e)
         if self.config.use_legacy_rules():
-            out.extend(self.structural.evaluate_all(node, neighbor, score))
+            out.extend(self.structural.evaluate_all(node, neighbor, score,
+                                                    cache))
         for rule in self.config.rules:
             out.extend(rule.evaluate(node, neighbor, score))
-        c = self.contradictions.check(node, neighbor, score)
+        c = self.contradictions.check(node, neighbor, score, cache)
         if c is not None:
             out.append(self.contradictions.to_edge(c))
         return out
@@ -179,6 +181,7 @@ class AutoLinker:
                         node_cache[nid] = n
                 return n
 
+            feat_cache = FeatureCache()   # per-node text features, cycle-scoped
             for j, node in enumerate(batch):
                 existing: Set[Tuple[str, str]] = {
                     (e.to_id, e.relation)
@@ -190,7 +193,8 @@ class AutoLinker:
                     neighbor = fetch(nid)
                     if neighbor is None or neighbor.deleted:
                         continue
-                    for e in self._apply_link_rules(node, neighbor, score):
+                    for e in self._apply_link_rules(node, neighbor, score,
+                                                    feat_cache):
                         if e.relation == "contradicts":
                             self.metrics.add_contradictions_found(1)
                         key = (e.to_id, e.relation)

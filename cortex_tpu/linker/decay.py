@@ -16,7 +16,8 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.decay import decay_sweep
+from ..ops.decay import (DEVICE_SWEEP_MIN_EDGES, decay_sweep,
+                         decay_sweep_host)
 from ..storage.base import Storage
 from ..types import EdgeProvenance
 from .config import DecayConfig
@@ -56,16 +57,25 @@ class DecayEngine:
             max_imp[i] = max(importance(e.from_id), importance(e.to_id))
             exempt[i] = self.config.exempt_manual and e.provenance.is_manual
 
-        new_w, delete, prune, changed = decay_sweep(
-            jnp.asarray(weights), jnp.asarray(days), jnp.asarray(max_imp),
-            jnp.asarray(exempt), jnp.float32(self.config.daily_decay_rate),
-            jnp.float32(self.config.importance_shield),
-            jnp.float32(self.config.delete_threshold),
-            jnp.float32(self.config.prune_threshold))
-        new_w = np.asarray(new_w)
-        delete = np.asarray(delete)
-        prune = np.asarray(prune)
-        changed = np.asarray(changed)
+        if e_count >= DEVICE_SWEEP_MIN_EDGES:
+            new_w, delete, prune, changed = decay_sweep(
+                jnp.asarray(weights), jnp.asarray(days),
+                jnp.asarray(max_imp), jnp.asarray(exempt),
+                jnp.float32(self.config.daily_decay_rate),
+                jnp.float32(self.config.importance_shield),
+                jnp.float32(self.config.delete_threshold),
+                jnp.float32(self.config.prune_threshold))
+            new_w = np.asarray(new_w)
+            delete = np.asarray(delete)
+            prune = np.asarray(prune)
+            changed = np.asarray(changed)
+        else:
+            new_w, delete, prune, changed = decay_sweep_host(
+                weights, days, max_imp, exempt,
+                self.config.daily_decay_rate,
+                self.config.importance_shield,
+                self.config.delete_threshold,
+                self.config.prune_threshold)
 
         deleted_count = 0
         pruned_count = 0

@@ -39,11 +39,50 @@ def jaccard_similarity(a: str, b: str) -> float:
     """Word-level Jaccard (rules.rs:271-289)."""
     wa = set(a.lower().split())
     wb = set(b.lower().split())
+    return _jaccard_sets(wa, wb)
+
+
+def _jaccard_sets(wa: set, wb: set) -> float:
     if not wa and not wb:
         return 1.0
     if not wa or not wb:
         return 0.0
     return len(wa & wb) / len(wa | wb)
+
+
+class FeatureCache:
+    """Per-cycle cache of per-node derived features. Rule evaluation
+    runs per candidate PAIR (batch x k of them per cycle); tag sets,
+    title word sets and negation scans are per-NODE, so caching them
+    turns O(pairs) text processing into O(nodes)."""
+
+    def __init__(self):
+        self._tags: dict = {}
+        self._words: dict = {}
+        self._neg: dict = {}
+
+    def tags(self, n: Node) -> set:
+        v = self._tags.get(n.id)
+        if v is None:
+            v = set(n.tags)
+            self._tags[n.id] = v
+        return v
+
+    def title_words(self, n: Node) -> set:
+        v = self._words.get(n.id)
+        if v is None:
+            v = set(n.title.lower().split())
+            self._words[n.id] = v
+        return v
+
+    def negation(self, n: Node) -> bool:
+        v = self._neg.get(n.id)
+        if v is None:
+            from .config import NEGATION_WORDS
+            text = f"{n.title} {n.body}".lower()
+            v = any(w in text for w in NEGATION_WORDS)
+            self._neg[n.id] = v
+        return v
 
 
 def similarity_rule(node: Node, neighbor: Node, score: float,
@@ -70,11 +109,13 @@ class StructuralRules:
     fact_supersedes_title_sim: float = 0.9
     fact_supersedes_weight: float = 0.9
 
-    def evaluate_all(self, node: Node, other: Node,
-                     score: float) -> List[ProposedEdge]:
+    def evaluate_all(self, node: Node, other: Node, score: float,
+                     cache: Optional[FeatureCache] = None
+                     ) -> List[ProposedEdge]:
         out: List[ProposedEdge] = []
         if node.id == other.id:
             return out
+        cache = cache or FeatureCache()
 
         if node.source.agent == other.source.agent:
             out.append(ProposedEdge(
@@ -86,7 +127,7 @@ class StructuralRules:
                 node.id, other.id, "related_to", self.temporal_weight,
                 EdgeProvenance.auto_structural("temporal_proximity")))
 
-        shared = len(set(node.tags) & set(other.tags))
+        shared = len(cache.tags(node) & cache.tags(other))
         if shared >= self.shared_tags_min:
             w = min(1.0, self.shared_tags_base
                     * (1.0 + (shared - self.shared_tags_min) * 0.1))
@@ -110,7 +151,8 @@ class StructuralRules:
 
         if (node.kind == "fact" and other.kind == "fact"
                 and node.created_at > other.created_at
-                and jaccard_similarity(node.title, other.title)
+                and _jaccard_sets(cache.title_words(node),
+                                  cache.title_words(other))
                 >= self.fact_supersedes_title_sim):
             out.append(ProposedEdge(
                 node.id, other.id, "supersedes", self.fact_supersedes_weight,
@@ -133,11 +175,15 @@ class ContradictionDetector:
     def __init__(self, threshold: float = 0.80):
         self.threshold = threshold
 
-    def check(self, a: Node, b: Node,
-              similarity: float) -> Optional[Contradiction]:
+    def check(self, a: Node, b: Node, similarity: float,
+              cache: Optional[FeatureCache] = None
+              ) -> Optional[Contradiction]:
         if similarity < self.threshold:
             return None
-        if not has_negation_pattern(a, b):
+        if cache is not None:
+            if cache.negation(a) == cache.negation(b):
+                return None
+        elif not has_negation_pattern(a, b):
             return None
         newer, older = (a, b) if a.created_at > b.created_at else (b, a)
         return Contradiction(

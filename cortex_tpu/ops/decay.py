@@ -42,6 +42,30 @@ def decay_sweep(weights: jnp.ndarray, days_since_update: jnp.ndarray,
     return new_w, delete, prune, changed
 
 
+def decay_sweep_host(weights, days_since_update, max_importance, exempt,
+                     daily_rate: float, shield: float,
+                     delete_threshold: float, prune_threshold: float):
+    """Numpy twin of decay_sweep for small sweeps: below ~64k edges a
+    single vectorized host pass beats paying a device dispatch round
+    trip (dominant when the TPU sits behind a network tunnel). Same
+    outputs, bit-for-bit semantics."""
+    import numpy as np
+    eff_rate = daily_rate * (1.0 - max_importance * shield)
+    days = np.maximum(days_since_update, 0.0)
+    decayed = weights * np.exp(-eff_rate * days)
+    active = (~exempt) & (days > 0.0)
+    new_w = np.where(active, decayed, weights).astype(np.float32)
+    delete = active & (new_w < delete_threshold)
+    prune = active & (new_w < prune_threshold) & ~delete
+    changed = active & (new_w != weights)
+    return new_w, delete, prune, changed
+
+
+# below this edge count the host pass wins (device dispatch latency
+# dominates); above it HBM bandwidth wins
+DEVICE_SWEEP_MIN_EDGES = 65_536
+
+
 @jax.jit
 def retention_eligibility(created_at: jnp.ndarray, last_accessed_at: jnp.ndarray,
                           importance: jnp.ndarray, has_inbound: jnp.ndarray,

@@ -82,6 +82,23 @@ def _build_bias(live, kind_code, agent_code, allowed_kinds, allowed_agent,
     return bias
 
 
+@functools.partial(jax.jit, static_argnames=("k", "path", "over"))
+def _fused_search(emb, live, kind_code, agent_code, ak, aa, ex, q,
+                  *, k: int, path: str, over: int):
+    """Bias construction + search in ONE dispatch. Every device call
+    pays fixed dispatch latency (severe behind a network-tunneled TPU,
+    non-zero even locally), so the mask build and the scan must not be
+    separate round trips."""
+    bias = _build_bias(live, kind_code, agent_code, ak, aa, ex)
+    from ..ops.similarity import (cosine_topk_approx, cosine_topk_pallas,
+                                  cosine_topk_xla)
+    if path == "approx":
+        return cosine_topk_approx(emb, q, k, bias[None, :], over=over)
+    if path == "pallas":
+        return cosine_topk_pallas(emb, q, k, bias[None, :])
+    return cosine_topk_xla(emb, q, k, bias[None, :])
+
+
 class Interner:
     """string <-> int32 code, append-only."""
 
@@ -258,6 +275,24 @@ class DeviceCorpus:
                     jnp.asarray(self._agent_h[rows]))
             self._dirty.clear()
 
+    def _filter_codes(self, kinds, agent, exclude_ids):
+        """Encode filters as fixed-shape arrays (one compiled graph for
+        every filter combination)."""
+        ak = np.full(MAX_FILTER_KINDS, PAD_CODE, np.int32)
+        if kinds is None:
+            ak[0] = NO_FILTER
+        else:
+            codes = [self.kinds.lookup(k) for k in kinds][:MAX_FILTER_KINDS]
+            ak[:len(codes)] = codes
+        aa = np.int32(NO_FILTER if agent is None
+                      else self.agents.lookup(agent))
+        ex = np.full(MAX_EXCLUDE, NO_FILTER, np.int32)
+        if exclude_ids:
+            rows = [self._row_of[i] for i in exclude_ids
+                    if i in self._row_of][:MAX_EXCLUDE]
+            ex[:len(rows)] = rows
+        return jnp.asarray(ak), jnp.asarray(aa), jnp.asarray(ex)
+
     def _bias(self, kinds: Optional[Sequence[str]],
               agent: Optional[str],
               exclude_ids: Optional[Sequence[str]]) -> Optional[jnp.ndarray]:
@@ -293,7 +328,7 @@ class DeviceCorpus:
                         [[None] * k for _ in range(b)])
             self.sync()
             q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
-            bias = self._bias(kinds, agent, exclude_ids)
+            ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
             # bucket k to the next power of two: distinct k values would
             # each trigger an XLA recompile of top_k, so pay one compile
             # per bucket and slice down
@@ -308,14 +343,14 @@ class DeviceCorpus:
                 # measured recall@10 = 1.0 at 1Mx768 (bench.py); masked
                 # rows carry -1e30 bias so they never enter the
                 # candidate set while admissible rows remain
-                v, i = cosine_topk_approx(self._dev[0], q, k_bucket,
-                                          bias[None, :], over=256)
+                path, over = "approx", 256
             elif self._use_pallas and self._cap >= 4096:
-                v, i = cosine_topk_pallas(self._dev[0], q, k_bucket,
-                                          bias[None, :])
+                path, over = "pallas", 0
             else:
-                v, i = cosine_topk_xla(self._dev[0], q, k_bucket,
-                                       bias[None, :])
+                path, over = "xla", 0
+            v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
+                                 self._dev[3], ak, aa, ex, q,
+                                 k=k_bucket, path=path, over=over)
             v = np.asarray(v)[:, :kk]
             i = np.asarray(i)[:, :kk]
             if kk < k:

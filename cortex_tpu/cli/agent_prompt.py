@@ -284,6 +284,79 @@ def cmd_prompt_create(ctx, args) -> int:
     return 0
 
 
+def cmd_prompt_migrate(ctx, args) -> int:
+    """Import a prompt-migration JSON file (reference cli/prompt.rs:493):
+    {prompts: [{slug, type, name, metadata}], versions: [{slug, branch,
+    version, content}], inheritance: [{child, parent}]}. Existing
+    (slug, branch, version) entries are skipped; --dry-run previews."""
+    with open(args.file) as f:
+        migration = json.load(f)
+    prompts = migration.get("prompts", [])
+    versions = migration.get("versions", [])
+    inheritance = migration.get("inheritance", [])
+    if args.dry_run:
+        _emit(args, {"prompts": len(prompts), "versions": len(versions),
+                     "inheritance": len(inheritance), "dry_run": True},
+              f"dry run: {len(prompts)} prompts, {len(versions)} "
+              f"versions, {len(inheritance)} inheritance links")
+        return 0
+
+    cx = ctx.cortex()
+    meta_by_slug = {p.get("slug"): p for p in prompts}
+    groups = {}
+    for v in versions:
+        groups.setdefault((v.get("slug", ""), v.get("branch", "main")),
+                          []).append(v)
+    created = skipped = 0
+    for (slug, branch) in sorted(groups):
+        for mv in sorted(groups[(slug, branch)],
+                         key=lambda v: int(v.get("version", 1))):
+            version = int(mv.get("version", 1))
+            if cx.prompts.get_version(slug, branch, version) is not None:
+                skipped += 1
+                continue
+            raw = dict(mv.get("content", {}))
+            meta = meta_by_slug.get(slug, {})
+            metadata = {**meta.get("metadata", {}),
+                        **raw.get("metadata", {})}
+            if meta.get("name"):
+                metadata.setdefault("name", meta["name"])
+            content = PromptContent(
+                slug=slug,
+                prompt_type=raw.get("type", raw.get(
+                    "prompt_type", meta.get("type", "unknown"))),
+                branch=branch, version=version,
+                sections=dict(raw.get("sections", {})),
+                metadata=metadata,
+                override_sections=dict(raw.get("override_sections", {})),
+                context_weights=raw.get("context_weights"))
+            if cx.prompts.find_head(slug, branch) is None:
+                cx.prompts.create_prompt(content, branch=branch)
+            else:
+                cx.prompts.create_version(slug, branch, content)
+            created += 1
+    linked = 0
+    from ..errors import DuplicateEdge
+    for link in inheritance:
+        child = cx.prompts.find_head(link.get("child", ""), "main")
+        parent = cx.prompts.find_head(link.get("parent", ""), "main")
+        if child is None or parent is None:
+            continue
+        try:
+            cx.create_edge(Edge.new(child.id, parent.id, "inherits_from",
+                                    1.0, EdgeProvenance.imported(
+                                        "prompt-migrate")))
+            linked += 1
+        except DuplicateEdge:
+            pass
+    cx._on_write()
+    _emit(args, {"created": created, "skipped": skipped,
+                 "inheritance_links": linked},
+          f"migrated {created} versions ({skipped} skipped, "
+          f"{linked} inheritance links)")
+    return 0
+
+
 def cmd_prompt_performance(ctx, args) -> int:
     """Aggregate observation scores for a prompt's versions
     (http prompts.rs performance endpoint behavior)."""
@@ -408,6 +481,10 @@ def register_agent_prompt_commands(sub) -> None:
     sp.add_argument("--branch", default="main")
     sp.add_argument("--sections", help="JSON object of sections")
     sp.set_defaults(fn=cmd_prompt_create)
+    sp = psub.add_parser("migrate")
+    sp.add_argument("file")
+    sp.add_argument("--dry-run", action="store_true")
+    sp.set_defaults(fn=cmd_prompt_migrate)
     sp = psub.add_parser("performance")
     sp.add_argument("slug")
     sp.add_argument("--branch", default="main")

@@ -83,6 +83,14 @@ class WebhookConfig:
 
 
 @dataclass
+class PluginConfig:
+    """[[plugins]] entry (reference config.rs:282-286)."""
+
+    path: str = ""
+    type: str = ""   # ingest|linker_rule|briefing_section|export_format|classifier
+
+
+@dataclass
 class CortexConfig:
     server: ServerConfig = field(default_factory=ServerConfig)
     schema: SchemaConfig = field(default_factory=SchemaConfig)
@@ -95,6 +103,7 @@ class CortexConfig:
     retention: RetentionConfig = field(default_factory=RetentionConfig)
     security: SecurityConfig = field(default_factory=SecurityConfig)
     webhooks: List[WebhookConfig] = field(default_factory=list)
+    plugins: List["PluginConfig"] = field(default_factory=list)
     prompt_rollback: RollbackConfig = field(default_factory=RollbackConfig)
     score_decay: ScoreDecayConfig = field(default_factory=ScoreDecayConfig)
     write_gate: WriteGateConfig = field(default_factory=WriteGateConfig)
@@ -206,6 +215,9 @@ class CortexConfig:
         cfg.webhooks = [WebhookConfig(url=w.get("url", ""),
                                       events=list(w.get("events", [])))
                         for w in raw.get("webhooks", [])]
+        cfg.plugins = [PluginConfig(path=p.get("path", ""),
+                                    type=p.get("type", ""))
+                       for p in raw.get("plugins", [])]
 
         pr = raw.get("prompt_rollback", {})
         cfg.prompt_rollback = RollbackConfig(

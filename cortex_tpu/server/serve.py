@@ -82,6 +82,13 @@ class Server:
         if self.webhooks is not None:
             self.cortex.add_hook(self.webhooks)
 
+        if config.plugins:
+            from ..plugins import PluginSet
+            self.plugins = PluginSet.load(config.plugins)
+            attached = self.plugins.attach(self.cortex)
+            log.info("plugins: %d attached, %d errors", attached,
+                     len(self.plugins.errors))
+
         # background tasks (serve.rs:176-290)
         self.tasks.append(asyncio.create_task(
             self._linker_loop(), name="auto-linker"))

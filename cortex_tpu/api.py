@@ -65,6 +65,8 @@ class Cortex:
         self.prompts = PromptResolver(storage)
         self.rollback_monitor = RollbackMonitor(storage,
                                                 self.config.prompt_rollback)
+        # classifier plugins: callables node -> Optional[str]
+        self.classifiers: List = []
 
     # ------------------------------------------------------------------ boot
     @staticmethod
@@ -102,6 +104,13 @@ class Cortex:
         """Embed + persist + index + fire hooks (api.rs:99-114). With
         gate=True the 4-check write gate runs first and raises
         GateRejection on failure."""
+        for clf in self.classifiers:    # classifier plugins enrich metadata
+            try:
+                label = clf(node)
+                if label:
+                    node.metadata.setdefault("classification", label)
+            except Exception:  # noqa: BLE001 — plugin faults never block writes
+                pass
         if node.embedding is None:
             node.embedding = self.embedder.embed_node(node).tolist()
         if gate:

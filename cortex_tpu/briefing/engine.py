@@ -115,6 +115,8 @@ class BriefingEngine:
         self.version = graph_version
         self.config = config or BriefingConfig()
         self.cache = BriefingCache(self.config.cache_ttl_secs)
+        # briefing_section plugins: callables agent_id -> (title, [node_ids])
+        self.extra_sections: List = []
 
     # ------------------------------------------------------------------ rank
     def _rank(self, nodes: List[Node]) -> List[Node]:
@@ -305,6 +307,18 @@ class BriefingEngine:
         push(self._recent_events(agent_id, seen))
         for s in self._auto_discovered(seen):
             push(s)
+        for provider in self.extra_sections:   # briefing_section plugins
+            try:
+                title, node_ids = provider(agent_id)
+                nodes = [n for n in (self.storage.get_node(i)
+                                     for i in node_ids)
+                         if n is not None and not n.deleted
+                         and n.id not in seen]
+                if nodes:
+                    seen.update(n.id for n in nodes)
+                    push(BriefingSection(title=title, nodes=nodes))
+            except Exception:  # noqa: BLE001 — plugin faults never break briefings
+                pass
         push(self._active_context(agent_id, agent_node_id, seen))
 
         # global cap across sections, in order

@@ -146,12 +146,25 @@ def cmd_export(ctx, args) -> int:
             if e.id not in seen:
                 seen.add(e.id)
                 edges.append(e)
-    dump = {"schema_version": SCHEMA_VERSION,
-            "exported_at": time.time(),
-            "nodes": [n.to_dict() for n in nodes],
-            "edges": [e.to_dict() for e in edges]}
+    if args.format and args.format != "json":
+        # export_format plugins, keyed by module name
+        from ..plugins import PluginSet
+        exporters = PluginSet.load(ctx.config.plugins).exporters()
+        fn = exporters.get(args.format)
+        if fn is None:
+            from .main import CliError
+            raise CliError(
+                f"unknown export format {args.format!r}; available: "
+                f"json, {', '.join(sorted(exporters)) or '(no plugins)'}")
+        text = fn(nodes, edges)
+    else:
+        dump = {"schema_version": SCHEMA_VERSION,
+                "exported_at": time.time(),
+                "nodes": [n.to_dict() for n in nodes],
+                "edges": [e.to_dict() for e in edges]}
+        text = json.dumps(dump, indent=None if args.compact else 2,
+                          default=str)
     out = args.output or "-"
-    text = json.dumps(dump, indent=None if args.compact else 2, default=str)
     if out == "-":
         print(text)
     else:
@@ -363,8 +376,10 @@ def register_data_commands(sub) -> None:
     sp.add_argument("--agent", default="import")
     sp.set_defaults(fn=cmd_import)
 
-    sp = sub.add_parser("export", help="export the graph as JSON")
+    sp = sub.add_parser("export", help="export the graph")
     sp.add_argument("--output", "-o")
+    sp.add_argument("--format", default="json",
+                    help="json (default) or an export_format plugin name")
     sp.add_argument("--compact", action="store_true")
     sp.add_argument("--include-deleted", action="store_true")
     sp.set_defaults(fn=cmd_export)

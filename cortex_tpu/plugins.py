@@ -13,10 +13,12 @@ attached to the matching engine extension point:
                      .evaluate(node, other, score)
                      -> list[ProposedEdge]
   ingest             make_adapter() -> IngestAdapter   serve ingest loop
-  briefing_section   make_section(cortex) ->      extra briefing section
-                     (title, [node_ids]) callable
+  briefing_section   make_section(cortex) ->      BriefingEngine
+                     callable(agent_id) ->        extra_sections
+                     (title, [node_ids])
   export_format      export(nodes, edges) -> str  `cortex export --format`
-  classifier         classify(node) -> str|None   gate/metadata enrichment
+  classifier         classify(node) -> str|None   metadata["classification"]
+                                                  set at store time
 
 Plugin load failures are log-and-skip (the reference's degrade-
 gracefully posture for optional subsystems).
@@ -93,14 +95,15 @@ class PluginSet:
             except Exception as e:  # noqa: BLE001
                 self.errors.append(f"{p.path}: make_rule failed: {e}")
         for p in self.by_type("classifier"):
-            cortex.classifiers = getattr(cortex, "classifiers", [])
             cortex.classifiers.append(p.obj)
             n += 1
         for p in self.by_type("briefing_section"):
-            cortex.briefing_sections = getattr(cortex,
-                                               "briefing_sections", [])
-            cortex.briefing_sections.append(p.obj)
-            n += 1
+            try:
+                cortex.briefing_engine.extra_sections.append(
+                    p.obj(cortex))
+                n += 1
+            except Exception as e:  # noqa: BLE001
+                self.errors.append(f"{p.path}: make_section failed: {e}")
         return n
 
     def exporters(self) -> Dict[str, Any]:

@@ -66,6 +66,61 @@ class TestPlugins:
         assert len(ps.errors) == 3
         assert ps.plugins == []
 
+    def test_classifier_plugin_enriches_metadata(self, tmp_path):
+        p = tmp_path / "clf.py"
+        p.write_text(
+            "def classify(node):\n"
+            "    return 'ops' if 'deploy' in node.title.lower() else None\n")
+        ps = PluginSet.load([PluginConfig(path=str(p), type="classifier")])
+        cx = Cortex.in_memory()
+        ps.attach(cx)
+        nid = cx.store(Cortex.fact("Deploy pipeline uses blue-green"))
+        other = cx.store(Cortex.fact("Unrelated memory about lunch plans"))
+        assert cx.get_node(nid).metadata["classification"] == "ops"
+        assert "classification" not in cx.get_node(other).metadata
+
+    def test_briefing_section_plugin_adds_section(self, tmp_path):
+        p = tmp_path / "sect.py"
+        p.write_text(
+            "def make_section(cortex):\n"
+            "    def provider(agent_id):\n"
+            "        ids = [n.id for n in cortex.list_nodes()\n"
+            "               if 'pinned' in n.tags]\n"
+            "        return ('Pinned', ids)\n"
+            "    return provider\n")
+        cx = Cortex.in_memory()
+        cx.store(Cortex.agent("pilot", "An agent with pinned memories"))
+        pinned = Cortex.fact("Always check the runway checklist")
+        pinned.tags = ["pinned"]
+        cx.store(pinned)
+        ps = PluginSet.load([PluginConfig(path=str(p),
+                                          type="briefing_section")])
+        assert ps.attach(cx) == 1
+        text = cx.briefing("pilot")
+        assert "Pinned" in text and "runway checklist" in text
+
+    def test_export_format_plugin_via_cli(self, tmp_path, capsys):
+        from cortex_tpu.cli.main import main
+        plug = tmp_path / "titles.py"
+        plug.write_text(
+            "def export(nodes, edges):\n"
+            "    return '\\n'.join(n.title for n in nodes)\n")
+        cfg = tmp_path / "cortex.toml"
+        cfg.write_text(
+            f'[[plugins]]\npath = "{plug}"\ntype = "export_format"\n')
+        dd = str(tmp_path / "d")
+        main(["--config", str(cfg), "--data-dir", dd, "node", "create",
+              "fact", "Exported title appears",
+              "Body long enough to satisfy the write gate checks."])
+        capsys.readouterr()
+        rc = main(["--config", str(cfg), "--data-dir", dd, "export",
+                   "--format", "titles"])
+        out = capsys.readouterr().out
+        assert rc == 0 and out.strip() == "Exported title appears"
+        rc = main(["--config", str(cfg), "--data-dir", dd, "export",
+                   "--format", "nope"])
+        assert rc == 1
+
     def test_config_toml_parses_plugins(self, tmp_path):
         from cortex_tpu.config import CortexConfig
         toml = tmp_path / "cortex.toml"

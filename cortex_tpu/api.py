@@ -133,6 +133,15 @@ class Cortex:
                     actor: str = "library") -> List[str]:
         """Batch admission: one embed_batch + one device upload — the
         idiomatic TPU ingest path (SURVEY §3.2 consequence)."""
+        if self.classifiers:
+            for n in nodes:
+                for clf in self.classifiers:
+                    try:
+                        label = clf(n)
+                        if label:
+                            n.metadata.setdefault("classification", label)
+                    except Exception:  # noqa: BLE001
+                        pass
         missing = [n for n in nodes if n.embedding is None]
         if missing:
             embs = self.embedder.embed_nodes(missing)
@@ -330,3 +339,21 @@ class Cortex:
     @staticmethod
     def agent(title: str, body: str, importance: float = 0.8) -> Node:
         return Cortex._make("agent", title, body, importance)
+
+
+def open_embedded(config: CortexConfig):
+    """Open the engine on config's data dir, honoring
+    security.encryption_at_rest the same way the server does
+    (serve.rs:57-81): decrypt-to-temp on open, re-encrypt when the
+    returned guard closes. Returns (cortex, guard-or-None); callers
+    must close BOTH (cortex first)."""
+    import os
+    from .storage.encrypted import EncryptedDbGuard, derive_key
+
+    os.makedirs(config.server.data_dir, exist_ok=True)
+    db_path = os.path.join(config.server.data_dir, "cortex.db")
+    guard = None
+    if config.security.encryption_at_rest:
+        guard = EncryptedDbGuard(db_path + ".enc", derive_key())
+        db_path = guard.plain_path
+    return Cortex.open(db_path, config), guard

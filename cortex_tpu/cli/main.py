@@ -57,15 +57,16 @@ class CliContext:
             raise CliError("this command runs on the local store; "
                            "drop --server")
         if self._cortex is None:
-            from ..api import Cortex
-            os.makedirs(self.config.server.data_dir, exist_ok=True)
-            path = os.path.join(self.config.server.data_dir, DB_FILENAME)
-            self._cortex = Cortex.open(path, self.config)
+            from ..api import open_embedded
+            # honors security.encryption_at_rest like the server does
+            self._cortex, self._guard = open_embedded(self.config)
         return self._cortex
 
     def close(self):
         if self._cortex is not None:
             self._cortex.close()
+        if getattr(self, "_guard", None) is not None:
+            self._guard.close()   # re-encrypt at rest
 
     # ------------------------------------------------------------- remote
     def http(self, method: str, path: str, *, params=None,
@@ -303,8 +304,9 @@ def cmd_path(ctx: CliContext, args) -> int:
 def cmd_briefing(ctx: CliContext, args) -> int:
     if ctx.remote:
         d = ctx.http("GET", f"/briefing/{args.agent_id}",
-                     params={"format": "compact" if args.compact else None})
-        text = d if isinstance(d, str) else d.get("text", json.dumps(d))
+                     params={"format": "json",
+                             "compact": "true" if args.compact else None})
+        text = d.get("text", "") if isinstance(d, dict) else str(d)
     else:
         text = ctx.cortex().briefing(args.agent_id, compact=args.compact)
     print(text)

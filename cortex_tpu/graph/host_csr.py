@@ -36,17 +36,14 @@ class HostCSR:
     def ensure(self) -> "HostCSR":
         with self._lock:
             v = self._cache.version
-            if self._built_version == v and not self._cache_stale():
+            if self._built_version == v:
                 return self
             self._build()
-            self._built_version = self._cache.version
+            # stamp with the version read BEFORE building: if a write
+            # bumped the cache mid-build, the next ensure() must rebuild
+            # rather than serve this possibly-mixed snapshot forever
+            self._built_version = v
             return self
-
-    def _cache_stale(self) -> bool:
-        # AdjacencyCache bumps version on invalidate; a build between
-        # our snapshot and now shows up as a version change only, so
-        # version equality is sufficient.
-        return False
 
     def _build(self) -> None:
         cache = self._cache

@@ -37,9 +37,14 @@ def chunk_text(text: str, target: int = CHUNK_TARGET_CHARS,
         sentences = re.split(r"(?<=[.!?])\s+", p)
         cur = ""
         for s in sentences:
-            while len(s) > hard_max:
-                pieces.append(s[:hard_max])
-                s = s[hard_max:]
+            if len(s) > hard_max:
+                # flush accumulated text FIRST so document order holds
+                if cur:
+                    pieces.append(cur)
+                    cur = ""
+                while len(s) > hard_max:
+                    pieces.append(s[:hard_max])
+                    s = s[hard_max:]
             if cur and len(cur) + 1 + len(s) > hard_max:
                 pieces.append(cur)
                 cur = s

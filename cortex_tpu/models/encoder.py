@@ -222,18 +222,26 @@ def _forward(params, input_ids, attention_mask, *, heads: int,
         jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
 
 
+def device_params(params: Dict) -> Dict:
+    """Upload the param pytree to device arrays ONCE; reuse across
+    calls (~130MB for BGE-small — re-uploading per batch would dwarf
+    the compute)."""
+    dev = {k: jnp.asarray(v) for k, v in params.items() if k != "layers"}
+    dev["layers"] = tuple({k: jnp.asarray(v) for k, v in lyr.items()}
+                          for lyr in params["layers"])
+    return dev
+
+
 def bert_encode(params: Dict, cfg: BertEncoderConfig,
                 input_ids: np.ndarray,
                 attention_mask: np.ndarray) -> np.ndarray:
     """[B, S] int32 ids + mask -> [B, hidden] L2-normalized embeddings,
-    one jitted device call."""
-    layers_tuple = tuple(
-        {k: jnp.asarray(v) for k, v in lyr.items()}
-        for lyr in params["layers"])
-    dev_params = {k: jnp.asarray(v) for k, v in params.items()
-                  if k != "layers"}
-    dev_params["layers"] = layers_tuple
-    out = _forward(dev_params, jnp.asarray(input_ids, jnp.int32),
+    one jitted device call. Pass `device_params(params)` when calling
+    repeatedly; raw numpy pytrees are converted (and re-uploaded) per
+    call."""
+    if not isinstance(params.get("layers"), tuple):
+        params = device_params(params)
+    out = _forward(params, jnp.asarray(input_ids, jnp.int32),
                    jnp.asarray(attention_mask, jnp.int32),
                    heads=cfg.heads, eps=cfg.layernorm_eps,
                    pooling=cfg.pooling)

@@ -268,8 +268,15 @@ def create_app(state: ServerState) -> web.Application:
             return json_err("missing q parameter", 400)
         limit = int(request.query.get("limit", 10))
         recency = request.query.get("recency_bias")
+        kinds = request.query.get("kind")
+        agent_f = request.query.get("agent")
+        flt = None
+        if kinds or agent_f:
+            from ..vector import VectorFilter
+            flt = VectorFilter(kinds=kinds.split(",") if kinds else None,
+                               source_agent=agent_f)
         t0 = time.perf_counter()
-        hits = cx.search(q, limit=limit,
+        hits = cx.search(q, limit=limit, flt=flt,
                          recency_bias=float(recency) if recency else None)
         state.metrics.record_search("search", time.perf_counter() - t0)
         return json_ok([{"score": s, "node": node_json(n)}
@@ -334,6 +341,7 @@ def create_app(state: ServerState) -> web.Application:
             return json_ok({
                 "agent_id": b.agent_id, "generated_at": b.generated_at,
                 "nodes_consulted": b.nodes_consulted, "cached": b.cached,
+                "text": cx.briefing_engine.render(b, compact=compact),
                 "sections": [{"title": s.title,
                               "nodes": [node_json(n) for n in s.nodes]}
                              for s in b.sections]})

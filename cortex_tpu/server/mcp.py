@@ -245,8 +245,9 @@ class RemoteBackend:
 
     def briefing(self, a):
         d = self._req("GET", f"/briefing/{a['agent_id']}", params={
-            "format": "compact" if a.get("compact") else None})
-        return d if isinstance(d, str) else d.get("text", json.dumps(d))
+            "format": "json",
+            "compact": "true" if a.get("compact") else None})
+        return d.get("text", "") if isinstance(d, dict) else str(d)
 
     def traverse(self, a):
         return self._req("GET", f"/nodes/{a['start']}/neighbors", params={
@@ -388,9 +389,15 @@ def run_stdio(config, remote: Optional[str] = None,
         token = os.environ.get("CORTEX_AUTH_TOKEN") \
             or config.security.auth_token
         backend = RemoteBackend(remote, token)
-    else:
-        from ..api import Cortex
-        os.makedirs(data_dir or config.server.data_dir, exist_ok=True)
-        path = os.path.join(data_dir or config.server.data_dir, "cortex.db")
-        backend = LocalBackend(Cortex.open(path, config))
-    McpServer(backend).run()
+        McpServer(backend).run()
+        return
+    from ..api import open_embedded
+    if data_dir:
+        config.server.data_dir = data_dir
+    cortex, guard = open_embedded(config)   # honors encryption_at_rest
+    try:
+        McpServer(LocalBackend(cortex)).run()
+    finally:
+        cortex.close()
+        if guard is not None:
+            guard.close()

@@ -30,7 +30,7 @@ from ..briefing.precompute import BriefingPrecomputer, agents_from_env
 from ..config import CortexConfig
 from ..errors import ConfigError
 from ..ingest import FileIngest
-from ..storage.encrypted import EncryptedDbGuard, derive_key
+from ..storage.encrypted import EncryptedDbGuard
 from .grpc_service import create_grpc_server
 from .http import create_app
 from .state import ServerState
@@ -67,13 +67,8 @@ class Server:
         config = self.config
         config.validate()
 
-        db_path = open_storage_path(config)
-        if config.security.encryption_at_rest:
-            key = derive_key()  # raises ConfigError if env key missing
-            self.guard = EncryptedDbGuard(db_path + ENC_SUFFIX, key)
-            db_path = self.guard.plain_path
-
-        self.cortex = Cortex.open(db_path, config)
+        from ..api import open_embedded
+        self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
         self.state.metrics.mirror_storage(self.cortex.stats())
 
@@ -86,7 +81,14 @@ class Server:
             from ..plugins import PluginSet
             self.plugins = PluginSet.load(config.plugins)
             attached = self.plugins.attach(self.cortex)
-            log.info("plugins: %d attached, %d errors", attached,
+            adapters = self.plugins.adapters()
+            if adapters:
+                self.tasks.append(asyncio.create_task(
+                    self._adapter_loop(adapters,
+                                       config.ingest.file.interval_secs),
+                    name="plugin-ingest"))
+            log.info("plugins: %d attached, %d ingest adapters, "
+                     "%d errors", attached, len(adapters),
                      len(self.plugins.errors))
 
         # background tasks (serve.rs:176-290)
@@ -146,6 +148,22 @@ class Server:
                 await asyncio.to_thread(pre.run_once)
             except Exception:
                 log.exception("briefing precompute failed (continuing)")
+
+    async def _adapter_loop(self, adapters, interval: float) -> None:
+        """Poll ingest-plugin adapters; each event batch becomes one
+        store_batch (one device embed per poll)."""
+        while True:
+            await asyncio.sleep(interval)
+            for adapter in adapters:
+                try:
+                    events = await asyncio.to_thread(adapter.poll)
+                    nodes = [ev.to_node() for ev in events]
+                    if nodes:
+                        await asyncio.to_thread(
+                            self.cortex.store_batch, nodes,
+                            actor=getattr(adapter, "name", "plugin"))
+                except Exception:
+                    log.exception("ingest adapter failed (continuing)")
 
     async def _ingest_loop(self, ingest: FileIngest,
                            interval: float) -> None:

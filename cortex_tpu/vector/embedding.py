@@ -172,8 +172,9 @@ class JaxEncoderEmbedder(EmbeddingService):
     BUCKETS = (32, 64, 128, 256, 512)
 
     def __init__(self, weights_npz: str, tokenizer=None):
-        from ..models.encoder import load_npz
-        self._params, self._cfg = load_npz(weights_npz)
+        from ..models.encoder import device_params, load_npz
+        params, self._cfg = load_npz(weights_npz)
+        self._params = device_params(params)   # one-time device upload
         self._name = f"flax:{weights_npz}"
         if callable(tokenizer):
             self._tok = tokenizer

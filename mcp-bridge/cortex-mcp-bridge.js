@@ -159,10 +159,12 @@ const TOOL_IMPL = {
         limit: a.limit ?? 10,
       },
     }),
-  cortex_briefing: (a) =>
-    rest("GET", `/briefing/${encodeURIComponent(a.agent_id)}`, {
-      params: { format: a.compact ? "compact" : undefined },
-    }),
+  cortex_briefing: async (a) => {
+    const d = await rest("GET", `/briefing/${encodeURIComponent(a.agent_id)}`, {
+      params: { format: "json", compact: a.compact ? "true" : undefined },
+    });
+    return typeof d === "string" ? d : (d.text ?? "");
+  },
   cortex_traverse: (a) =>
     rest("GET", `/nodes/${encodeURIComponent(a.start)}/neighbors`, {
       params: { depth: a.depth ?? 2, direction: a.direction || "outgoing" },

@@ -333,24 +333,18 @@ func (c *Client) BriefingCompact(ctx context.Context, agentID string) (
 
 func (c *Client) briefing(ctx context.Context, agentID string,
 	compact bool) (string, error) {
-	params := url.Values{}
+	// the default text route returns raw markdown with no {ok,data}
+	// envelope; format=json wraps the rendered text so it parses
+	params := url.Values{"format": {"json"}}
 	if compact {
 		params.Set("compact", "true")
-	}
-	var out json.RawMessage
-	if err := c.request(ctx, http.MethodGet,
-		"/briefing/"+url.PathEscape(agentID), params, nil, nil,
-		&out); err != nil {
-		return "", err
-	}
-	var s string
-	if err := json.Unmarshal(out, &s); err == nil {
-		return s, nil
 	}
 	var obj struct {
 		Text string `json:"text"`
 	}
-	if err := json.Unmarshal(out, &obj); err != nil {
+	if err := c.request(ctx, http.MethodGet,
+		"/briefing/"+url.PathEscape(agentID), params, nil, nil,
+		&obj); err != nil {
 		return "", err
 	}
 	return obj.Text, nil

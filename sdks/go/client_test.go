@@ -70,11 +70,17 @@ func fakeServer(t *testing.T) *httptest.Server {
 		})
 	})
 	mux.HandleFunc("/briefing/bot", func(w http.ResponseWriter, r *http.Request) {
-		if r.URL.Query().Get("compact") == "true" {
-			write(w, "compact briefing")
+		if r.URL.Query().Get("format") != "json" {
+			// real server returns raw markdown here; clients must ask
+			// for the json wrapping
+			w.Write([]byte("# raw markdown, not an envelope"))
 			return
 		}
-		write(w, "# Briefing for bot")
+		if r.URL.Query().Get("compact") == "true" {
+			write(w, map[string]string{"text": "compact briefing"})
+			return
+		}
+		write(w, map[string]string{"text": "# Briefing for bot"})
 	})
 	mux.HandleFunc("/nodes/n1/neighbors", func(w http.ResponseWriter, r *http.Request) {
 		write(w, map[string]interface{}{

@@ -177,9 +177,11 @@ class Cortex:
     def briefing(self, agent_id: str, *, compact: bool = False) -> str:
         if self._embedded is not None:
             return self._embedded.briefing(agent_id, compact=compact)
+        # the text route returns raw markdown (no envelope); format=json
+        # wraps it with metadata — use that for a parseable wire shape
         d = self._request("GET", f"/briefing/{agent_id}", params={
-            "compact": "true" if compact else None})
-        return d if isinstance(d, str) else d.get("text", "")
+            "format": "json", "compact": "true" if compact else None})
+        return d.get("text", "")
 
     def briefing_full(self, agent_id: str) -> Briefing:
         if self._embedded is not None:
@@ -188,7 +190,7 @@ class Cortex:
                 agent_id=b.agent_id,
                 text=self._embedded.briefing_engine.render(b),
                 sections=[{"title": s.title,
-                           "items": len(s.items)} for s in b.sections],
+                           "items": len(s.nodes)} for s in b.sections],
                 generated_at=b.generated_at)
         d = self._request("GET", f"/briefing/{agent_id}",
                           params={"format": "json"})

@@ -193,8 +193,10 @@ export class Cortex {
   }
 
   async briefing(agentId: string, compact = false): Promise<string> {
+    // format=json wraps the rendered text in the {ok,data} envelope;
+    // the default text route returns raw markdown that won't JSON-parse
     const d = await this.request("GET", `/briefing/${encodeURIComponent(agentId)}`, {
-      params: { compact: compact ? "true" : undefined },
+      params: { format: "json", compact: compact ? "true" : undefined },
     });
     return typeof d === "string" ? d : (d.text ?? "");
   }

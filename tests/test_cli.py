@@ -123,6 +123,32 @@ class TestBasicCommands:
         assert len(base64.b64decode(out.strip())) == 32
 
 
+class TestEncryptedCli:
+    def test_cli_honors_encryption_at_rest(self, tmp_path, monkeypatch,
+                                           capsys):
+        """Regression: CLI must open the same encrypted store the
+        server uses, not a parallel plaintext cortex.db."""
+        from cortex_tpu.storage.encrypted import generate_key
+        monkeypatch.setenv("CORTEX_ENCRYPTION_KEY", generate_key())
+        cfg = tmp_path / "cortex.toml"
+        cfg.write_text("[security]\nencryption_at_rest = true\n")
+        dd = str(tmp_path / "data")
+        rc = main(["--config", str(cfg), "--data-dir", dd, "node",
+                   "create", "fact", "Encrypted CLI write persists",
+                   "The CLI writes into the encrypted store directly."])
+        assert rc == 0
+        capsys.readouterr()
+        import os
+        assert os.path.exists(os.path.join(dd, "cortex.db.enc"))
+        assert not os.path.exists(os.path.join(dd, "cortex.db"))
+        blob = open(os.path.join(dd, "cortex.db.enc"), "rb").read()
+        assert b"Encrypted CLI write" not in blob
+        rc = main(["--json", "--config", str(cfg), "--data-dir", dd,
+                   "node", "list"])
+        out = capsys.readouterr().out
+        assert rc == 0 and len(json.loads(out)) == 1
+
+
 class TestDataLifecycle:
     def test_import_jsonl_csv_markdown(self, capsys, data_dir, tmp_path):
         jl = tmp_path / "in.jsonl"

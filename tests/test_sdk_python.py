@@ -136,6 +136,28 @@ class TestRestClient:
         hy = cx.search_hybrid("remote sdk", anchors=[nid])
         assert hy and hy[0].graph_score is not None
 
+    def test_remote_briefing(self, live_server):
+        """Regression: GET /briefing default returns raw markdown (no
+        envelope); the client must request format=json."""
+        cx = Cortex(live_server)
+        cx.store("agent", "briefbot", "An agent profile for briefing.",
+                 agent="briefbot")
+        text = cx.briefing("briefbot")
+        assert "briefbot" in text.lower()
+        compact = cx.briefing("briefbot", compact=True)
+        assert compact     # compact rendering also round-trips
+        full = cx.briefing_full("briefbot")
+        assert full.agent_id == "briefbot" and full.sections
+
+    def test_embedded_briefing_full(self, tmp_path):
+        """Regression: BriefingSection has .nodes, not .items."""
+        with Cortex.open(str(tmp_path / "bf")) as cx:
+            cx.store("agent", "scout", "A scout agent profile here.",
+                     agent="scout")
+            b = cx.briefing_full("scout")
+            assert b.text and b.sections
+            assert all(isinstance(s["items"], int) for s in b.sections)
+
     def test_remote_missing_node_none(self, live_server):
         cx = Cortex(live_server)
         assert cx.get_node("00000000-0000-7000-0000-000000000000") is None

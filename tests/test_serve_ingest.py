@@ -39,6 +39,16 @@ class TestChunker:
         # no content lost
         assert sum(c.count("para") for c in chunks) == 10
 
+    def test_document_order_preserved_around_oversize_sentence(self):
+        """Regression: the head of an oversize sentence must not jump
+        ahead of accumulated preceding text."""
+        text = ("Short intro sentence here. " + "X" * 2500 +
+                ". And the end sentence.")
+        chunks = chunk_text(text)
+        joined = " ".join(chunks)
+        assert joined.index("Short intro") < joined.index("XXX")
+        assert chunks[0].startswith("Short intro")
+
     def test_giant_paragraph_hard_split(self):
         chunks = chunk_text("word " * 2000)   # 10k chars, no newlines
         assert len(chunks) >= 4

@@ -159,12 +159,25 @@ def _topk_kernel(q_ref, c_ref, bias_ref, out_v_ref, out_i_ref,
         q, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [B, BLOCK_N]
     scores = scores + bias_ref[:]                  # [1, BLOCK_N] broadcast
-    base = step * block_n
-    gidx = base + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1)
-    nv, ni = _fold_topk(scores, gidx, best_v[:], best_i[:], k, k_pad)
-    best_v[:] = nv
-    best_i[:] = ni
+
+    # flash-style skip: the fold (k selection rounds on the VPU) only
+    # runs when some row's block max beats that row's current kth-best.
+    # After warmup almost every block loses, so the steady cost is just
+    # the matmul — the bandwidth roofline.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (best_v.shape[0], k_pad), 1)
+    kth_best = jnp.min(jnp.where(lane < k, best_v[:], jnp.inf),
+                       axis=1, keepdims=True)       # [B, 1]
+    block_max = jnp.max(scores, axis=1, keepdims=True)
+    improves = jnp.any(block_max > kth_best)
+
+    @pl.when(improves)
+    def _fold():
+        base = step * block_n
+        gidx = base + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        nv, ni = _fold_topk(scores, gidx, best_v[:], best_i[:], k, k_pad)
+        best_v[:] = nv
+        best_i[:] = ni
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -238,6 +251,10 @@ def cosine_topk_pallas(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                             + n_pad * 4),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # sequential scan axis
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
         interpret=interpret,
     )(queries, corpus, row_bias)
     return out_v[:b, :k], out_i[:b, :k]

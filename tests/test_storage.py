@@ -1,5 +1,6 @@
 """Storage-layer tests against both backends (parity: redb_storage.rs tests)."""
 
+import json
 import threading
 
 import pytest
@@ -221,6 +222,68 @@ class TestSqliteSpecific:
         s2 = SqliteStorage(dest)
         assert s2.count_nodes() == 1
         s2.close()
+
+    def test_golden_row_format(self, tmp_path):
+        """Schema-regression guard (the reference's golden-bytes test,
+        redb_storage.rs:1827-1885): a node written with pinned fields
+        must land in the SQLite row EXACTLY like this. If this test
+        breaks, you changed the on-disk format — bump SCHEMA_VERSION
+        and write a migration."""
+        import sqlite3
+        from cortex_tpu.types import EdgeProvenance
+
+        s = SqliteStorage(str(tmp_path / "golden.db"))
+        n = Node(
+            id="00000000-0000-7000-8000-000000000001", kind="fact",
+            title="golden title", body="golden body",
+            source=Source(agent="golden-agent", session="sess-1",
+                          channel=None),
+            importance=0.25, access_count=3, last_accessed_at=1000.5,
+            created_at=1000.0, updated_at=1000.25, deleted=False)
+        n.tags = ["a", "b"]
+        n.metadata = {"k": 1}
+        n.embedding = [0.5, 0.5]
+        s.put_node(n)
+        e = Edge(id="00000000-0000-7000-8000-00000000000e",
+                 from_id=n.id, to_id=n.id + "x", relation="related_to",
+                 weight=0.75,
+                 provenance=EdgeProvenance.manual("golden-agent"),
+                 created_at=2000.0, updated_at=2000.5)
+        # bypass endpoint validation: write the edge row directly to pin
+        # the wire format
+        con = sqlite3.connect(str(tmp_path / "golden.db"))
+        con.execute(
+            "INSERT INTO edges(id, from_id, to_id, relation, weight, "
+            "provenance, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?)",
+            (e.id, e.from_id, e.to_id, e.relation, e.weight,
+             json.dumps(e.provenance.to_dict()), e.created_at,
+             e.updated_at))
+        con.commit()
+
+        row = con.execute(
+            "SELECT id, kind, title, body, metadata, tags, embedding_dim,"
+            " source_agent, source_session, source_channel, importance,"
+            " access_count, last_accessed_at, created_at, updated_at,"
+            " deleted FROM nodes WHERE id=?", (n.id,)).fetchone()
+        assert row == (
+            "00000000-0000-7000-8000-000000000001", "fact",
+            "golden title", "golden body", '{"k": 1}', '["a", "b"]', 2,
+            "golden-agent", "sess-1", None, 0.25, 3, 1000.5, 1000.0,
+            1000.25, 0)
+        tags = con.execute(
+            "SELECT tag FROM node_tags WHERE node_id=? ORDER BY tag",
+            (n.id,)).fetchall()
+        assert tags == [("a",), ("b",)]
+        ver = con.execute(
+            "SELECT value FROM meta WHERE key='schema_version'"
+        ).fetchone()
+        assert ver == ("2",)
+        con.close()
+        # and the store reads the golden row back intact
+        n2 = s.get_node(n.id)
+        assert n2.title == "golden title" and n2.embedding == [0.5, 0.5]
+        assert n2.metadata == {"k": 1} and n2.tags == ["a", "b"]
+        s.close()
 
     def test_concurrent_writes(self, tmp_path):
         s = SqliteStorage(str(tmp_path / "c.db"))

@@ -1,0 +1,165 @@
+"""ShardedFlatIndex — the multi-chip serving index.
+
+Same `VectorIndex` surface as TpuFlatIndex, but the corpus lives
+sharded along the row axis over a `jax.sharding.Mesh`
+(NamedSharding(P("shard", None))). Search runs as ONE jitted
+shard_map: per-shard bias construction (liveness / kind / agent /
+exclusion masks on local rows) + local matmul + local top-k, then an
+all_gather of the k candidates per shard over ICI and a final exact
+merge — top-k is associative, so the merged result equals the
+single-device answer bit-for-bit.
+
+Host bookkeeping (id<->row maps, dirty tracking, interners) is
+inherited from DeviceCorpus; only the device layout and the search
+dispatch differ. Sync re-uploads the full arrays on change: shards are
+compacted wholesale rather than scatter-updated (cross-shard scatter
+would reshard anyway), which matches the reference's stale-index +
+rebuild model at the multi-chip scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.similarity import NEG_INF
+from ..vector.index import TpuFlatIndex, VectorFilter
+from ..vector.shard import (DeviceCorpus, MAX_EXCLUDE, MAX_FILTER_KINDS,
+                            NO_FILTER, _norm_rows)
+from .sharding import SHARD_AXIS, build_mesh
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_filtered_topk(mesh: Mesh, corpus, live, kind_code, agent_code,
+                           ak, aa, ex_rows, queries, *, k: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One dispatch: per-shard mask + matmul + top-k, ICI merge."""
+    n_dev = mesh.devices.size
+    shard_rows = corpus.shape[0] // n_dev
+
+    def local(c_blk, live_blk, kc_blk, ac_blk, ak_r, aa_r, ex_r, q):
+        offset = jax.lax.axis_index(SHARD_AXIS) * shard_rows
+        bias = jnp.where(live_blk, 0.0, NEG_INF)
+        kind_on = ak_r[0] != NO_FILTER
+        kind_ok = jnp.any(kc_blk[:, None] == ak_r[None, :], axis=1)
+        bias = bias + jnp.where(kind_on & ~kind_ok, NEG_INF, 0.0)
+        agent_on = aa_r != NO_FILTER
+        bias = bias + jnp.where(agent_on & (ac_blk != aa_r), NEG_INF, 0.0)
+        rows = offset + jax.lax.broadcasted_iota(
+            jnp.int32, (shard_rows, 1), 0)[:, 0]
+        excluded = jnp.any(rows[:, None] == ex_r[None, :], axis=1)
+        bias = bias + jnp.where(excluded, NEG_INF, 0.0)
+
+        scores = jnp.dot(q, c_blk.T,
+                         preferred_element_type=jnp.float32) + bias[None, :]
+        kk = min(k, shard_rows)
+        v, i = jax.lax.top_k(scores, kk)
+        gi = i + offset
+        av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
+        ai = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
+        gv, sel = jax.lax.top_k(av, min(k, av.shape[1]))
+        return gv, jnp.take_along_axis(ai, sel, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(None), P(), P(None), P(None, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(corpus, live, kind_code, agent_code, ak, aa, ex_rows,
+              queries)
+
+
+class ShardedCorpus(DeviceCorpus):
+    """DeviceCorpus with mesh-sharded device arrays + merged search."""
+
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None):
+        super().__init__(dim, use_pallas=False)
+        self.mesh = mesh or build_mesh()
+        self._n_dev = int(self.mesh.devices.size)
+
+    def _grow(self, need: int) -> None:
+        # capacity must split evenly across shards; MIN_CAP=1024 and
+        # doubling keep that true for any power-of-two device count
+        super()._grow(need)
+
+    def sync(self) -> None:
+        with self._lock:
+            if self._cap == 0:
+                return
+            if (self._dev is None or self._full_resync or self._dirty):
+                shard = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+                row = NamedSharding(self.mesh, P(SHARD_AXIS))
+                self._dev = (
+                    jax.device_put(jnp.asarray(self._emb_h), shard),
+                    jax.device_put(jnp.asarray(self._live_h), row),
+                    jax.device_put(jnp.asarray(self._kind_h), row),
+                    jax.device_put(jnp.asarray(self._agent_h), row),
+                )
+                self._full_resync = False
+                self._dirty.clear()
+
+    def topk(self, queries: np.ndarray, k: int, *,
+             kinds: Optional[Sequence[str]] = None,
+             agent: Optional[str] = None,
+             exclude_ids: Optional[Sequence[str]] = None
+             ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
+        with self._lock:
+            if len(self._row_of) == 0:
+                b = queries.shape[0]
+                return (np.full((b, k), NEG_INF, np.float32),
+                        [[None] * k for _ in range(b)])
+            self.sync()
+            q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
+            ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
+            kk = min(k, self._cap)
+            k_bucket = 8
+            while k_bucket < kk:
+                k_bucket *= 2
+            k_bucket = min(k_bucket, self._cap)
+            v, i = _sharded_filtered_topk(
+                self.mesh, self._dev[0], self._dev[1], self._dev[2],
+                self._dev[3], ak, aa, ex, q, k=k_bucket)
+            v = np.asarray(v)[:, :kk]
+            i = np.asarray(i)[:, :kk]
+            if kk < k:
+                v = np.pad(v, ((0, 0), (0, k - kk)),
+                           constant_values=NEG_INF)
+                i = np.pad(i, ((0, 0), (0, k - kk)))
+            ids = [[self._id_of[r] if v[b_, j] > -1e29 else None
+                    for j, r in enumerate(row)]
+                   for b_, row in enumerate(i)]
+            return v, ids
+
+
+class ShardedFlatIndex(TpuFlatIndex):
+    """Drop-in VectorIndex whose corpus spans the mesh. With a 1-device
+    mesh this degenerates to (unfused) single-chip search — the layer
+    exists at mesh size 1, per SURVEY §2.4."""
+
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None):
+        self.dim = dim
+        self._corpus = ShardedCorpus(dim, mesh)
+
+    @property
+    def mesh(self) -> Mesh:
+        return self._corpus.mesh
+
+    def load(self, path: str) -> None:
+        import json
+        from ..errors import IndexError_
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        if meta["dim"] != self.dim:
+            raise IndexError_(
+                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+        mesh = self._corpus.mesh
+        self._corpus = ShardedCorpus(self.dim, mesh)
+        if meta["ids"]:
+            self._corpus.upsert_batch(meta["ids"], z["vectors"],
+                                      meta["kinds"], meta["agents"])

@@ -1,0 +1,102 @@
+"""ShardedFlatIndex tests on the virtual 8-device CPU mesh: exact
+parity with the single-device index, filters, removals, growth across
+shard boundaries, snapshot roundtrip.
+"""
+
+import numpy as np
+import pytest
+
+from cortex_tpu.parallel import ShardedFlatIndex, build_mesh
+from cortex_tpu.vector import TpuFlatIndex, VectorFilter
+from cortex_tpu.vector.index import BruteForceIndex
+
+DIM = 32
+
+
+def seed(idx, n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    ids = [f"n{i:04d}" for i in range(n)]
+    kinds = ["fact" if i % 3 else "event" for i in range(n)]
+    agents = [f"a{i % 5}" for i in range(n)]
+    idx.insert_batch(ids, vecs, kinds=kinds, agents=agents)
+    return ids, vecs
+
+
+@pytest.fixture
+def mesh8():
+    return build_mesh(8)
+
+
+class TestShardedParity:
+    def test_matches_single_device_exactly(self, mesh8):
+        sharded = ShardedFlatIndex(DIM, mesh8)
+        single = TpuFlatIndex(DIM)
+        seed(sharded)
+        seed(single)
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(6, DIM)).astype(np.float32)
+        hs = sharded.search_batch(q, 10)
+        h1 = single.search_batch(q, 10)
+        for row_s, row_1 in zip(hs, h1):
+            assert [i for i, _ in row_s] == [i for i, _ in row_1]
+            np.testing.assert_allclose([s for _, s in row_s],
+                                       [s for _, s in row_1], atol=1e-5)
+
+    def test_matches_bruteforce_with_filters(self, mesh8):
+        sharded = ShardedFlatIndex(DIM, mesh8)
+        oracle = BruteForceIndex(DIM)
+        ids, vecs = seed(sharded, seed=3)
+        for i, nid in enumerate(ids):
+            oracle.insert(nid, vecs[i],
+                          kind="fact" if i % 3 else "event",
+                          source_agent=f"a{i % 5}")
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(4, DIM)).astype(np.float32)
+        flt = VectorFilter(kinds=["event"], source_agent="a0")
+        hs = sharded.search_batch(q, 5, flt)
+        ho = oracle.search_batch(q, 5, flt)
+        for row_s, row_o in zip(hs, ho):
+            got = [i for i, _ in row_s if i is not None]
+            want = [i for i, _ in row_o][:len(got)]
+            assert got == want
+
+    def test_exclude_ids_cross_shard(self, mesh8):
+        sharded = ShardedFlatIndex(DIM, mesh8)
+        ids, vecs = seed(sharded)
+        q = vecs[:3]
+        hits = sharded.search_batch(
+            q, 3, VectorFilter(exclude_ids=[ids[0], ids[1], ids[2]]))
+        flat = [i for row in hits for i, _ in row]
+        assert not ({ids[0], ids[1], ids[2]} & set(flat))
+
+    def test_remove_and_growth(self, mesh8):
+        sharded = ShardedFlatIndex(DIM, mesh8)
+        ids, vecs = seed(sharded, n=100)
+        assert sharded.remove(ids[5])
+        hits = sharded.search_batch(vecs[5:6], 1)
+        assert hits[0][0][0] != ids[5]
+        # grow past the initial capacity (forces re-shard)
+        rng = np.random.default_rng(11)
+        more = rng.normal(size=(1200, DIM)).astype(np.float32)
+        sharded.insert_batch([f"m{i}" for i in range(1200)], more)
+        assert len(sharded) == 1299
+        hit = sharded.search_batch(more[7:8], 1)[0][0]
+        assert hit[0] == "m7"
+
+    def test_snapshot_roundtrip(self, mesh8, tmp_path):
+        sharded = ShardedFlatIndex(DIM, mesh8)
+        ids, vecs = seed(sharded, n=50)
+        p = str(tmp_path / "shard.npz")
+        sharded.save(p)
+        fresh = ShardedFlatIndex(DIM, mesh8)
+        fresh.load(p)
+        assert len(fresh) == 50
+        hit = fresh.search_batch(vecs[9:10], 1)[0][0]
+        assert hit[0] == ids[9]
+
+    def test_single_device_mesh(self):
+        idx = ShardedFlatIndex(DIM, build_mesh(1))
+        ids, vecs = seed(idx, n=40)
+        hit = idx.search_batch(vecs[3:4], 1)[0][0]
+        assert hit[0] == ids[3]

@@ -107,6 +107,18 @@ class Server:
             self.tasks.append(asyncio.create_task(
                 self._ingest_loop(ingest, config.ingest.file.interval_secs),
                 name="file-ingest"))
+        if config.ingest.stdin_enabled:
+            self.tasks.append(asyncio.create_task(
+                self._stdin_loop(), name="stdin-ingest"))
+        if config.server.nats_url:
+            # warren/NATS consumer: the event schema + node conversion
+            # live in ingest.warren; transport needs a NATS client,
+            # which this build gates on availability — connection
+            # failure degrades to "continue without consumer"
+            # (reference serve.rs:427-431 posture)
+            self.tasks.append(asyncio.create_task(
+                self._nats_loop(config.server.nats_url),
+                name="nats-ingest"))
 
         # gRPC (serve.rs:292-339)
         self.grpc_server = create_grpc_server(
@@ -176,6 +188,64 @@ class Server:
                              report.files_processed, report.nodes_created)
             except Exception:
                 log.exception("file ingest failed (continuing)")
+
+    async def _stdin_loop(self) -> None:
+        """JSONL events on stdin -> batched node admission
+        (cortex-server/src/ingest/stdin.rs)."""
+        import sys
+        from ..ingest import IngestEvent
+        loop = asyncio.get_running_loop()
+        buffer = []
+        while True:
+            line = await loop.run_in_executor(None, sys.stdin.readline)
+            if not line:            # EOF: flush and stop
+                if buffer:
+                    await asyncio.to_thread(
+                        self.cortex.store_batch,
+                        [e.to_node() for e in buffer], actor="stdin")
+                return
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                import json as _json
+                buffer.append(IngestEvent.from_json(_json.loads(line)))
+            except (ValueError, TypeError):
+                continue            # malformed line: skip
+            if len(buffer) >= 32:   # batch admission
+                batch, buffer = buffer, []
+                try:
+                    await asyncio.to_thread(
+                        self.cortex.store_batch,
+                        [e.to_node() for e in batch], actor="stdin")
+                except Exception:
+                    log.exception("stdin ingest batch failed (continuing)")
+
+    async def _nats_loop(self, url: str) -> None:
+        try:
+            import nats  # type: ignore  # not in this image; gated
+        except ImportError:
+            log.warning("NATS client library not installed; continuing "
+                        "without the warren consumer (url=%s)", url)
+            return
+        from ..ingest import WarrenEvent, warren_event_to_node
+        try:
+            nc = await nats.connect(url)
+        except Exception as e:  # noqa: BLE001
+            log.warning("NATS connect failed (%s); continuing without "
+                        "consumer", e)
+            return
+        sub = await nc.subscribe("warren.>")
+        async for msg in sub.messages:
+            try:
+                import json as _json
+                ev = WarrenEvent.from_json(_json.loads(msg.data))
+                node = warren_event_to_node(ev)
+                if node is not None:
+                    await asyncio.to_thread(self.cortex.store, node,
+                                            actor="warren")
+            except Exception:
+                log.exception("warren event failed (continuing)")
 
     # ------------------------------------------------------------- shutdown
     async def stop(self) -> None:

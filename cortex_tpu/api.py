@@ -45,7 +45,9 @@ class Cortex:
         self.storage = storage
         self.embedder = default_embedder(self.config.embedding.model,
                                          self.config.embedding.dimension)
-        self.index = TpuFlatIndex(self.embedder.dimension)
+        self.index = TpuFlatIndex(
+            self.embedder.dimension,
+            storage_dtype=self.config.embedding.device_dtype)
         self._rebuild_index()
         self.graph = GraphEngine(storage)
         self.mirror = DeviceGraphMirror(self.graph.cache)
@@ -294,7 +296,9 @@ class Cortex:
         for j, n in enumerate(nodes):
             n.embedding = embs[j].tolist()
         self.storage.put_nodes_batch(nodes)
-        self.index = TpuFlatIndex(self.embedder.dimension)
+        self.index = TpuFlatIndex(
+            self.embedder.dimension,
+            storage_dtype=self.config.embedding.device_dtype)
         self._rebuild_index()
         self.hybrid.index = self.index
         self.briefing_engine.index = self.index

@@ -46,6 +46,9 @@ class SchemaConfig:
 class EmbeddingConfig:
     model: str = "BAAI/bge-small-en-v1.5"
     dimension: int = 384
+    # device index storage: "float32" (exact snapshots) or "bfloat16"
+    # (half the HBM/transfer; MXU accumulates fp32 either way)
+    device_dtype: str = "float32"
 
 
 @dataclass
@@ -140,7 +143,8 @@ class CortexConfig:
         e = raw.get("embedding", {})
         cfg.embedding = EmbeddingConfig(
             model=e.get("model", "BAAI/bge-small-en-v1.5"),
-            dimension=int(e.get("dimension", 384)))
+            dimension=int(e.get("dimension", 384)),
+            device_dtype=e.get("device_dtype", "float32"))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(

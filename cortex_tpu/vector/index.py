@@ -99,9 +99,11 @@ class VectorIndex:
 
 
 class TpuFlatIndex(VectorIndex):
-    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None):
+    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None,
+                 storage_dtype: str = "float32"):
         self.dim = dim
-        self._corpus = DeviceCorpus(dim, use_pallas=use_pallas)
+        self._corpus = DeviceCorpus(dim, use_pallas=use_pallas,
+                                    storage_dtype=storage_dtype)
 
     def insert(self, node_id: str, vector: np.ndarray, *,
                kind: str = "", source_agent: str = "") -> None:

@@ -125,8 +125,14 @@ class Interner:
 class DeviceCorpus:
     """Padded [cap, d] embedding corpus with liveness + metadata codes."""
 
-    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None):
+    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None,
+                 storage_dtype: str = "float32"):
         self.dim = dim
+        # device-side embedding dtype: bf16 halves HBM residency, host->
+        # device transfer, and scan bandwidth (MXU accumulates fp32
+        # either way); host mirror stays fp32 for exact snapshots
+        self._storage_dtype = (jnp.bfloat16 if storage_dtype == "bfloat16"
+                               else jnp.float32)
         self._cap = 0
         self._emb_h = np.zeros((0, dim), np.float32)
         self._live_h = np.zeros((0,), bool)
@@ -247,6 +253,13 @@ class DeviceCorpus:
             self._dirty.clear()
 
     # ---------------------------------------------------------------- device
+    def _emb_for_device(self, rows=None) -> np.ndarray:
+        src = self._emb_h if rows is None else self._emb_h[rows]
+        if self._storage_dtype == jnp.bfloat16:
+            # cast on host so the wire/HBM cost is halved too
+            return src.astype(jax.dtypes.bfloat16)
+        return src
+
     def sync(self) -> None:
         """Push host diffs to device. Cheap when clean."""
         with self._lock:
@@ -254,7 +267,8 @@ class DeviceCorpus:
                 return
             if self._dev is None or self._full_resync:
                 self._dev = (
-                    jnp.asarray(self._emb_h), jnp.asarray(self._live_h),
+                    jnp.asarray(self._emb_for_device()),
+                    jnp.asarray(self._live_h),
                     jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
                 self._full_resync = False
                 self._dirty.clear()
@@ -263,13 +277,14 @@ class DeviceCorpus:
                 return
             if len(self._dirty) > max(4096, self._cap // 8):
                 self._dev = (
-                    jnp.asarray(self._emb_h), jnp.asarray(self._live_h),
+                    jnp.asarray(self._emb_for_device()),
+                    jnp.asarray(self._live_h),
                     jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
             else:
                 rows = np.fromiter(self._dirty, np.int32)
                 self._dev = _scatter_update(
                     *self._dev, jnp.asarray(rows),
-                    jnp.asarray(self._emb_h[rows]),
+                    jnp.asarray(self._emb_for_device(rows)),
                     jnp.asarray(self._live_h[rows]),
                     jnp.asarray(self._kind_h[rows]),
                     jnp.asarray(self._agent_h[rows]))

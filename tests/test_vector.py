@@ -130,6 +130,40 @@ class TestIndexParity:
         assert all(int(i[1:]) % 2 == 0 for i, _ in hits)
 
 
+class TestBf16Storage:
+    def test_bf16_index_retrieval_parity(self):
+        """bf16 device storage must keep retrieval quality: every
+        vector remains its own nearest neighbor and top-5 overlaps the
+        fp32 index heavily."""
+        from cortex_tpu.vector.index import TpuFlatIndex
+        rng = np.random.default_rng(21)
+        vecs = rng.normal(size=(500, 64)).astype(np.float32)
+        ids = [f"v{i}" for i in range(500)]
+        f32 = TpuFlatIndex(64)
+        bf16 = TpuFlatIndex(64, storage_dtype="bfloat16")
+        f32.insert_batch(ids, vecs)
+        bf16.insert_batch(ids, vecs)
+        q = vecs[:16]
+        h32 = f32.search_batch(q, 5)
+        h16 = bf16.search_batch(q, 5)
+        for r in range(16):
+            assert h16[r][0][0] == ids[r]          # self-retrieval
+            overlap = len({i for i, _ in h32[r]} &
+                          {i for i, _ in h16[r]})
+            assert overlap >= 4
+
+    def test_config_plumbs_device_dtype(self, tmp_path):
+        from cortex_tpu.config import CortexConfig
+        import jax.numpy as jnp
+        p = tmp_path / "c.toml"
+        p.write_text('[embedding]\nmodel = "hash"\n'
+                     'device_dtype = "bfloat16"\n')
+        cfg = CortexConfig.load(str(p))
+        from cortex_tpu.api import Cortex
+        cx = Cortex.in_memory(cfg)
+        assert cx.index._corpus._storage_dtype == jnp.bfloat16
+
+
 class TestEmbedding:
     def test_deterministic(self):
         e = HashingEmbedder(64)

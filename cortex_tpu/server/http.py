@@ -167,7 +167,14 @@ def create_app(state: ServerState) -> web.Application:
         n = _node_from_body(body, request)
         skip = (request.query.get("gate") == "skip"
                 and request.headers.get("x-gate-override") == "true")
-        n.embedding = cx.embedder.embed_node(n).tolist()
+        if state.batcher is not None:
+            # batched admission: concurrent writes share one device
+            # embed call (SURVEY §3.2)
+            from ..vector.embedding import embedding_input
+            emb = await state.batcher.embed(embedding_input(n))
+            n.embedding = emb.tolist()
+        else:
+            n.embedding = cx.embedder.embed_node(n).tolist()
         rej = WriteGate.check_all(
             n, np.asarray(n.embedding, np.float32), cx.index, cx.storage,
             cx.config.write_gate, cx.schema_validator, skip_quality=skip)

@@ -70,6 +70,7 @@ class Server:
         from ..api import open_embedded
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
+        self.state.enable_batched_admission()
         self.state.metrics.mirror_storage(self.cortex.stats())
 
         from .webhooks import from_config as webhooks_from_config
@@ -259,6 +260,8 @@ class Server:
             self.grpc_server.stop(grace=2.0)
         if self.http_runner is not None:
             await self.http_runner.cleanup()
+        if self.state is not None and self.state.batcher is not None:
+            await self.state.batcher.close()
         if getattr(self, "webhooks", None) is not None:
             self.webhooks.close()
         if self.cortex is not None:

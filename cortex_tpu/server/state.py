@@ -16,8 +16,16 @@ class ServerState:
     metrics: CortexMetrics = field(default_factory=CortexMetrics)
     bus: EventBus = field(default_factory=EventBus)
     auth_token: Optional[str] = None
+    batcher: Optional[object] = None   # EmbedBatcher, set by serve boot
 
     def __post_init__(self):
         self.cortex.add_hook(EventBusHook(self.bus))
         if self.auth_token is None:
             self.auth_token = self.cortex.config.security.auth_token
+
+    def enable_batched_admission(self, *, max_batch: int = 64,
+                                 max_wait_ms: float = 5.0) -> None:
+        from .batcher import EmbedBatcher
+        self.batcher = EmbedBatcher(self.cortex.embedder,
+                                    max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)

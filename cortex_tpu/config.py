@@ -34,6 +34,7 @@ class ServerConfig:
     http_addr: str = "0.0.0.0:9091"
     data_dir: str = "./data"
     nats_url: Optional[str] = None
+    warmup: bool = True     # pre-compile hot device programs at boot
 
 
 @dataclass
@@ -136,7 +137,8 @@ class CortexConfig:
             grpc_addr=s.get("grpc_addr", "0.0.0.0:9090"),
             http_addr=s.get("http_addr", "0.0.0.0:9091"),
             data_dir=s.get("data_dir", "./data"),
-            nats_url=s.get("nats_url"))
+            nats_url=s.get("nats_url"),
+            warmup=bool(s.get("warmup", True)))
         sc = raw.get("schema", {})
         cfg.schema = SchemaConfig(kinds=list(sc.get("kinds", [])),
                                   relations=list(sc.get("relations", [])))

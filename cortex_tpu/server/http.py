@@ -175,7 +175,10 @@ def create_app(state: ServerState) -> web.Application:
             n.embedding = emb.tolist()
         else:
             n.embedding = cx.embedder.embed_node(n).tolist()
-        rej = WriteGate.check_all(
+        # device work (conflict-check search) off the event loop — a
+        # first-compile stall must not freeze /health and the SSE bus
+        rej = await asyncio.to_thread(
+            WriteGate.check_all,
             n, np.asarray(n.embedding, np.float32), cx.index, cx.storage,
             cx.config.write_gate, cx.schema_validator, skip_quality=skip)
         if rej is not None:
@@ -185,7 +188,7 @@ def create_app(state: ServerState) -> web.Application:
                 "existing_node": rej.existing_node,
                 "existing_title": rej.existing_title})
         state.metrics.record_gate("skip" if skip else "pass")
-        cx.store(n, actor=n.source.agent)
+        await asyncio.to_thread(cx.store, n, actor=n.source.agent)
         return json_ok(node_json(n), status=201)
 
     async def list_nodes(request):
@@ -283,8 +286,9 @@ def create_app(state: ServerState) -> web.Application:
             flt = VectorFilter(kinds=kinds.split(",") if kinds else None,
                                source_agent=agent_f)
         t0 = time.perf_counter()
-        hits = cx.search(q, limit=limit, flt=flt,
-                         recency_bias=float(recency) if recency else None)
+        hits = await asyncio.to_thread(
+            cx.search, q, limit=limit, flt=flt,
+            recency_bias=float(recency) if recency else None)
         state.metrics.record_search("search", time.perf_counter() - t0)
         return json_ok([{"score": s, "node": node_json(n)}
                         for s, n in hits])
@@ -299,7 +303,8 @@ def create_app(state: ServerState) -> web.Application:
         w = float(request.query.get("vector_weight", 0.7))
         kinds = request.query.get("kind")
         t0 = time.perf_counter()
-        res = cx.search_hybrid(
+        res = await asyncio.to_thread(
+            cx.search_hybrid,
             q, anchors=anchors, limit=limit, vector_weight=w,
             kind_filter=kinds.split(",") if kinds else None,
             max_anchor_depth=int(request.query.get("max_anchor_depth", 3)))
@@ -343,7 +348,7 @@ def create_app(state: ServerState) -> web.Application:
         agent_id = request.match_info["agent_id"]
         compact = request.query.get("compact") == "true"
         fmt = request.query.get("format", "text")
-        b = cx.briefing_engine.generate(agent_id)
+        b = await asyncio.to_thread(cx.briefing_engine.generate, agent_id)
         if fmt == "json":
             return json_ok({
                 "agent_id": b.agent_id, "generated_at": b.generated_at,

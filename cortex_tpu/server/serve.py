@@ -121,6 +121,9 @@ class Server:
                 self._nats_loop(config.server.nats_url),
                 name="nats-ingest"))
 
+        if config.server.warmup:
+            await asyncio.to_thread(self._warmup)
+
         # gRPC (serve.rs:292-339)
         self.grpc_server = create_grpc_server(
             self.state, config.server.grpc_addr)
@@ -138,6 +141,33 @@ class Server:
         log.info("cortex serving: grpc=%s http=%s data=%s",
                  config.server.grpc_addr, config.server.http_addr,
                  config.server.data_dir)
+
+    def _warmup(self) -> None:
+        """Pre-compile the hot device programs (index insert/scatter,
+        filtered + unfiltered search) on a throwaway corpus BEFORE the
+        ports open — first-compile latency belongs to boot, not to the
+        first user request (XLA compiles cache by shape process-wide).
+        The reference's preflight (redb_storage.rs:126-158) fails fast
+        at boot for the same reason."""
+        import numpy as _np
+        import time as _time
+        from ..vector import TpuFlatIndex, VectorFilter
+        t0 = _time.monotonic()
+        dim = self.cortex.embedder.dimension
+        scratch = TpuFlatIndex(
+            dim, storage_dtype=self.config.embedding.device_dtype)
+        rng = _np.random.default_rng(0)
+        vecs = rng.normal(size=(8, dim)).astype(_np.float32)
+        scratch.insert_batch([f"w{i}" for i in range(8)], vecs,
+                             kinds=["fact"] * 8, agents=["warm"] * 8)
+        scratch.search_batch(vecs[:1], 10)                    # plain (k=16)
+        scratch.search_batch(vecs[:1], 5)                     # gate's k (8)
+        scratch.search_batch(vecs[:1], 10,
+                             VectorFilter(kinds=["fact"]))    # filtered
+        scratch.insert("w9", vecs[0], kind="fact", source_agent="warm")
+        scratch.search_batch(vecs[:1], 10)                    # scatter
+        self.cortex.embedder.embed("warmup text")
+        log.info("device warmup done in %.1fs", _time.monotonic() - t0)
 
     # ----------------------------------------------------------- background
     async def _linker_loop(self) -> None:

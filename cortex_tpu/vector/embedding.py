@@ -129,6 +129,13 @@ class STEmbedder(EmbeddingService):
     def __init__(self, model_name: str = "BAAI/bge-small-en-v1.5",
                  device: str = "cpu"):
         try:
+            # sentence_transformers silently RANDOM-INITIALIZES a model
+            # when the name looks like a known architecture but no
+            # weights are cached ("No modules.json found ...") — which
+            # would mean garbage, per-process-different embeddings.
+            # Require actual cached weights first.
+            from huggingface_hub import snapshot_download
+            snapshot_download(model_name, local_files_only=True)
             from sentence_transformers import SentenceTransformer
             self._model = SentenceTransformer(model_name, device=device,
                                               local_files_only=True)

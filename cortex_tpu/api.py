@@ -97,6 +97,16 @@ class Cortex:
         self.storage.close()
 
     # ------------------------------------------------------------ mutation
+    def _apply_classifiers(self, node: Node) -> None:
+        """classifier plugins enrich metadata; faults never block writes."""
+        for clf in self.classifiers:
+            try:
+                label = clf(node)
+                if label:
+                    node.metadata.setdefault("classification", label)
+            except Exception:  # noqa: BLE001
+                pass
+
     def _on_write(self) -> None:
         self.graph.invalidate()
         self.graph_version.bump()
@@ -106,13 +116,7 @@ class Cortex:
         """Embed + persist + index + fire hooks (api.rs:99-114). With
         gate=True the 4-check write gate runs first and raises
         GateRejection on failure."""
-        for clf in self.classifiers:    # classifier plugins enrich metadata
-            try:
-                label = clf(node)
-                if label:
-                    node.metadata.setdefault("classification", label)
-            except Exception:  # noqa: BLE001 — plugin faults never block writes
-                pass
+        self._apply_classifiers(node)
         if node.embedding is None:
             node.embedding = self.embedder.embed_node(node).tolist()
         if gate:
@@ -135,15 +139,8 @@ class Cortex:
                     actor: str = "library") -> List[str]:
         """Batch admission: one embed_batch + one device upload — the
         idiomatic TPU ingest path (SURVEY §3.2 consequence)."""
-        if self.classifiers:
-            for n in nodes:
-                for clf in self.classifiers:
-                    try:
-                        label = clf(n)
-                        if label:
-                            n.metadata.setdefault("classification", label)
-                    except Exception:  # noqa: BLE001
-                        pass
+        for n in nodes:
+            self._apply_classifiers(n)
         missing = [n for n in nodes if n.embedding is None]
         if missing:
             embs = self.embedder.embed_nodes(missing)
@@ -360,4 +357,9 @@ def open_embedded(config: CortexConfig):
     if config.security.encryption_at_rest:
         guard = EncryptedDbGuard(db_path + ".enc", derive_key())
         db_path = guard.plain_path
-    return Cortex.open(db_path, config), guard
+    try:
+        return Cortex.open(db_path, config), guard
+    except BaseException:
+        if guard is not None:
+            guard.close()   # never leave plaintext behind on a failed open
+        raise

@@ -63,10 +63,12 @@ class CliContext:
         return self._cortex
 
     def close(self):
-        if self._cortex is not None:
-            self._cortex.close()
-        if getattr(self, "_guard", None) is not None:
-            self._guard.close()   # re-encrypt at rest
+        try:
+            if self._cortex is not None:
+                self._cortex.close()
+        finally:
+            if getattr(self, "_guard", None) is not None:
+                self._guard.close()   # re-encrypt at rest, always
 
     # ------------------------------------------------------------- remote
     def http(self, method: str, path: str, *, params=None,

@@ -82,11 +82,20 @@ class ShardedCorpus(DeviceCorpus):
         super().__init__(dim, use_pallas=False)
         self.mesh = mesh or build_mesh()
         self._n_dev = int(self.mesh.devices.size)
+        from ..vector.shard import MIN_CAP
+        if MIN_CAP % self._n_dev != 0:
+            from ..errors import IndexError_
+            raise IndexError_(
+                f"mesh size {self._n_dev} must divide the capacity "
+                f"ladder (powers of two from {MIN_CAP}); use a "
+                f"power-of-two submesh, e.g. build_mesh("
+                f"{1 << (self._n_dev.bit_length() - 1)})")
 
     def _grow(self, need: int) -> None:
-        # capacity must split evenly across shards; MIN_CAP=1024 and
-        # doubling keep that true for any power-of-two device count
         super()._grow(need)
+        # capacity ladder is 1024*2^m, so divisibility follows from the
+        # power-of-two mesh enforced in __init__
+        assert self._cap % self._n_dev == 0
 
     def sync(self) -> None:
         with self._lock:

@@ -54,12 +54,21 @@ class EmbedBatcher:
             for j, (_, fut) in enumerate(batch):
                 if not fut.done():
                     fut.set_result(np.asarray(embs[j], np.float32))
-        except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
-            for _, fut in batch:
+        except BaseException as e:  # incl. CancelledError — a swapped
+            for _, fut in batch:    # batch must never strand its waiters
                 if not fut.done():
-                    fut.set_exception(e)
+                    fut.set_exception(
+                        e if isinstance(e, Exception)
+                        else RuntimeError("embed batch cancelled"))
+            if not isinstance(e, Exception):
+                raise
 
     async def close(self) -> None:
+        # let an in-flight flush finish (cancelling it would only force
+        # the stranded-waiter path); then flush whatever is left
         if self._flusher is not None and not self._flusher.done():
-            self._flusher.cancel()
+            try:
+                await self._flusher
+            except Exception:  # noqa: BLE001
+                pass
         await self._flush()

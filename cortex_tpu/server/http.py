@@ -176,11 +176,18 @@ def create_app(state: ServerState) -> web.Application:
         else:
             n.embedding = cx.embedder.embed_node(n).tolist()
         # device work (conflict-check search) off the event loop — a
-        # first-compile stall must not freeze /health and the SSE bus
-        rej = await asyncio.to_thread(
-            WriteGate.check_all,
-            n, np.asarray(n.embedding, np.float32), cx.index, cx.storage,
-            cx.config.write_gate, cx.schema_validator, skip_quality=skip)
+        # first-compile stall must not freeze /health and the SSE bus.
+        # gate+store run under the admission lock: concurrent duplicate
+        # POSTs must see each other's writes in the conflict check
+        # (without it, both pass the gate before either is stored)
+        async with state.write_lock:
+            rej = await asyncio.to_thread(
+                WriteGate.check_all,
+                n, np.asarray(n.embedding, np.float32), cx.index,
+                cx.storage, cx.config.write_gate, cx.schema_validator,
+                skip_quality=skip)
+            if rej is None:
+                await asyncio.to_thread(cx.store, n, actor=n.source.agent)
         if rej is not None:
             state.metrics.record_gate("reject", rej.check)
             return json_err(rej.reason, 422, extra={
@@ -188,7 +195,6 @@ def create_app(state: ServerState) -> web.Application:
                 "existing_node": rej.existing_node,
                 "existing_title": rej.existing_title})
         state.metrics.record_gate("skip" if skip else "pass")
-        await asyncio.to_thread(cx.store, n, actor=n.source.agent)
         return json_ok(node_json(n), status=201)
 
     async def list_nodes(request):

@@ -222,18 +222,37 @@ class Server:
 
     async def _stdin_loop(self) -> None:
         """JSONL events on stdin -> batched node admission
-        (cortex-server/src/ingest/stdin.rs)."""
+        (cortex-server/src/ingest/stdin.rs). Batches flush at 32 events
+        OR after 1s of quiet, so a trickling producer's events are not
+        withheld; any malformed line is skipped (log-and-continue)."""
         import sys
         from ..ingest import IngestEvent
         loop = asyncio.get_running_loop()
         buffer = []
+
+        async def flush():
+            if not buffer:
+                return
+            batch, buffer[:] = list(buffer), []
+            try:
+                await asyncio.to_thread(
+                    self.cortex.store_batch,
+                    [e.to_node() for e in batch], actor="stdin")
+            except Exception:
+                log.exception("stdin ingest batch failed (continuing)")
+
+        pending = None
         while True:
-            line = await loop.run_in_executor(None, sys.stdin.readline)
+            if pending is None:
+                pending = loop.run_in_executor(None, sys.stdin.readline)
+            done, _ = await asyncio.wait({pending}, timeout=1.0)
+            if not done:            # quiet second: flush the trickle
+                await flush()
+                continue
+            line = pending.result()
+            pending = None
             if not line:            # EOF: flush and stop
-                if buffer:
-                    await asyncio.to_thread(
-                        self.cortex.store_batch,
-                        [e.to_node() for e in buffer], actor="stdin")
+                await flush()
                 return
             line = line.strip()
             if not line:
@@ -241,16 +260,10 @@ class Server:
             try:
                 import json as _json
                 buffer.append(IngestEvent.from_json(_json.loads(line)))
-            except (ValueError, TypeError):
-                continue            # malformed line: skip
+            except Exception:       # noqa: BLE001 — any malformed frame
+                log.debug("stdin: skipping malformed line")
             if len(buffer) >= 32:   # batch admission
-                batch, buffer = buffer, []
-                try:
-                    await asyncio.to_thread(
-                        self.cortex.store_batch,
-                        [e.to_node() for e in batch], actor="stdin")
-                except Exception:
-                    log.exception("stdin ingest batch failed (continuing)")
+                await flush()
 
     async def _nats_loop(self, url: str) -> None:
         try:

@@ -133,9 +133,12 @@ class STEmbedder(EmbeddingService):
             # when the name looks like a known architecture but no
             # weights are cached ("No modules.json found ...") — which
             # would mean garbage, per-process-different embeddings.
-            # Require actual cached weights first.
-            from huggingface_hub import snapshot_download
-            snapshot_download(model_name, local_files_only=True)
+            # Require actual weights: a local model directory, or a
+            # cached hub snapshot.
+            import os as _os
+            if not _os.path.isdir(model_name):
+                from huggingface_hub import snapshot_download
+                snapshot_download(model_name, local_files_only=True)
             from sentence_transformers import SentenceTransformer
             self._model = SentenceTransformer(model_name, device=device,
                                               local_files_only=True)

@@ -167,8 +167,13 @@ class TpuFlatIndex(VectorIndex):
         if meta["dim"] != self.dim:
             raise IndexError_(
                 f"snapshot dim {meta['dim']} != index dim {self.dim}")
+        import jax.numpy as _jnp
+        dtype_str = ("bfloat16"
+                     if self._corpus._storage_dtype == _jnp.bfloat16
+                     else "float32")
         self._corpus = DeviceCorpus(self.dim,
-                                    use_pallas=self._corpus._use_pallas)
+                                    use_pallas=self._corpus._use_pallas,
+                                    storage_dtype=dtype_str)
         if meta["ids"]:
             self._corpus.upsert_batch(meta["ids"], z["vectors"],
                                       meta["kinds"], meta["agents"])

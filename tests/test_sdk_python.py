@@ -167,6 +167,38 @@ class TestRestClient:
         with pytest.raises(CortexClientError):
             cx.relate("missing-a", "missing-b", "led_to")
 
+    def test_mcp_remote_backend(self, live_server):
+        """The MCP remote backend proxies every tool over the same REST
+        wire (mcp/mod.rs remote mode)."""
+        import json as _json
+        from cortex_tpu.server.mcp import McpServer, RemoteBackend
+        srv = McpServer(RemoteBackend(live_server))
+
+        def call(name, arguments):
+            resp = srv.handle({"jsonrpc": "2.0", "id": 1,
+                               "method": "tools/call",
+                               "params": {"name": name,
+                                          "arguments": arguments}})
+            result = resp["result"]
+            return result["isError"], result["content"][0]["text"]
+
+        err, text = call("cortex_store", {
+            "kind": "fact", "title": "MCP remote stored this",
+            "body": "Stored through the remote backend over REST."})
+        assert not err
+        nid = _json.loads(text)["id"]
+        err, text = call("cortex_search",
+                         {"query": "MCP remote stored"})
+        assert not err and nid in text
+        err, text = call("cortex_relate", {
+            "from_id": nid, "to_id": nid, "relation": "related_to"})
+        assert err    # self-edge rejected by the server, surfaced as tool error
+        resp = srv.handle({"jsonrpc": "2.0", "id": 2,
+                           "method": "resources/read",
+                           "params": {"uri": "cortex://stats"}})
+        stats = _json.loads(resp["result"]["contents"][0]["text"])
+        assert stats["node_count"] >= 1
+
     def test_unreachable_server(self):
         cx = Cortex("http://127.0.0.1:1")
         with pytest.raises(CortexClientError, match="cannot reach"):

@@ -165,11 +165,24 @@ class AutoLinker:
 
         if batch:
             self._ensure_embeddings(batch)
-            # ONE batched device search for all new nodes' candidates
             queries = np.stack([np.asarray(n.embedding, np.float32)
                                 for n in batch])
-            all_hits = self.index.search_batch(
-                queries, self.config.candidate_k)
+            # pipelined candidate search: dispatch chunk searches
+            # back-to-back (JAX dispatch is async) so device execution
+            # and transfer overlap the host rule evaluation below; on a
+            # network-attached TPU this also overlaps the round trips
+            chunk = 128
+            if (len(batch) > chunk
+                    and hasattr(self.index, "search_batch_async")):
+                finishers = [self.index.search_batch_async(
+                    queries[s:s + chunk], self.config.candidate_k)
+                    for s in range(0, len(batch), chunk)]
+                all_hits = []
+                for fin in finishers:
+                    all_hits.extend(fin())
+            else:
+                all_hits = self.index.search_batch(
+                    queries, self.config.candidate_k)
 
             node_cache: Dict[str, Node] = {n.id: n for n in batch}
 

@@ -126,18 +126,28 @@ class TpuFlatIndex(VectorIndex):
     def search_batch(self, vectors: np.ndarray, k: int,
                      flt: Optional[VectorFilter] = None
                      ) -> List[List[SearchHit]]:
+        return self.search_batch_async(vectors, k, flt)()
+
+    def search_batch_async(self, vectors: np.ndarray, k: int,
+                           flt: Optional[VectorFilter] = None):
+        """Dispatch without fetching; returns a zero-arg callable that
+        blocks for the hits. Lets callers overlap several searches with
+        host work (JAX dispatch is async)."""
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim != 2:
             raise IndexError_("search_batch expects [B, d]")
         flt = flt or VectorFilter()
-        scores, ids = self._corpus.topk(
+        finish = self._corpus.topk_async(
             vectors, k, kinds=flt.kinds, agent=flt.source_agent,
             exclude_ids=flt.exclude_ids)
-        out: List[List[SearchHit]] = []
-        for b in range(vectors.shape[0]):
-            out.append([(nid, float(scores[b, j]))
-                        for j, nid in enumerate(ids[b]) if nid is not None])
-        return out
+        b_count = vectors.shape[0]
+
+        def done() -> List[List[SearchHit]]:
+            scores, ids = finish()
+            return [[(nid, float(scores[b, j]))
+                     for j, nid in enumerate(ids[b]) if nid is not None]
+                    for b in range(b_count)]
+        return done
 
     def __len__(self) -> int:
         return len(self._corpus)

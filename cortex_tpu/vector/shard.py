@@ -366,15 +366,54 @@ class DeviceCorpus:
             v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
                                  self._dev[3], ak, aa, ex, q,
                                  k=k_bucket, path=path, over=over)
-            v = np.asarray(v)[:, :kk]
-            i = np.asarray(i)[:, :kk]
-            if kk < k:
-                v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
-                i = np.pad(i, ((0, 0), (0, k - kk)))
+            return self._finish_topk(v, i, k, kk)
+
+    def _finish_topk(self, v, i, k: int, kk: int):
+        """Fetch device results and map rows -> ids."""
+        v = np.asarray(v)[:, :kk]
+        i = np.asarray(i)[:, :kk]
+        if kk < k:
+            v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            i = np.pad(i, ((0, 0), (0, k - kk)))
+        with self._lock:
             ids = [[self._id_of[r] if v[b_, j] > -1e29 else None
                     for j, r in enumerate(row)]
                    for b_, row in enumerate(i)]
-            return v, ids
+        return v, ids
+
+    def topk_async(self, queries: np.ndarray, k: int, *,
+                   kinds: Optional[Sequence[str]] = None,
+                   agent: Optional[str] = None,
+                   exclude_ids: Optional[Sequence[str]] = None):
+        """Dispatch a search WITHOUT fetching: returns a zero-arg
+        callable that blocks for the result. JAX dispatch is async, so
+        callers can issue several searches back-to-back and overlap
+        device execution/transfer with host work (the auto-linker's
+        pipelined cycle)."""
+        with self._lock:
+            if len(self._row_of) == 0:
+                b = queries.shape[0]
+                empty = (np.full((b, k), NEG_INF, np.float32),
+                         [[None] * k for _ in range(b)])
+                return lambda: empty
+            self.sync()
+            q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
+            ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
+            kk = min(k, self._cap)
+            k_bucket = 8
+            while k_bucket < kk:
+                k_bucket *= 2
+            k_bucket = min(k_bucket, self._cap)
+            if self._use_pallas and self._cap >= 4096 and k_bucket <= 64:
+                path, over = "approx", 256
+            elif self._use_pallas and self._cap >= 4096:
+                path, over = "pallas", 0
+            else:
+                path, over = "xla", 0
+            v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
+                                 self._dev[3], ak, aa, ex, q,
+                                 k=k_bucket, path=path, over=over)
+        return lambda: self._finish_topk(v, i, k, kk)
 
     # ------------------------------------------------------------- snapshot
     def state(self) -> Dict[str, np.ndarray]:

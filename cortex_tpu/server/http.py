@@ -234,7 +234,7 @@ def create_app(state: ServerState) -> web.Application:
             n.tags = list(body["tags"])
         if "metadata" in body:
             n.metadata = dict(body["metadata"])
-        cx.update_node(n)
+        await asyncio.to_thread(cx.update_node, n)   # re-embeds on device
         return json_ok(node_json(n))
 
     async def delete_node(request):

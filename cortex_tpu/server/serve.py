@@ -173,14 +173,18 @@ class Server:
     async def _linker_loop(self) -> None:
         """Every interval: linker cycle -> metrics mirror -> retention
         sweep/purge (serve.rs:194-235). Errors log-and-continue."""
+        from ..utils import span
         interval = self.config.auto_linker.interval_secs
         while True:
             await asyncio.sleep(interval)
             try:
-                m = await asyncio.to_thread(self.cortex.run_linker_cycle)
+                with span("linker.cycle", level=logging.INFO):
+                    m = await asyncio.to_thread(
+                        self.cortex.run_linker_cycle)
                 self.state.metrics.mirror_linker(m)
                 self.state.metrics.mirror_storage(self.cortex.stats())
-                await asyncio.to_thread(self.cortex.run_retention)
+                with span("retention.sweep"):
+                    await asyncio.to_thread(self.cortex.run_retention)
             except Exception:
                 log.exception("auto-linker cycle failed (continuing)")
 

@@ -237,8 +237,14 @@ class Cortex:
         out = [(float(final[i]), nodes[i]) for i in order]
         if record_access:
             for _, n in out:
-                n.record_access()
-                self.storage.put_node(n)
+                if self.linker.decay_engine.should_reinforce(n):
+                    # echo: reset the decay clock on the node's edges,
+                    # throttled to once per access_reinforcement_days
+                    # (decay.rs:104-135; bumps access_count itself)
+                    self.linker.decay_engine.reinforce(n.id)
+                else:
+                    n.record_access()
+                    self.storage.put_node(n)
         return out
 
     def search_hybrid(self, query: str, anchors: Sequence[str] = (),

@@ -132,23 +132,32 @@ class GraphEngine:
         return degrees[:limit]
 
     def find_cycles(self, max_cycles: int = 100) -> List[List[str]]:
-        """Directed cycles via DFS with colored marks (engine.rs:371-401)."""
+        """Directed cycles via colored DFS (engine.rs:371-401),
+        iterative — deep chains must not hit Python's recursion limit."""
         WHITE, GRAY, BLACK = 0, 1, 2
         color: Dict[str, int] = {}
         cycles: List[List[str]] = []
-        path: List[str] = []
 
         ids = [n.id for n in self.storage.list_nodes(NodeFilter())]
         for nid in ids:
             color.setdefault(nid, WHITE)
 
-        def dfs(u: str) -> None:
-            if len(cycles) >= max_cycles:
-                return
-            color[u] = GRAY
-            path.append(u)
-            for a in self.cache.outgoing(u):
-                v = a.neighbor
+        for start in ids:
+            if color[start] != WHITE or len(cycles) >= max_cycles:
+                continue
+            # stack holds (node, iterator over its outgoing neighbors)
+            path: List[str] = [start]
+            color[start] = GRAY
+            stack = [(start, iter(self.cache.outgoing(start)))]
+            while stack and len(cycles) < max_cycles:
+                u, it = stack[-1]
+                adv = next(it, None)
+                if adv is None:
+                    stack.pop()
+                    path.pop()
+                    color[u] = BLACK
+                    continue
+                v = adv.neighbor
                 c = color.get(v, WHITE)
                 if c == GRAY:
                     try:
@@ -156,18 +165,10 @@ class GraphEngine:
                         cycles.append(path[i:] + [v])
                     except ValueError:
                         pass
-                    if len(cycles) >= max_cycles:
-                        break
                 elif c == WHITE and v in color:
-                    dfs(v)
-            path.pop()
-            color[u] = BLACK
-
-        for nid in ids:
-            if color[nid] == WHITE:
-                dfs(nid)
-            if len(cycles) >= max_cycles:
-                break
+                    color[v] = GRAY
+                    path.append(v)
+                    stack.append((v, iter(self.cache.outgoing(v))))
         return cycles
 
     def components(self) -> List[List[str]]:

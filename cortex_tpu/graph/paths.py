@@ -143,7 +143,15 @@ def _yen(cache: AdjacencyCache, req: PathRequest) -> List[Path]:
     if first is None:
         return []
     found = [first]
-    candidates: List[Tuple[int, float, Path]] = []   # (length, -weight, path)
+    # candidate ordering must match the dispatch's notion of "shortest":
+    # hop count for unweighted queries, max product for weighted ones
+    # ("shortest under weights = maximum product", _dijkstra above)
+    weighted = req.min_weight is not None
+
+    def key(edges_len: int, w: float):
+        return (-w, edges_len) if weighted else (edges_len, -w)
+
+    candidates: List[Tuple] = []
     seen_paths = {tuple(first.nodes)}
     while len(found) < req.max_paths:
         base = found[-1]
@@ -171,10 +179,12 @@ def _yen(cache: AdjacencyCache, req: PathRequest) -> List[Path]:
             edges = root_edges + sp.edges
             w = _product(cache, nodes, edges)
             seen_paths.add(tuple(nodes))
-            heapq.heappush(candidates, (len(edges), -w, Path(nodes, edges, w)))
+            k1, k2 = key(len(edges), w)
+            heapq.heappush(candidates,
+                           (k1, k2, id(nodes), Path(nodes, edges, w)))
         if not candidates:
             break
-        _, _, best = heapq.heappop(candidates)
+        _, _, _, best = heapq.heappop(candidates)
         found.append(best)
     return found
 

@@ -195,7 +195,16 @@ class AutoLinker:
                 return n
 
             feat_cache = FeatureCache()   # per-node text features, cycle-scoped
+            cap = self.config.max_edges_per_cycle
             for j, node in enumerate(batch):
+                if len(proposed) >= cap:
+                    # edge budget exhausted: stop BEFORE advancing the
+                    # cursor past this node so the remaining nodes are
+                    # rescanned next cycle instead of silently losing
+                    # their links (the cursor filter is created_at >
+                    # cursor)
+                    self.metrics.backlog_size += len(batch) - j
+                    break
                 existing: Set[Tuple[str, str]] = {
                     (e.to_id, e.relation)
                     for e in self.storage.edges_from(node.id)}
@@ -226,7 +235,7 @@ class AutoLinker:
                 if node.created_at > self.cursor:
                     self.cursor = node.created_at
 
-        for e in proposed[:self.config.max_edges_per_cycle]:
+        for e in proposed:
             try:
                 self.storage.put_edge(e.to_edge())
                 self.metrics.add_edges_created(1)

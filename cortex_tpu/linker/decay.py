@@ -94,7 +94,9 @@ class DecayEngine:
 
     def reinforce(self, node_id: str) -> int:
         """Reset the decay timer on all edges of an accessed node and bump
-        its access count (decay.rs:104-135)."""
+        its access count (decay.rs:104-135). Called from the search
+        access-recording path, throttled by access_reinforcement_days
+        (a node reinforces its edges at most once per window)."""
         now = time.time()
         edges = self.storage.edges_from(node_id) + self.storage.edges_to(node_id)
         for e in edges:
@@ -103,9 +105,14 @@ class DecayEngine:
         node = self.storage.get_node(node_id)
         if node is not None:
             node.access_count += 1
+            node.last_accessed_at = now
             node.updated_at = now
             self.storage.put_node(node)
         return len(edges)
+
+    def should_reinforce(self, node) -> bool:
+        idle_days = (time.time() - node.last_accessed_at) / 86400.0
+        return idle_days >= self.config.access_reinforcement_days
 
     def get_pruned_edges(self) -> List[str]:
         return [e.id for e in self.storage.all_edges()

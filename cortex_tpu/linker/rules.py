@@ -3,7 +3,8 @@
 Parity: crates/cortex-core/src/linker/rules.rs —
   SimilarityLinkRule (:40-62), StructuralRule variants with default
   weights (:66-268): same_agent 0.3, temporal_proximity 30min/0.4,
-  shared_tags >=2 base 0.5 (+0.1 per extra, capped at 1.0),
+  shared_tags >=2 base 0.5 (x(1 + 0.1 per extra), capped at 1.0 —
+  rules.rs:181 multiplies the base),
   decision->event same-session led_to 0.6,
   observation->pattern sim>=0.7 instance_of 0.7,
   fact_supersedes Jaccard-title>=0.9 newer->older supersedes 0.9;

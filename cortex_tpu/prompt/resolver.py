@@ -159,6 +159,10 @@ class PromptResolver:
             context_weights=content.context_weights)
         node = Node.new("prompt", f"{content.slug}@{branch}/v{version}",
                         full.to_json(), Source(agent=author), 0.7)
+        if content.context_weights:
+            # selection reads context_weights from node.metadata (the
+            # serving path never parses the body JSON per request)
+            node.metadata["context_weights"] = dict(content.context_weights)
         return node
 
     def create_prompt(self, content: PromptContent, branch: str = "main",

@@ -235,7 +235,12 @@ class RollbackMonitor:
         dep.updated_at = time.time()
         self.storage.put_node(dep)
 
-        if n >= window:
+        if n > window:
+            # window exhausted on a PREVIOUS observation (this one was
+            # the n>window case marked stable above); the boundary
+            # observation itself — n == window — still gets evaluated,
+            # otherwise a degradation completing exactly at the window
+            # could never trigger
             return None
         if n < self.config.min_samples_before_check:
             return None

@@ -336,12 +336,19 @@ def _apply_field(f: FieldFilter, flt: NodeFilter) -> None:
     elif f.field == "agent":
         flt.source_agent = f.values[0]
     elif f.field == "importance":
-        if f.op in (GT, GTE, EQ):
+        if f.op in (GT, GTE):
             flt.min_importance = f.number
+        elif f.op == EQ:
+            flt.min_importance = f.number
+            flt.max_importance = f.number
+        elif f.op == LTE:
+            flt.max_importance = f.number
+        elif f.op == LT:
+            # NodeFilter bounds are inclusive; step just below for strict <
+            flt.max_importance = f.number - 1e-9
         else:
             raise CompileError(
-                f"importance{f.op}{f.number} cannot be compiled: NodeFilter "
-                "only supports minimum importance (>, >=, =)")
+                f"importance{f.op}{f.number}: unsupported operator")
     elif f.field == "created_after":
         flt.created_after = f.when
     elif f.field == "created_before":
@@ -369,12 +376,18 @@ def _collect_into(e: FilterExpr, flt: NodeFilter) -> None:
         lt_ = e.left
         rt = e.right
         if (lt_.kind == "field" and rt.kind == "field"
-                and lt_.field.field == rt.field.field
-                and lt_.field.field in ("kind", "tags")):
-            _apply_field(FieldFilter(field=lt_.field.field,
-                                     values=lt_.field.values
-                                     + rt.field.values), flt)
-            return
+                and lt_.field.field == rt.field.field):
+            if lt_.field.field == "kind":
+                _apply_field(FieldFilter(field="kind",
+                                         values=lt_.field.values
+                                         + rt.field.values), flt)
+                return
+            if lt_.field.field == "tags":
+                # OR of tags = match ANY (NodeFilter.tags is ALL-of)
+                flt.tags_any = ((flt.tags_any or [])
+                                + list(lt_.field.values)
+                                + list(rt.field.values))
+                return
         raise CompileError(
             "OR is only supported between the same field type (e.g. kind:a "
             "OR kind:b). Complex OR expressions cannot be compiled to a "

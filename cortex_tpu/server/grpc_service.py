@@ -65,7 +65,7 @@ class CortexServiceImpl:
                      Source(agent=req.source_agent or "grpc",
                             session=req.source_session or None,
                             channel=req.source_channel or None),
-                     req.importance or 0.5)
+                     req.importance if req.HasField("importance") else 0.5)
         n.tags = list(req.tags)
         if req.metadata_json:
             n.metadata = json.loads(req.metadata_json)
@@ -124,7 +124,7 @@ class CortexServiceImpl:
     # ------------------------------------------------------------- edges
     def CreateEdge(self, req, ctx):
         e = Edge.new(req.from_id, req.to_id, req.relation or "related_to",
-                     req.weight or 1.0,
+                     req.weight if req.HasField("weight") else 1.0,
                      provenance_from_pb("manual", req.created_by or "grpc",
                                         0.0))
         self.cx.create_edge(e)
@@ -190,7 +190,9 @@ class CortexServiceImpl:
         res = self.cx.search_hybrid(
             req.query, anchors=list(req.anchors),
             limit=req.limit or 10,
-            vector_weight=req.vector_weight or 0.7,
+            vector_weight=(req.vector_weight
+                           if req.HasField("vector_weight")
+                           else 0.7),
             kind_filter=list(req.kind_filter) or None,
             max_anchor_depth=req.max_anchor_depth or 3)
         return pb.HybridSearchResponse(hits=[

@@ -25,6 +25,7 @@ class NodeFilter:
 
     kinds: Optional[List[str]] = None
     tags: Optional[List[str]] = None          # node must carry ALL listed tags
+    tags_any: Optional[List[str]] = None      # node must carry AT LEAST ONE
     source_agent: Optional[str] = None
     created_after: Optional[float] = None
     created_before: Optional[float] = None
@@ -43,6 +44,9 @@ class NodeFilter:
         if self.kinds is not None and node.kind not in self.kinds:
             return False
         if self.tags is not None and not all(t in node.tags for t in self.tags):
+            return False
+        if self.tags_any is not None and not any(
+                t in node.tags for t in self.tags_any):
             return False
         if self.source_agent is not None and node.source.agent != self.source_agent:
             return False

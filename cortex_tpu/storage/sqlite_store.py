@@ -327,6 +327,11 @@ class SqliteStorage(Storage):
                 "GROUP BY node_id HAVING COUNT(DISTINCT tag)=?)")
             params.extend(f.tags)
             params.append(len(f.tags))
+        if f.tags_any:
+            where.append(
+                "id IN (SELECT node_id FROM node_tags WHERE tag IN "
+                f"({','.join('?' * len(f.tags_any))}))")
+            params.extend(f.tags_any)
         clause = (" WHERE " + " AND ".join(where)) if where else ""
         return clause, params
 

@@ -277,12 +277,37 @@ class TestQueryDsl:
             pytest.approx(0.7)
         assert parse_and_compile("importance>=0.5").min_importance == \
             pytest.approx(0.5)
-        assert parse_and_compile("importance=0.3").min_importance == \
-            pytest.approx(0.3)
+        eq = parse_and_compile("importance=0.3")
+        assert eq.min_importance == pytest.approx(0.3)
+        assert eq.max_importance == pytest.approx(0.3)   # true equality
 
-    def test_importance_lt_uncompilable(self):
-        with pytest.raises(CompileError):
-            parse_and_compile("importance<0.5")
+    def test_importance_upper_bounds(self):
+        assert parse_and_compile("importance<=0.5").max_importance == \
+            pytest.approx(0.5)
+        lt = parse_and_compile("importance<0.5")
+        assert lt.max_importance < 0.5                   # strict
+
+    def test_tags_or_is_any(self):
+        """tags:a OR tags:b must be a union, not an ALL-of intersection."""
+        from cortex_tpu.storage import MemoryStorage
+        from cortex_tpu.types import Node, Source
+        s = MemoryStorage()
+        a = Node.new("fact", "only backend tagged node",
+                     "body text", Source(agent="t"))
+        a.tags = ["backend"]
+        b = Node.new("fact", "only rust tagged node",
+                     "body text", Source(agent="t"))
+        b.tags = ["rust"]
+        c = Node.new("fact", "untagged node here",
+                     "body text", Source(agent="t"))
+        for n in (a, b, c):
+            s.put_node(n)
+        f = parse_and_compile("tags:backend OR tags:rust")
+        got = {n.id for n in s.list_nodes(f)}
+        assert got == {a.id, b.id}
+        # AND list form stays ALL-of
+        f2 = parse_and_compile("tags:backend,rust")
+        assert s.list_nodes(f2) == []
 
     def test_created_after_relative(self):
         f = parse_and_compile("created_after:7d")

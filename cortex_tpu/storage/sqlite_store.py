@@ -226,42 +226,47 @@ class SqliteStorage(Storage):
 
     # ----------------------------------------------------------------- nodes
     def put_node(self, node: Node, *, actor: str = "system") -> None:
+        with self._lock:
+            self._put_node_nocommit(node, actor=actor)
+            self._db.commit()
+
+    def _put_node_nocommit(self, node: Node, *, actor: str) -> None:
+        """Upsert without committing; callers hold the lock and commit
+        (put_node per row; put_nodes_batch once per batch)."""
         node.validate()
         blob, dim = _emb_to_blob(node.embedding)
-        with self._lock:
-            existed = self._db.execute(
-                "SELECT 1 FROM nodes WHERE id=?", (node.id,)).fetchone()
-            self._db.execute(
-                "INSERT INTO nodes (id, kind, title, body, metadata, tags, "
-                "embedding, embedding_dim, source_agent, source_session, "
-                "source_channel, importance, access_count, last_accessed_at, "
-                "created_at, updated_at, deleted) "
-                "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?) "
-                "ON CONFLICT(id) DO UPDATE SET kind=excluded.kind, "
-                "title=excluded.title, body=excluded.body, "
-                "metadata=excluded.metadata, tags=excluded.tags, "
-                "embedding=excluded.embedding, embedding_dim=excluded.embedding_dim, "
-                "source_agent=excluded.source_agent, "
-                "source_session=excluded.source_session, "
-                "source_channel=excluded.source_channel, "
-                "importance=excluded.importance, "
-                "access_count=excluded.access_count, "
-                "last_accessed_at=excluded.last_accessed_at, "
-                "created_at=excluded.created_at, updated_at=excluded.updated_at, "
-                "deleted=excluded.deleted",
-                (node.id, node.kind, node.title, node.body,
-                 json.dumps(node.metadata), json.dumps(node.tags), blob, dim,
-                 node.source.agent, node.source.session, node.source.channel,
-                 node.importance, node.access_count, node.last_accessed_at,
-                 node.created_at, node.updated_at, int(node.deleted)))
-            # tag secondary index maintenance (redb_storage.rs:250-304)
-            self._db.execute("DELETE FROM node_tags WHERE node_id=?", (node.id,))
-            self._db.executemany(
-                "INSERT OR IGNORE INTO node_tags(node_id, tag) VALUES (?,?)",
-                [(node.id, t) for t in node.tags])
-            self._audit("node_updated" if existed else "node_created",
-                        node.id, actor)
-            self._db.commit()
+        existed = self._db.execute(
+            "SELECT 1 FROM nodes WHERE id=?", (node.id,)).fetchone()
+        self._db.execute(
+            "INSERT INTO nodes (id, kind, title, body, metadata, tags, "
+            "embedding, embedding_dim, source_agent, source_session, "
+            "source_channel, importance, access_count, last_accessed_at, "
+            "created_at, updated_at, deleted) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?) "
+            "ON CONFLICT(id) DO UPDATE SET kind=excluded.kind, "
+            "title=excluded.title, body=excluded.body, "
+            "metadata=excluded.metadata, tags=excluded.tags, "
+            "embedding=excluded.embedding, embedding_dim=excluded.embedding_dim, "
+            "source_agent=excluded.source_agent, "
+            "source_session=excluded.source_session, "
+            "source_channel=excluded.source_channel, "
+            "importance=excluded.importance, "
+            "access_count=excluded.access_count, "
+            "last_accessed_at=excluded.last_accessed_at, "
+            "created_at=excluded.created_at, updated_at=excluded.updated_at, "
+            "deleted=excluded.deleted",
+            (node.id, node.kind, node.title, node.body,
+             json.dumps(node.metadata), json.dumps(node.tags), blob, dim,
+             node.source.agent, node.source.session, node.source.channel,
+             node.importance, node.access_count, node.last_accessed_at,
+             node.created_at, node.updated_at, int(node.deleted)))
+        # tag secondary index maintenance (redb_storage.rs:250-304)
+        self._db.execute("DELETE FROM node_tags WHERE node_id=?", (node.id,))
+        self._db.executemany(
+            "INSERT OR IGNORE INTO node_tags(node_id, tag) VALUES (?,?)",
+            [(node.id, t) for t in node.tags])
+        self._audit("node_updated" if existed else "node_created",
+                    node.id, actor)
 
     def get_node(self, node_id: str) -> Optional[Node]:
         with self._lock:
@@ -444,11 +449,19 @@ class SqliteStorage(Storage):
 
     # ----------------------------------------------------------------- batch
     def put_nodes_batch(self, nodes, *, actor: str = "system") -> int:
+        """Batch upsert in ONE transaction: a per-row commit would fsync
+        the WAL per node, capping streaming ingest far below the 10k/s
+        target."""
         count = 0
         with self._lock:
-            for node in nodes:
-                self.put_node(node, actor=actor)
-                count += 1
+            try:
+                for node in nodes:
+                    self._put_node_nocommit(node, actor=actor)
+                    count += 1
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
         return count
 
     # -------------------------------------------------------------- metadata

@@ -309,6 +309,33 @@ class TestQueryDsl:
         f2 = parse_and_compile("tags:backend,rust")
         assert s.list_nodes(f2) == []
 
+    def test_fuzz_garbage_never_crashes(self):
+        """Any input must either compile or raise the DSL's own errors —
+        never an unrelated exception (parser robustness)."""
+        import random
+        import string
+        from cortex_tpu.errors import QueryParseError
+        rng = random.Random(99)
+        atoms = ["kind:fact", "tags:a", "agent:kai", "importance>0.5",
+                 "created_after:7d", "deleted:true", "limit:5", "AND",
+                 "OR", "NOT", "(", ")", ":::", ">>", "kind:", "importance>",
+                 "", "🦑", '"unterminated', "AND AND", ")(", "limit:x"]
+        for _ in range(300):
+            n = rng.randint(1, 6)
+            q = " ".join(rng.choice(atoms) for _ in range(n))
+            try:
+                parse_and_compile(q)
+            except (QueryParseError, CompileError):
+                pass   # the DSL's own failure modes are fine
+        # pure random bytes too
+        for _ in range(100):
+            q = "".join(rng.choice(string.printable) for _ in
+                        range(rng.randint(1, 40)))
+            try:
+                parse_and_compile(q)
+            except (QueryParseError, CompileError):
+                pass
+
     def test_created_after_relative(self):
         f = parse_and_compile("created_after:7d")
         assert f.created_after == pytest.approx(time.time() - 7 * 86400, abs=5)

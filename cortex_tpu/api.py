@@ -69,6 +69,11 @@ class Cortex:
                                                 self.config.prompt_rollback)
         # classifier plugins: callables node -> Optional[str]
         self.classifiers: List = []
+        # serializes gate-check + store across ALL surfaces (HTTP, gRPC,
+        # library) so concurrent near-duplicates can't both pass the
+        # conflict gate before either is stored
+        import threading
+        self.admission_lock = threading.Lock()
 
     # ------------------------------------------------------------------ boot
     @staticmethod
@@ -120,13 +125,18 @@ class Cortex:
         if node.embedding is None:
             node.embedding = self.embedder.embed_node(node).tolist()
         if gate:
-            rej = WriteGate.check_all(
-                node, np.asarray(node.embedding, np.float32), self.index,
-                self.storage, self.config.write_gate, self.schema_validator,
-                skip_quality=skip_quality)
-            if rej is not None:
-                raise GateRejectionError(rej.check, rej.reason,
-                                         rej.suggestion)
+            with self.admission_lock:
+                rej = WriteGate.check_all(
+                    node, np.asarray(node.embedding, np.float32),
+                    self.index, self.storage, self.config.write_gate,
+                    self.schema_validator, skip_quality=skip_quality)
+                if rej is not None:
+                    raise GateRejectionError(rej.check, rej.reason,
+                                             rej.suggestion)
+                return self._persist_new(node, actor)
+        return self._persist_new(node, actor)
+
+    def _persist_new(self, node: Node, actor: str) -> str:
         is_update = self.storage.get_node(node.id) is not None
         self.storage.put_node(node, actor=actor)
         self.index.insert(node.id, np.asarray(node.embedding, np.float32),
@@ -240,8 +250,9 @@ class Cortex:
                 if self.linker.decay_engine.should_reinforce(n):
                     # echo: reset the decay clock on the node's edges,
                     # throttled to once per access_reinforcement_days
-                    # (decay.rs:104-135; bumps access_count itself)
-                    self.linker.decay_engine.reinforce(n.id)
+                    # (decay.rs:104-135; bumps access_count on `n` too
+                    # so the returned object matches what's persisted)
+                    self.linker.decay_engine.reinforce(n.id, node=n)
                 else:
                     n.record_access()
                     self.storage.put_node(n)

@@ -44,6 +44,7 @@ from .rules import (ContradictionDetector, FeatureCache, ProposedEdge,
 log = logging.getLogger(__name__)
 
 CURSOR_KEY = "auto_linker_cursor"
+CURSOR_ID_KEY = "auto_linker_cursor_id"
 CYCLE_COUNT_KEY = "auto_linker_cycle_count"
 LAST_THRESHOLD_KEY = "auto_linker_last_threshold"
 LAST_MODEL_KEY = "auto_linker_last_model"
@@ -66,6 +67,11 @@ class AutoLinker:
         self.contradictions = ContradictionDetector(
             self.config.similarity.contradiction_threshold)
         self.cursor = self._load_float(CURSOR_KEY, 0.0)
+        # id tiebreak: created_at collides within tight ingest loops, and
+        # a strict > timestamp filter would skip same-timestamp siblings
+        # of the last processed node forever (UUIDv7 ids are time-ordered,
+        # so (created_at, id) is a total order)
+        self.cursor_id = self.storage.get_metadata(CURSOR_ID_KEY) or ""
         self.cycle_count = int(self._load_float(CYCLE_COUNT_KEY, 0.0))
         self.metrics.cursor = self.cursor
         self.metrics.cycles_completed = self.cycle_count
@@ -80,6 +86,7 @@ class AutoLinker:
 
     def _save_state(self) -> None:
         self.storage.put_metadata(CURSOR_KEY, repr(self.cursor))
+        self.storage.put_metadata(CURSOR_ID_KEY, self.cursor_id)
         self.storage.put_metadata(CYCLE_COUNT_KEY, str(self.cycle_count))
 
     def _check_config_change(self) -> None:
@@ -96,15 +103,17 @@ class AutoLinker:
                      "%s); resetting cursor", stored_thr, cur_thr,
                      stored_model, cur_model)
             self.cursor = 0.0
+            self.cursor_id = ""
             self.metrics.cursor = 0.0
         self.storage.put_metadata(LAST_THRESHOLD_KEY, repr(cur_thr))
         self.storage.put_metadata(LAST_MODEL_KEY, cur_model)
 
     # ----------------------------------------------------------------- scan
     def _nodes_since_cursor(self) -> List[Node]:
+        mark = (self.cursor, self.cursor_id)
         nodes = [n for n in self.storage.list_nodes(NodeFilter())
-                 if n.created_at > self.cursor]
-        nodes.sort(key=lambda n: n.created_at)
+                 if (n.created_at, n.id) > mark]
+        nodes.sort(key=lambda n: (n.created_at, n.id))
         return nodes
 
     def _ensure_embeddings(self, nodes: List[Node]) -> None:
@@ -232,8 +241,10 @@ class AutoLinker:
                                 "possible generic content", node.id,
                                 node_edge_count)
                 self.metrics.add_nodes_processed(1)
-                if node.created_at > self.cursor:
+                if (node.created_at, node.id) > (self.cursor,
+                                                 self.cursor_id):
                     self.cursor = node.created_at
+                    self.cursor_id = node.id
 
         for e in proposed:
             try:

@@ -92,26 +92,36 @@ class DecayEngine:
                     pruned_count += 1
         return pruned_count, deleted_count
 
-    def reinforce(self, node_id: str) -> int:
+    REINFORCED_AT_KEY = "_last_reinforced_at"
+
+    def reinforce(self, node_id: str, node=None) -> int:
         """Reset the decay timer on all edges of an accessed node and bump
         its access count (decay.rs:104-135). Called from the search
         access-recording path, throttled by access_reinforcement_days
-        (a node reinforces its edges at most once per window)."""
+        (a node reinforces its edges at most once per window). Pass the
+        in-memory `node` when the caller holds one so its fields stay in
+        sync with what gets persisted."""
         now = time.time()
         edges = self.storage.edges_from(node_id) + self.storage.edges_to(node_id)
         for e in edges:
             # weight unchanged; updated_at reset restarts the decay window
             self.storage.update_edge_weight_atomic(e.id, e.weight, touch=True)
-        node = self.storage.get_node(node_id)
+        if node is None:
+            node = self.storage.get_node(node_id)
         if node is not None:
             node.access_count += 1
             node.last_accessed_at = now
             node.updated_at = now
+            node.metadata[self.REINFORCED_AT_KEY] = now
             self.storage.put_node(node)
         return len(edges)
 
     def should_reinforce(self, node) -> bool:
-        idle_days = (time.time() - node.last_accessed_at) / 86400.0
+        """Throttle on the LAST REINFORCEMENT time, not last access —
+        last_accessed_at resets on every hit, which would starve
+        frequently-used nodes of reinforcement entirely."""
+        last = float(node.metadata.get(self.REINFORCED_AT_KEY, 0.0))
+        idle_days = (time.time() - last) / 86400.0
         return idle_days >= self.config.access_reinforcement_days
 
     def get_pruned_edges(self) -> List[str]:

@@ -113,37 +113,14 @@ class ShardedCorpus(DeviceCorpus):
                 self._full_resync = False
                 self._dirty.clear()
 
-    def topk(self, queries: np.ndarray, k: int, *,
-             kinds: Optional[Sequence[str]] = None,
-             agent: Optional[str] = None,
-             exclude_ids: Optional[Sequence[str]] = None
-             ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
-        with self._lock:
-            if len(self._row_of) == 0:
-                b = queries.shape[0]
-                return (np.full((b, k), NEG_INF, np.float32),
-                        [[None] * k for _ in range(b)])
-            self.sync()
-            q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
-            ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
-            kk = min(k, self._cap)
-            k_bucket = 8
-            while k_bucket < kk:
-                k_bucket *= 2
-            k_bucket = min(k_bucket, self._cap)
-            v, i = _sharded_filtered_topk(
-                self.mesh, self._dev[0], self._dev[1], self._dev[2],
-                self._dev[3], ak, aa, ex, q, k=k_bucket)
-            v = np.asarray(v)[:, :kk]
-            i = np.asarray(i)[:, :kk]
-            if kk < k:
-                v = np.pad(v, ((0, 0), (0, k - kk)),
-                           constant_values=NEG_INF)
-                i = np.pad(i, ((0, 0), (0, k - kk)))
-            ids = [[self._id_of[r] if v[b_, j] > -1e29 else None
-                    for j, r in enumerate(row)]
-                   for b_, row in enumerate(i)]
-            return v, ids
+    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int):
+        """Override the single-device dispatch with the shard_map
+        kernel (per-shard mask+matmul+top-k, ICI exact merge). The
+        base class's topk/topk_async flow — locking, k-bucketing,
+        generation-checked row->id mapping — is shared."""
+        return _sharded_filtered_topk(
+            self.mesh, self._dev[0], self._dev[1], self._dev[2],
+            self._dev[3], ak, aa, ex, q, k=k_bucket)
 
 
 class ShardedFlatIndex(TpuFlatIndex):

@@ -383,9 +383,15 @@ def _collect_into(e: FilterExpr, flt: NodeFilter) -> None:
                                          + rt.field.values), flt)
                 return
             if lt_.field.field == "tags":
+                if flt.tags_any is not None:
+                    # two separate OR-groups of tags can't merge into
+                    # one any-of list — that would turn (a OR b) AND
+                    # (c OR d) into (a OR b OR c OR d)
+                    raise CompileError(
+                        "multiple tag OR groups cannot be compiled to "
+                        "a single NodeFilter")
                 # OR of tags = match ANY (NodeFilter.tags is ALL-of)
-                flt.tags_any = ((flt.tags_any or [])
-                                + list(lt_.field.values)
+                flt.tags_any = (list(lt_.field.values)
                                 + list(rt.field.values))
                 return
         raise CompileError(

@@ -177,17 +177,20 @@ def create_app(state: ServerState) -> web.Application:
             n.embedding = cx.embedder.embed_node(n).tolist()
         # device work (conflict-check search) off the event loop — a
         # first-compile stall must not freeze /health and the SSE bus.
-        # gate+store run under the admission lock: concurrent duplicate
-        # POSTs must see each other's writes in the conflict check
-        # (without it, both pass the gate before either is stored)
-        async with state.write_lock:
-            rej = await asyncio.to_thread(
-                WriteGate.check_all,
-                n, np.asarray(n.embedding, np.float32), cx.index,
-                cx.storage, cx.config.write_gate, cx.schema_validator,
-                skip_quality=skip)
-            if rej is None:
-                await asyncio.to_thread(cx.store, n, actor=n.source.agent)
+        # gate+store run under the engine-level admission lock (shared
+        # with gRPC and library writers): concurrent duplicates must
+        # see each other's writes in the conflict check
+        def gated_store():
+            with cx.admission_lock:
+                rej = WriteGate.check_all(
+                    n, np.asarray(n.embedding, np.float32), cx.index,
+                    cx.storage, cx.config.write_gate,
+                    cx.schema_validator, skip_quality=skip)
+                if rej is None:
+                    cx.store(n, actor=n.source.agent)
+                return rej
+
+        rej = await asyncio.to_thread(gated_store)
         if rej is not None:
             state.metrics.record_gate("reject", rej.check)
             return json_err(rej.reason, 422, extra={

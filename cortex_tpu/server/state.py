@@ -19,11 +19,7 @@ class ServerState:
     batcher: Optional[object] = None   # EmbedBatcher, set by serve boot
 
     def __post_init__(self):
-        import asyncio
         self.cortex.add_hook(EventBusHook(self.bus))
-        # serializes gate-check + store so concurrent duplicates can't
-        # both pass the conflict gate
-        self.write_lock = asyncio.Lock()
         if self.auth_token is None:
             self.auth_token = self.cortex.config.security.auth_token
 

@@ -227,8 +227,14 @@ class SqliteStorage(Storage):
     # ----------------------------------------------------------------- nodes
     def put_node(self, node: Node, *, actor: str = "system") -> None:
         with self._lock:
-            self._put_node_nocommit(node, actor=actor)
-            self._db.commit()
+            try:
+                self._put_node_nocommit(node, actor=actor)
+                self._db.commit()
+            except BaseException:
+                # never leave a half-applied upsert pending on the
+                # shared connection for the next commit to absorb
+                self._db.rollback()
+                raise
 
     def _put_node_nocommit(self, node: Node, *, actor: str) -> None:
         """Upsert without committing; callers hold the lock and commit

@@ -142,6 +142,8 @@ class DeviceCorpus:
         self._id_of: List[Optional[str]] = []
         self._free: List[int] = []
         self._dirty: set[int] = set()
+        self._recycled: set[int] = set()   # freed rows, not yet reassigned
+        self._generation = 0               # bumps when a row is reassigned
         self._full_resync = True
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self.kinds = Interner()
@@ -202,6 +204,12 @@ class DeviceCorpus:
                     if not self._free:
                         self._grow(self._cap + 1)
                     row = self._free.pop()
+                    if row in self._recycled:
+                        # a previously-removed row gets a NEW id: any
+                        # in-flight search dispatched against the old
+                        # mapping must re-map (see _finish_topk)
+                        self._recycled.discard(row)
+                        self._generation += 1
                     self._row_of[nid] = row
                     self._id_of[row] = nid
                 self._emb_h[row] = vectors[j]
@@ -221,12 +229,15 @@ class DeviceCorpus:
             self._agent_h[row] = PAD_CODE
             self._id_of[row] = None
             self._free.append(row)
+            self._recycled.add(row)   # reassignment invalidates in-flight maps
             self._dirty.add(row)
             return True
 
     def compact(self) -> None:
         """Repack live rows contiguously (reference rebuild() analog)."""
         with self._lock:
+            self._generation += 1      # every row may move
+            self._recycled.clear()
             ids = [i for i in self._id_of if i is not None]
             rows = [self._row_of[i] for i in ids]
             emb = self._emb_h[rows].copy()
@@ -336,46 +347,50 @@ class DeviceCorpus:
              ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
         """Batched exact search. Returns (scores [B,k], ids [B][k]);
         dead/padded hits have score <= -1e29 and id None."""
-        with self._lock:
-            if len(self._row_of) == 0:
-                b = queries.shape[0]
-                return (np.full((b, k), NEG_INF, np.float32),
-                        [[None] * k for _ in range(b)])
-            self.sync()
-            q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
-            ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
-            # bucket k to the next power of two: distinct k values would
-            # each trigger an XLA recompile of top_k, so pay one compile
-            # per bucket and slice down
-            kk = min(k, self._cap)
-            k_bucket = 8
-            while k_bucket < kk:
-                k_bucket *= 2
-            k_bucket = min(k_bucket, self._cap)
-            if self._use_pallas and self._cap >= 4096 and k_bucket <= 64:
-                # serving fast path: hardware PartialReduce top-k with
-                # 256-candidate over-fetch (>= 4x k) + exact merge —
-                # measured recall@10 = 1.0 at 1Mx768 (bench.py); masked
-                # rows carry -1e30 bias so they never enter the
-                # candidate set while admissible rows remain
-                path, over = "approx", 256
-            elif self._use_pallas and self._cap >= 4096:
-                path, over = "pallas", 0
-            else:
-                path, over = "xla", 0
-            v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
-                                 self._dev[3], ak, aa, ex, q,
-                                 k=k_bucket, path=path, over=over)
-            return self._finish_topk(v, i, k, kk)
+        return self.topk_async(queries, k, kinds=kinds, agent=agent,
+                               exclude_ids=exclude_ids)()
 
-    def _finish_topk(self, v, i, k: int, kk: int):
-        """Fetch device results and map rows -> ids."""
+    def _k_bucket(self, k: int) -> Tuple[int, int]:
+        """(kk, k_bucket): bucket k to the next power of two — distinct
+        k values would each trigger an XLA recompile of top_k, so pay
+        one compile per bucket and slice down."""
+        kk = min(k, self._cap)
+        k_bucket = 8
+        while k_bucket < kk:
+            k_bucket *= 2
+        return kk, min(k_bucket, self._cap)
+
+    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int):
+        """Issue the fused mask+scan+top-k (one device dispatch).
+        Subclasses override for other device layouts (ShardedCorpus)."""
+        if self._use_pallas and self._cap >= 4096 and k_bucket <= 64:
+            # serving fast path: hardware PartialReduce top-k with
+            # 256-candidate over-fetch (>= 4x k) + exact merge —
+            # measured recall@10 = 1.0 at 1Mx768 (bench.py); masked
+            # rows carry -1e30 bias so they never enter the candidate
+            # set while admissible rows remain
+            path, over = "approx", 256
+        elif self._use_pallas and self._cap >= 4096:
+            path, over = "pallas", 0
+        else:
+            path, over = "xla", 0
+        return _fused_search(self._dev[0], self._dev[1], self._dev[2],
+                             self._dev[3], ak, aa, ex, q,
+                             k=k_bucket, path=path, over=over)
+
+    def _finish_topk(self, v, i, k: int, kk: int, generation: int):
+        """Fetch device results and map rows -> ids. If rows were freed
+        AND reassigned while the device ran (generation changed), the
+        row->id mapping is no longer the one the scores were computed
+        against — retry the search under the current snapshot."""
         v = np.asarray(v)[:, :kk]
         i = np.asarray(i)[:, :kk]
         if kk < k:
             v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
             i = np.pad(i, ((0, 0), (0, k - kk)))
         with self._lock:
+            if generation != self._generation:
+                return None     # caller retries
             ids = [[self._id_of[r] if v[b_, j] > -1e29 else None
                     for j, r in enumerate(row)]
                    for b_, row in enumerate(i)]
@@ -399,21 +414,19 @@ class DeviceCorpus:
             self.sync()
             q = jnp.asarray(_norm_rows(np.asarray(queries, np.float32)))
             ak, aa, ex = self._filter_codes(kinds, agent, exclude_ids)
-            kk = min(k, self._cap)
-            k_bucket = 8
-            while k_bucket < kk:
-                k_bucket *= 2
-            k_bucket = min(k_bucket, self._cap)
-            if self._use_pallas and self._cap >= 4096 and k_bucket <= 64:
-                path, over = "approx", 256
-            elif self._use_pallas and self._cap >= 4096:
-                path, over = "pallas", 0
-            else:
-                path, over = "xla", 0
-            v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
-                                 self._dev[3], ak, aa, ex, q,
-                                 k=k_bucket, path=path, over=over)
-        return lambda: self._finish_topk(v, i, k, kk)
+            kk, k_bucket = self._k_bucket(k)
+            gen = self._generation
+            v, i = self._dispatch_search(q, ak, aa, ex, k_bucket)
+
+        def finish():
+            out = self._finish_topk(v, i, k, kk, gen)
+            if out is None:
+                # row reassignment raced the fetch (rare): re-run
+                # synchronously under the fresh snapshot
+                return self.topk(np.asarray(queries), k, kinds=kinds,
+                                 agent=agent, exclude_ids=exclude_ids)
+            return out
+        return finish
 
     # ------------------------------------------------------------- snapshot
     def state(self) -> Dict[str, np.ndarray]:

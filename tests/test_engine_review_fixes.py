@@ -136,11 +136,21 @@ class TestReinforcement:
         assert cx.get_node(a).access_count >= 1
 
     def test_reinforce_throttled_within_window(self):
+        """Throttle keys on the LAST REINFORCEMENT, not last access —
+        otherwise frequently-accessed nodes would never reinforce."""
         cx = Cortex.in_memory()
         a = cx.store(Cortex.fact("Throttled reinforcement target"))
         n = cx.get_node(a)
+        # never reinforced -> eligible immediately
+        assert cx.linker.decay_engine.should_reinforce(n)
+        cx.linker.decay_engine.reinforce(a, node=n)
         assert not cx.linker.decay_engine.should_reinforce(n)
-        n.last_accessed_at = time.time() - 10 * 86400
+        # frequent ACCESS must not push eligibility away
+        n.record_access()
+        assert not cx.linker.decay_engine.should_reinforce(n)
+        # but once the reinforcement window passes, eligible again
+        n.metadata[cx.linker.decay_engine.REINFORCED_AT_KEY] = \
+            time.time() - 10 * 86400
         assert cx.linker.decay_engine.should_reinforce(n)
 
 

@@ -95,6 +95,22 @@ class TestShardedParity:
         hit = fresh.search_batch(vecs[9:10], 1)[0][0]
         assert hit[0] == ids[9]
 
+    def test_sharded_kernel_actually_used(self, mesh8, monkeypatch):
+        """Regression: search_batch must route through the shard_map
+        kernel, not the inherited single-device dispatch."""
+        import cortex_tpu.parallel.sharded_index as si
+        calls = {"n": 0}
+        real = si._sharded_filtered_topk
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+        monkeypatch.setattr(si, "_sharded_filtered_topk", spy)
+        idx = ShardedFlatIndex(DIM, mesh8)
+        ids, vecs = seed(idx, n=50)
+        idx.search_batch(vecs[:2], 3)
+        assert calls["n"] == 1
+
     def test_single_device_mesh(self):
         idx = ShardedFlatIndex(DIM, build_mesh(1))
         ids, vecs = seed(idx, n=40)

@@ -40,14 +40,20 @@ def _nodes_from_json(payload: Any, agent: str) -> (List[Node], List[Edge]):
     else:
         node_rows, edge_rows = payload, []
     for row in node_rows:
-        if "id" in row and "kind" in row and ("data" in row
-                                              or "title" in row):
+        if "data" in row and "source" in row:
+            # this framework's own export wire shape
             nodes.append(Node.from_dict(row))
         else:
+            # flat rows: hand-written JSONL, CSV-like dicts, or the
+            # Rust reference's export format ({id, kind, title, body,
+            # importance, tags, source_agent})
             n = Node.new(row.get("kind", "fact"), row.get("title", ""),
                          row.get("body", row.get("title", "")),
-                         Source(agent=row.get("agent", agent)),
+                         Source(agent=row.get(
+                             "source_agent", row.get("agent", agent))),
                          float(row.get("importance", 0.5)))
+            if row.get("id"):
+                n.id = row["id"]      # preserve ids so edges re-link
             n.tags = list(row.get("tags", []))
             n.metadata = dict(row.get("metadata", {}))
             nodes.append(n)

@@ -194,6 +194,48 @@ class TestDataLifecycle:
         code, out, _ = run(capsys, "--data-dir", dd3, "import", str(exp))
         assert code == 0 and "1 nodes" in out
 
+    def test_import_rust_reference_export_shape(self, capsys, data_dir,
+                                                tmp_path):
+        """The Rust engine's `cortex export` JSON ({nodes:[{id, kind,
+        title, body, importance, tags, source_agent}], edges:[{id,
+        from_id, to_id, relation, weight}]}) must import with ids and
+        edges intact (docs/guides/migration.md promise)."""
+        dump = {
+            "nodes": [
+                {"id": "00000000-0000-7000-8000-00000000aaaa",
+                 "kind": "decision", "title": "Rust-exported decision",
+                 "body": "We decided something in the old engine.",
+                 "importance": 0.8, "tags": ["legacy"],
+                 "source_agent": "old-agent"},
+                {"id": "00000000-0000-7000-8000-00000000bbbb",
+                 "kind": "event", "title": "Rust-exported event",
+                 "body": "The decision led to this event.",
+                 "importance": 0.4, "tags": [],
+                 "source_agent": "old-agent"},
+            ],
+            "edges": [
+                {"id": "e-1",
+                 "from_id": "00000000-0000-7000-8000-00000000aaaa",
+                 "to_id": "00000000-0000-7000-8000-00000000bbbb",
+                 "relation": "led_to", "weight": 0.9},
+            ],
+        }
+        f = tmp_path / "rust-export.json"
+        f.write_text(json.dumps(dump))
+        code, out, _ = run(capsys, "--data-dir", data_dir, "import",
+                           str(f))
+        assert code == 0 and "2 nodes, 1 edges" in out
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "node", "get",
+                           "00000000-0000-7000-8000-00000000aaaa")
+        d = json.loads(out)
+        assert d["source"]["agent"] == "old-agent"
+        assert d["importance"] == 0.8
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "traverse",
+                           "00000000-0000-7000-8000-00000000aaaa")
+        assert len(json.loads(out)["nodes"]) == 2   # edge re-linked
+
     def test_restore_refuses_overwrite(self, capsys, data_dir, tmp_path):
         run(capsys, "--data-dir", data_dir, "init")
         snap = tmp_path / "s.db"

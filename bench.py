@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 N, D, B, K = 1_000_000, 768, 64, 10
 BASELINE_QPS = 100.0        # reference CPU claim: <10ms per top-10 query
-ROUNDS = 10
+ROUNDS = 60                 # long enough that per-dispatch transport
+#                             jitter (tunneled TPUs) averages out
 
 
 def main():

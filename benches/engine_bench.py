@@ -29,9 +29,14 @@ def mknode(i, rng):
     # threshold) — measuring the SCAN, not a degenerate everything-links
     # corpus that just benchmarks edge writes
     t = [_WORDS[int(x)] for x in rng.integers(0, len(_WORDS), 6)]
-    n = Node.new("fact", f"note {i} about {' '.join(t[:3])}",
-                 f"Operational note {i}: {' '.join(t)} in production.",
-                 Source(agent=f"agent-{i % 29}"), 0.5)
+    # unique agent + sparse tags: the structural rules fire rarely, so
+    # the metric measures the SCAN (search + rule evaluation), not the
+    # per-cycle edge-write budget
+    # no shared template words: shared tokens would give every pair a
+    # high hash-embedding baseline similarity and re-degenerate the scan
+    n = Node.new("fact", f"{t[0]} {t[1]} {t[2]} item{i}",
+                 f"{' '.join(t)} detail{i}",
+                 Source(agent=f"agent-{i}"), 0.5)
     n.tags = [t[0]]
     return n
 
@@ -54,6 +59,10 @@ def bench_ingest(cx, n, rng):
 def bench_autolink(cx, new_count, rng):
     base = cx.stats().edge_count
     cx.linker.config.max_nodes_per_cycle = new_count
+    # bulk-ingested nodes all fall in the temporal-proximity window, so
+    # the default 2000-edge budget would stop the cycle after ~40 nodes
+    # and the metric would measure the write cap, not the scan
+    cx.linker.config.max_edges_per_cycle = 1_000_000
     # steady-state protocol: cycle_count > 0 so the periodic decay/dedup
     # passes (every 60 / 360 cycles) don't pollute the scan measurement,
     # and one warm-up cycle first so jit compiles are excluded — the

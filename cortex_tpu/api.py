@@ -45,9 +45,7 @@ class Cortex:
         self.storage = storage
         self.embedder = default_embedder(self.config.embedding.model,
                                          self.config.embedding.dimension)
-        self.index = TpuFlatIndex(
-            self.embedder.dimension,
-            storage_dtype=self.config.embedding.device_dtype)
+        self.index = self._make_index()
         self._rebuild_index()
         self.graph = GraphEngine(storage)
         self.mirror = DeviceGraphMirror(self.graph.cache)
@@ -83,6 +81,21 @@ class Cortex:
     @staticmethod
     def in_memory(config: Optional[CortexConfig] = None) -> "Cortex":
         return Cortex(MemoryStorage(), config)
+
+    def _make_index(self):
+        """TpuFlatIndex, or the mesh-sharded variant when configured
+        and more than one device is visible."""
+        if self.config.embedding.sharded:
+            import jax
+            if len(jax.devices()) > 1:
+                from .parallel import ShardedFlatIndex, build_mesh
+                n = len(jax.devices())
+                pow2 = 1 << (n.bit_length() - 1)   # largest power of two
+                return ShardedFlatIndex(self.embedder.dimension,
+                                        build_mesh(pow2))
+        return TpuFlatIndex(
+            self.embedder.dimension,
+            storage_dtype=self.config.embedding.device_dtype)
 
     def _rebuild_index(self) -> None:
         """Rebuild the device index from stored embeddings
@@ -310,9 +323,7 @@ class Cortex:
         for j, n in enumerate(nodes):
             n.embedding = embs[j].tolist()
         self.storage.put_nodes_batch(nodes)
-        self.index = TpuFlatIndex(
-            self.embedder.dimension,
-            storage_dtype=self.config.embedding.device_dtype)
+        self.index = self._make_index()
         self._rebuild_index()
         self.hybrid.index = self.index
         self.briefing_engine.index = self.index

@@ -50,6 +50,9 @@ class EmbeddingConfig:
     # device index storage: "float32" (exact snapshots) or "bfloat16"
     # (half the HBM/transfer; MXU accumulates fp32 either way)
     device_dtype: str = "float32"
+    # shard the corpus over all visible devices (power-of-two count);
+    # single-device setups ignore this
+    sharded: bool = False
 
 
 @dataclass
@@ -146,7 +149,8 @@ class CortexConfig:
         cfg.embedding = EmbeddingConfig(
             model=e.get("model", "BAAI/bge-small-en-v1.5"),
             dimension=int(e.get("dimension", 384)),
-            device_dtype=e.get("device_dtype", "float32"))
+            device_dtype=e.get("device_dtype", "float32"),
+            sharded=bool(e.get("sharded", False)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(

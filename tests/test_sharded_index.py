@@ -111,6 +111,29 @@ class TestShardedParity:
         idx.search_batch(vecs[:2], 3)
         assert calls["n"] == 1
 
+    def test_embedded_engine_on_sharded_index(self):
+        """`[embedding] sharded = true` runs the FULL engine (store,
+        search, hybrid, linker) over the mesh index."""
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.parallel.sharded_index import ShardedFlatIndex
+
+        cfg = CortexConfig()
+        cfg.embedding.model = "hash"
+        cfg.embedding.sharded = True
+        cx = Cortex.in_memory(cfg)
+        assert isinstance(cx.index, ShardedFlatIndex)
+        a = cx.store(Cortex.fact("Sharded engine stores this memory"))
+        cx.store(Cortex.fact("Another memory lands on some shard"))
+        hits = cx.search("sharded engine memory", limit=2)
+        assert hits and hits[0][1].id == a
+        res = cx.search_hybrid("memory", anchors=[a], limit=2)
+        assert res
+        m = cx.run_linker_cycle()
+        assert m.cycle_nodes_processed == 2
+        assert cx.reindex() == 2
+        assert isinstance(cx.index, ShardedFlatIndex)   # survives reindex
+
     def test_single_device_mesh(self):
         idx = ShardedFlatIndex(DIM, build_mesh(1))
         ids, vecs = seed(idx, n=40)

@@ -91,8 +91,9 @@ class Cortex:
                 from .parallel import ShardedFlatIndex, build_mesh
                 n = len(jax.devices())
                 pow2 = 1 << (n.bit_length() - 1)   # largest power of two
-                return ShardedFlatIndex(self.embedder.dimension,
-                                        build_mesh(pow2))
+                return ShardedFlatIndex(
+                    self.embedder.dimension, build_mesh(pow2),
+                    storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(
             self.embedder.dimension,
             storage_dtype=self.config.embedding.device_dtype)
@@ -138,25 +139,34 @@ class Cortex:
         if node.embedding is None:
             node.embedding = self.embedder.embed_node(node).tolist()
         if gate:
+            # gate + persist under the admission lock so concurrent
+            # near-duplicates see each other; hooks fire AFTER release —
+            # a hook performing its own gated store must not deadlock
+            # on this non-reentrant lock
             with self.admission_lock:
                 rej = WriteGate.check_all(
                     node, np.asarray(node.embedding, np.float32),
                     self.index, self.storage, self.config.write_gate,
                     self.schema_validator, skip_quality=skip_quality)
                 if rej is not None:
-                    raise GateRejectionError(rej.check, rej.reason,
-                                             rej.suggestion)
-                return self._persist_new(node, actor)
-        return self._persist_new(node, actor)
+                    raise GateRejectionError(
+                        rej.check, rej.reason, rej.suggestion,
+                        existing_node=rej.existing_node,
+                        existing_title=rej.existing_title)
+                is_update = self._persist(node, actor)
+        else:
+            is_update = self._persist(node, actor)
+        self.hooks.notify_node("updated" if is_update else "created", node)
+        return node.id
 
-    def _persist_new(self, node: Node, actor: str) -> str:
+    def _persist(self, node: Node, actor: str) -> bool:
+        """Store + index + version bump (no hooks). Returns is_update."""
         is_update = self.storage.get_node(node.id) is not None
         self.storage.put_node(node, actor=actor)
         self.index.insert(node.id, np.asarray(node.embedding, np.float32),
                           kind=node.kind, source_agent=node.source.agent)
         self._on_write()
-        self.hooks.notify_node("updated" if is_update else "created", node)
-        return node.id
+        return is_update
 
     def store_batch(self, nodes: Sequence[Node], *,
                     actor: str = "library") -> List[str]:
@@ -315,21 +325,25 @@ class Cortex:
         return swept, purged
 
     def reindex(self) -> int:
-        """Re-embed every live node (gRPC Reindex after model change)."""
-        nodes = self.storage.list_nodes(NodeFilter())
-        if not nodes:
-            return 0
-        embs = self.embedder.embed_nodes(nodes)
-        for j, n in enumerate(nodes):
-            n.embedding = embs[j].tolist()
-        self.storage.put_nodes_batch(nodes)
-        self.index = self._make_index()
-        self._rebuild_index()
-        self.hybrid.index = self.index
-        self.briefing_engine.index = self.index
-        self.linker.index = self.index
-        self._on_write()
-        return len(nodes)
+        """Re-embed every live node (gRPC Reindex after model change).
+        Runs under the admission lock: a write landing between the node
+        snapshot and the index swap would otherwise vanish from the new
+        index until the next restart."""
+        with self.admission_lock:
+            nodes = self.storage.list_nodes(NodeFilter())
+            if not nodes:
+                return 0
+            embs = self.embedder.embed_nodes(nodes)
+            for j, n in enumerate(nodes):
+                n.embedding = embs[j].tolist()
+            self.storage.put_nodes_batch(nodes)
+            self.index = self._make_index()
+            self._rebuild_index()
+            self.hybrid.index = self.index
+            self.briefing_engine.index = self.index
+            self.linker.index = self.index
+            self._on_write()
+            return len(nodes)
 
     # --------------------------------------------- convenience constructors
     @staticmethod

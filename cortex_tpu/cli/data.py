@@ -40,7 +40,7 @@ def _nodes_from_json(payload: Any, agent: str) -> (List[Node], List[Edge]):
     else:
         node_rows, edge_rows = payload, []
     for row in node_rows:
-        if "data" in row and "source" in row:
+        if {"id", "kind", "data", "source"} <= row.keys():
             # this framework's own export wire shape
             nodes.append(Node.from_dict(row))
         else:
@@ -52,7 +52,7 @@ def _nodes_from_json(payload: Any, agent: str) -> (List[Node], List[Edge]):
                          Source(agent=row.get(
                              "source_agent", row.get("agent", agent))),
                          float(row.get("importance", 0.5)))
-            if row.get("id"):
+            if isinstance(row.get("id"), str) and row["id"]:
                 n.id = row["id"]      # preserve ids so edges re-link
             n.tags = list(row.get("tags", []))
             n.metadata = dict(row.get("metadata", {}))
@@ -127,7 +127,15 @@ def load_import_file(path: str, fmt: str, agent: str):
 def cmd_import(ctx, args) -> int:
     nodes, edges = load_import_file(args.file, args.format, args.agent)
     cx = ctx.cortex()
-    cx.store_batch(nodes, actor="import")
+    # never clobber live data: rows whose preserved id already exists in
+    # the target store are skipped (import was historically additive)
+    fresh, skipped = [], 0
+    for n in nodes:
+        if cx.get_node(n.id) is not None:
+            skipped += 1
+        else:
+            fresh.append(n)
+    cx.store_batch(fresh, actor="import")
     created_edges = 0
     for e in edges:
         try:
@@ -135,8 +143,10 @@ def cmd_import(ctx, args) -> int:
             created_edges += 1
         except Exception:
             pass    # tolerate duplicate/invalid imported edges
-    _emit(args, {"nodes": len(nodes), "edges": created_edges},
-          f"imported {len(nodes)} nodes, {created_edges} edges")
+    _emit(args, {"nodes": len(fresh), "edges": created_edges,
+                 "skipped_existing": skipped},
+          f"imported {len(fresh)} nodes, {created_edges} edges"
+          + (f" ({skipped} already existed, skipped)" if skipped else ""))
     return 0
 
 

@@ -64,11 +64,15 @@ class SchemaVersionError(StorageError):
 class GateRejection(CortexError):
     """A write was rejected by the quality gate."""
 
-    def __init__(self, check: str, reason: str, suggestion: str | None = None):
+    def __init__(self, check: str, reason: str, suggestion: str | None = None,
+                 existing_node: str | None = None,
+                 existing_title: str | None = None):
         super().__init__(f"write gate [{check}]: {reason}")
         self.check = check
         self.reason = reason
         self.suggestion = suggestion
+        self.existing_node = existing_node      # conflict-check context
+        self.existing_title = existing_title
 
 
 class QueryParseError(CortexError):

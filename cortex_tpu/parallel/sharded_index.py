@@ -78,8 +78,10 @@ def _sharded_filtered_topk(mesh: Mesh, corpus, live, kind_code, agent_code,
 class ShardedCorpus(DeviceCorpus):
     """DeviceCorpus with mesh-sharded device arrays + merged search."""
 
-    def __init__(self, dim: int, mesh: Optional[Mesh] = None):
-        super().__init__(dim, use_pallas=False)
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None,
+                 storage_dtype: str = "float32"):
+        super().__init__(dim, use_pallas=False,
+                         storage_dtype=storage_dtype)
         self.mesh = mesh or build_mesh()
         self._n_dev = int(self.mesh.devices.size)
         from ..vector.shard import MIN_CAP
@@ -98,19 +100,34 @@ class ShardedCorpus(DeviceCorpus):
         assert self._cap % self._n_dev == 0
 
     def sync(self) -> None:
+        from ..vector.shard import _scatter_update
         with self._lock:
             if self._cap == 0:
                 return
-            if (self._dev is None or self._full_resync or self._dirty):
+            if (self._dev is None or self._full_resync
+                    or len(self._dirty) > max(4096, self._cap // 8)):
                 shard = NamedSharding(self.mesh, P(SHARD_AXIS, None))
                 row = NamedSharding(self.mesh, P(SHARD_AXIS))
                 self._dev = (
-                    jax.device_put(jnp.asarray(self._emb_h), shard),
+                    jax.device_put(jnp.asarray(self._emb_for_device()),
+                                   shard),
                     jax.device_put(jnp.asarray(self._live_h), row),
                     jax.device_put(jnp.asarray(self._kind_h), row),
                     jax.device_put(jnp.asarray(self._agent_h), row),
                 )
                 self._full_resync = False
+                self._dirty.clear()
+            elif self._dirty:
+                # small diffs: jit scatter on the sharded arrays (GSPMD
+                # keeps the output layout) instead of re-uploading the
+                # whole corpus per write->search cycle
+                rows = np.fromiter(self._dirty, np.int32)
+                self._dev = _scatter_update(
+                    *self._dev, jnp.asarray(rows),
+                    jnp.asarray(self._emb_for_device(rows)),
+                    jnp.asarray(self._live_h[rows]),
+                    jnp.asarray(self._kind_h[rows]),
+                    jnp.asarray(self._agent_h[rows]))
                 self._dirty.clear()
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int):
@@ -128,9 +145,11 @@ class ShardedFlatIndex(TpuFlatIndex):
     mesh this degenerates to (unfused) single-chip search — the layer
     exists at mesh size 1, per SURVEY §2.4."""
 
-    def __init__(self, dim: int, mesh: Optional[Mesh] = None):
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None,
+                 storage_dtype: str = "float32"):
         self.dim = dim
-        self._corpus = ShardedCorpus(dim, mesh)
+        self._corpus = ShardedCorpus(dim, mesh,
+                                     storage_dtype=storage_dtype)
 
     @property
     def mesh(self) -> Mesh:
@@ -145,7 +164,11 @@ class ShardedFlatIndex(TpuFlatIndex):
             raise IndexError_(
                 f"snapshot dim {meta['dim']} != index dim {self.dim}")
         mesh = self._corpus.mesh
-        self._corpus = ShardedCorpus(self.dim, mesh)
+        dtype_str = ("bfloat16"
+                     if self._corpus._storage_dtype == jnp.bfloat16
+                     else "float32")
+        self._corpus = ShardedCorpus(self.dim, mesh,
+                                     storage_dtype=dtype_str)
         if meta["ids"]:
             self._corpus.upsert_batch(meta["ids"], z["vectors"],
                                       meta["kinds"], meta["agents"])

@@ -175,23 +175,16 @@ def create_app(state: ServerState) -> web.Application:
             n.embedding = emb.tolist()
         else:
             n.embedding = cx.embedder.embed_node(n).tolist()
-        # device work (conflict-check search) off the event loop — a
-        # first-compile stall must not freeze /health and the SSE bus.
-        # gate+store run under the engine-level admission lock (shared
-        # with gRPC and library writers): concurrent duplicates must
-        # see each other's writes in the conflict check
-        def gated_store():
-            with cx.admission_lock:
-                rej = WriteGate.check_all(
-                    n, np.asarray(n.embedding, np.float32), cx.index,
-                    cx.storage, cx.config.write_gate,
-                    cx.schema_validator, skip_quality=skip)
-                if rej is None:
-                    cx.store(n, actor=n.source.agent)
-                return rej
-
-        rej = await asyncio.to_thread(gated_store)
-        if rej is not None:
+        # ONE admission pipeline for every surface: cx.store(gate=True)
+        # owns classification -> gate -> persist ordering and the
+        # admission lock; running it in a worker thread keeps a
+        # first-compile stall off the event loop (/health, SSE)
+        from ..errors import GateRejection as GateRejectionError
+        try:
+            await asyncio.to_thread(cx.store, n, gate=True,
+                                    skip_quality=skip,
+                                    actor=n.source.agent)
+        except GateRejectionError as rej:
             state.metrics.record_gate("reject", rej.check)
             return json_err(rej.reason, 422, extra={
                 "check": rej.check, "suggestion": rej.suggestion,

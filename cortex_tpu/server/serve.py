@@ -151,11 +151,13 @@ class Server:
         at boot for the same reason."""
         import numpy as _np
         import time as _time
-        from ..vector import TpuFlatIndex, VectorFilter
+        from ..vector import VectorFilter
         t0 = _time.monotonic()
         dim = self.cortex.embedder.dimension
-        scratch = TpuFlatIndex(
-            dim, storage_dtype=self.config.embedding.device_dtype)
+        # same index class/config as the serving index (a sharded
+        # deployment must warm the shard_map kernel, not the
+        # single-device one)
+        scratch = self.cortex._make_index()
         rng = _np.random.default_rng(0)
         vecs = rng.normal(size=(8, dim)).astype(_np.float32)
         scratch.insert_batch([f"w{i}" for i in range(8)], vecs,

@@ -418,14 +418,33 @@ class DeviceCorpus:
             gen = self._generation
             v, i = self._dispatch_search(q, ak, aa, ex, k_bucket)
 
+        def attempt():
+            """One dispatch+fetch; None when a row-reassignment raced."""
+            with self._lock:
+                self.sync()
+                a_ak, a_aa, a_ex = self._filter_codes(kinds, agent,
+                                                      exclude_ids)
+                a_gen = self._generation
+                av, ai = self._dispatch_search(q, a_ak, a_aa, a_ex,
+                                               k_bucket)
+            return self._finish_topk(av, ai, k, kk, a_gen)
+
         def finish():
             out = self._finish_topk(v, i, k, kk, gen)
-            if out is None:
-                # row reassignment raced the fetch (rare): re-run
-                # synchronously under the fresh snapshot
-                return self.topk(np.asarray(queries), k, kinds=kinds,
-                                 agent=agent, exclude_ids=exclude_ids)
-            return out
+            if out is not None:
+                return out
+            # row reassignment raced the fetch (rare): bounded retries,
+            # then one final attempt holding the lock across
+            # dispatch+fetch so nothing can interleave — never
+            # unbounded under sustained delete/insert churn
+            for _ in range(3):
+                out = attempt()
+                if out is not None:
+                    return out
+            with self._lock:
+                out = attempt()    # RLock held across dispatch AND fetch
+                assert out is not None
+                return out
         return finish
 
     # ------------------------------------------------------------- snapshot

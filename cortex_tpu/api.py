@@ -172,6 +172,8 @@ class Cortex:
                     actor: str = "library") -> List[str]:
         """Batch admission: one embed_batch + one device upload — the
         idiomatic TPU ingest path (SURVEY §3.2 consequence)."""
+        if not nodes:
+            return []
         for n in nodes:
             self._apply_classifiers(n)
         missing = [n for n in nodes if n.embedding is None]

@@ -236,6 +236,29 @@ class TestDataLifecycle:
                            "00000000-0000-7000-8000-00000000aaaa")
         assert len(json.loads(out)["nodes"]) == 2   # edge re-linked
 
+    def test_import_skips_existing_ids(self, capsys, data_dir, tmp_path):
+        """Re-importing a backup into a live store must not clobber
+        current node content (import is additive)."""
+        dump = {"nodes": [
+            {"id": "00000000-0000-7000-8000-00000000cccc",
+             "kind": "fact", "title": "Original title from import",
+             "body": "Original body.", "importance": 0.5,
+             "tags": [], "source_agent": "old"}]}
+        f = tmp_path / "d.json"
+        f.write_text(json.dumps(dump))
+        run(capsys, "--data-dir", data_dir, "import", str(f))
+        # mutate the live node, then re-import the stale dump
+        dump["nodes"][0]["title"] = "Stale title that must NOT win"
+        f.write_text(json.dumps(dump))
+        code, out, _ = run(capsys, "--data-dir", data_dir, "import",
+                           str(f))
+        assert code == 0 and "1 already existed, skipped" in out
+        code, out, _ = run(capsys, "--json", "--data-dir", data_dir,
+                           "node", "get",
+                           "00000000-0000-7000-8000-00000000cccc")
+        assert json.loads(out)["data"]["title"] == \
+            "Original title from import"
+
     def test_restore_refuses_overwrite(self, capsys, data_dir, tmp_path):
         run(capsys, "--data-dir", data_dir, "init")
         snap = tmp_path / "s.db"

@@ -18,6 +18,52 @@ def cx():
     c.close()
 
 
+class TestHookIsolation:
+    def test_raising_hook_never_blocks_writes(self):
+        """Hook faults are isolated (reference catch_unwind,
+        hooks/mod.rs:46-57) and later hooks still run."""
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.hooks import MutationHook
+        cx = Cortex.in_memory()
+        seen = []
+
+        class Bad(MutationHook):
+            def on_node_mutation(self, action, node):
+                raise RuntimeError("hook explodes")
+
+        class Good(MutationHook):
+            def on_node_mutation(self, action, node):
+                seen.append((action, node.id))
+
+        cx.add_hook(Bad())
+        cx.add_hook(Good())
+        nid = cx.store(Cortex.fact("Hook isolation test fact"))
+        assert cx.get_node(nid) is not None     # write landed
+        assert seen == [("created", nid)]       # later hook still ran
+
+    def test_hook_doing_gated_store_does_not_deadlock(self):
+        """A hook that performs its own GATED store must not deadlock
+        on the admission lock (hooks fire after release)."""
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.hooks import MutationHook
+        cx = Cortex.in_memory()
+
+        class Derives(MutationHook):
+            def on_node_mutation(self, action, node):
+                if node.kind == "decision" and action == "created":
+                    cx.store(Cortex.event(
+                        f"derived from {node.title[:30]}",
+                        "Automatically derived follow-up event entry."),
+                        gate=True)
+
+        cx.add_hook(Derives())
+        cx.store(Cortex.decision("Adopt the derived-event hook",
+                                 "We decided to derive follow-ups."),
+                 gate=True)
+        kinds = sorted(n.kind for n in cx.list_nodes())
+        assert kinds == ["decision", "event"]
+
+
 class TestEndToEnd:
     def test_store_search_roundtrip(self, cx):
         cx.store(Cortex.fact("The database is postgres fourteen", 0.8))

@@ -162,7 +162,14 @@ def cmd_export(ctx, args) -> int:
             if e.id not in seen:
                 seen.add(e.id)
                 edges.append(e)
-    if args.format and args.format != "json":
+    if args.format == "dot":
+        text = _export_dot(nodes, edges)
+    elif args.format == "graphml":
+        text = _export_graphml(nodes, edges)
+    elif args.format == "jsonl":
+        text = "\n".join(json.dumps(n.to_dict(), default=str)
+                         for n in nodes)
+    elif args.format and args.format != "json":
         # export_format plugins, keyed by module name
         from ..plugins import PluginSet
         exporters = PluginSet.load(ctx.config.plugins).exporters()
@@ -171,7 +178,8 @@ def cmd_export(ctx, args) -> int:
             from .main import CliError
             raise CliError(
                 f"unknown export format {args.format!r}; available: "
-                f"json, {', '.join(sorted(exporters)) or '(no plugins)'}")
+                f"json, jsonl, dot, graphml"
+                f"{', ' + ', '.join(sorted(exporters)) if exporters else ''}")
         text = fn(nodes, edges)
     else:
         dump = {"schema_version": SCHEMA_VERSION,
@@ -190,6 +198,56 @@ def cmd_export(ctx, args) -> int:
                      "file": out},
               f"exported {len(nodes)} nodes, {len(edges)} edges -> {out}")
     return 0
+
+
+def _export_dot(nodes, edges) -> str:
+    """Graphviz digraph (reference cli/export.rs format_dot)."""
+    out = ["digraph cortex {", "  rankdir=LR;"]
+    for n in nodes:
+        label = n.title.replace('"', '\\"')
+        out.append(f'  "{n.id[:8]}" [label="{label}\\n[{n.kind}]" '
+                   f'shape=box];')
+    for e in edges:
+        out.append(f'  "{e.from_id[:8]}" -> "{e.to_id[:8]}" '
+                   f'[label="{e.relation}"];')
+    out.append("}")
+    return "\n".join(out) + "\n"
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _export_graphml(nodes, edges) -> str:
+    """GraphML with kind/title/importance + relation/weight keys
+    (reference cli/export.rs format_graphml)."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<graphml xmlns="http://graphml.graphdrawing.org/graphml">',
+           '  <key id="kind" for="node" attr.name="kind" '
+           'attr.type="string"/>',
+           '  <key id="title" for="node" attr.name="title" '
+           'attr.type="string"/>',
+           '  <key id="importance" for="node" attr.name="importance" '
+           'attr.type="float"/>',
+           '  <key id="relation" for="edge" attr.name="relation" '
+           'attr.type="string"/>',
+           '  <key id="weight" for="edge" attr.name="weight" '
+           'attr.type="float"/>',
+           '  <graph id="cortex" edgedefault="directed">']
+    for n in nodes:
+        out.append(
+            f'    <node id="{n.id}">'
+            f'<data key="kind">{_xml_escape(n.kind)}</data>'
+            f'<data key="title">{_xml_escape(n.title)}</data>'
+            f'<data key="importance">{n.importance}</data></node>')
+    for e in edges:
+        out.append(
+            f'    <edge source="{e.from_id}" target="{e.to_id}">'
+            f'<data key="relation">{_xml_escape(e.relation)}</data>'
+            f'<data key="weight">{e.weight}</data></edge>')
+    out += ["  </graph>", "</graphml>"]
+    return "\n".join(out) + "\n"
 
 
 # ------------------------------------------------------- backup / restore

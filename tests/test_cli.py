@@ -236,6 +236,28 @@ class TestDataLifecycle:
                            "00000000-0000-7000-8000-00000000aaaa")
         assert len(json.loads(out)["nodes"]) == 2   # edge re-linked
 
+    def test_export_dot_and_graphml(self, capsys, data_dir, tmp_path):
+        _, o1, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
+                       "create", "decision", "Graph export decision",
+                       "Exported to the visual graph formats.")
+        _, o2, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
+                       "create", "event", "Graph export event",
+                       "The outcome of the exported decision node.")
+        id1, id2 = json.loads(o1)["id"], json.loads(o2)["id"]
+        run(capsys, "--data-dir", data_dir, "edge", "create", id1, id2,
+            "led_to")
+        code, out, _ = run(capsys, "--data-dir", data_dir, "export",
+                           "--format", "dot")
+        assert code == 0 and out.startswith("digraph cortex")
+        assert f'"{id1[:8]}" -> "{id2[:8]}" [label="led_to"]' in out
+        code, out, _ = run(capsys, "--data-dir", data_dir, "export",
+                           "--format", "graphml")
+        assert code == 0 and "<graphml" in out
+        assert f'source="{id1}" target="{id2}"' in out
+        code, out, _ = run(capsys, "--data-dir", data_dir, "export",
+                           "--format", "jsonl")
+        assert code == 0 and len(out.strip().splitlines()) == 2
+
     def test_import_skips_existing_ids(self, capsys, data_dir, tmp_path):
         """Re-importing a backup into a live store must not clobber
         current node content (import is additive)."""

@@ -239,7 +239,7 @@ class TestDataLifecycle:
     def test_export_dot_and_graphml(self, capsys, data_dir, tmp_path):
         _, o1, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
                        "create", "decision", "Graph export decision",
-                       "Exported to the visual graph formats.")
+                       "We decided to export to the visual formats.")
         _, o2, _ = run(capsys, "--json", "--data-dir", data_dir, "node",
                        "create", "event", "Graph export event",
                        "The outcome of the exported decision node.")

@@ -135,6 +135,11 @@ def create_app(state: ServerState) -> web.Application:
     async def metrics_handler(request):
         state.metrics.mirror_storage(cx.stats())
         state.metrics.mirror_linker(cx.linker.metrics)
+        if state.batcher is not None:
+            state.metrics.set_gauge("cortex_admission_batches_total",
+                                    state.batcher.batches)
+            state.metrics.set_gauge("cortex_admission_items_total",
+                                    state.batcher.items)
         return web.Response(text=state.metrics.render(),
                            content_type="text/plain")
 

@@ -85,6 +85,10 @@ class TestEmbedBatcher:
                 # stored nodes are searchable (embeddings correct)
                 hits = cx.search("concurrent write number", limit=6)
                 assert len(hits) == 6
+                # admission batching surfaces in /metrics
+                r = await client.get("/metrics")
+                text = await r.text()
+                assert "cortex_admission_items_total 6" in text
             finally:
                 await state.batcher.close()
                 await client.close()

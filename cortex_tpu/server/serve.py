@@ -226,13 +226,14 @@ class Server:
             except Exception:
                 log.exception("file ingest failed (continuing)")
 
-    async def _stdin_loop(self) -> None:
+    async def _stdin_loop(self, stream=None) -> None:
         """JSONL events on stdin -> batched node admission
         (cortex-server/src/ingest/stdin.rs). Batches flush at 32 events
         OR after 1s of quiet, so a trickling producer's events are not
         withheld; any malformed line is skipped (log-and-continue)."""
         import sys
         from ..ingest import IngestEvent
+        stream = stream if stream is not None else sys.stdin
         loop = asyncio.get_running_loop()
         buffer = []
 
@@ -250,7 +251,7 @@ class Server:
         pending = None
         while True:
             if pending is None:
-                pending = loop.run_in_executor(None, sys.stdin.readline)
+                pending = loop.run_in_executor(None, stream.readline)
             done, _ = await asyncio.wait({pending}, timeout=1.0)
             if not done:            # quiet second: flush the trickle
                 await flush()

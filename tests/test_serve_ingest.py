@@ -145,6 +145,32 @@ class TestPrecomputer:
         assert agents_from_env({}) == []
 
 
+class TestStdinLoop:
+    def test_jsonl_trickle_flush_and_malformed_skip(self, tmp_path):
+        """The serve stdin loop batches, quiet-flushes a trickle, skips
+        malformed frames (any type), and flushes the tail at EOF."""
+        import io
+        from cortex_tpu.server.serve import Server
+
+        cfg = CortexConfig()
+        cfg.server.data_dir = str(tmp_path / "d")
+        srv = Server(cfg)
+        srv.cortex = Cortex.in_memory()
+
+        lines = [
+            json.dumps({"kind": "fact", "title": "stdin event one",
+                        "body": "First stdin-ingested event body."}),
+            "42",                    # valid JSON, wrong type: skipped
+            "not json at all",       # parse error: skipped
+            json.dumps({"kind": "fact", "title": "stdin event two",
+                        "body": "Second stdin-ingested event body."}),
+        ]
+        stream = io.StringIO("\n".join(lines) + "\n")
+        asyncio.run(srv._stdin_loop(stream=stream))
+        titles = sorted(n.title for n in srv.cortex.list_nodes())
+        assert titles == ["stdin event one", "stdin event two"]
+
+
 class TestServerLifecycle:
     def test_boot_serve_shutdown(self, tmp_path):
         async def scenario():

@@ -121,6 +121,31 @@ class TestPlugins:
                    "--format", "nope"])
         assert rc == 1
 
+    def test_shipped_example_plugins_load_and_work(self):
+        """The four examples/plugins/ files must load and function."""
+        import os
+        base = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "plugins")
+        ps = PluginSet.load([
+            PluginConfig(path=os.path.join(base, "link_incidents.py"),
+                         type="linker_rule"),
+            PluginConfig(path=os.path.join(base, "csv_export.py"),
+                         type="export_format"),
+            PluginConfig(path=os.path.join(base,
+                                           "priority_classifier.py"),
+                         type="classifier"),
+            PluginConfig(path=os.path.join(base, "pinned_section.py"),
+                         type="briefing_section"),
+        ])
+        assert not ps.errors, ps.errors
+        cx = Cortex.in_memory()
+        assert ps.attach(cx) == 3          # rule + classifier + section
+        assert "csv_export" in ps.exporters()
+        nid = cx.store(Cortex.fact("SEV1 outage in the payments path"))
+        assert cx.get_node(nid).metadata["classification"] == "urgent"
+        csv_text = ps.exporters()["csv_export"](cx.list_nodes(), [])
+        assert "SEV1 outage" in csv_text
+
     def test_config_toml_parses_plugins(self, tmp_path):
         from cortex_tpu.config import CortexConfig
         toml = tmp_path / "cortex.toml"

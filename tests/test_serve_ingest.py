@@ -145,6 +145,47 @@ class TestPrecomputer:
         assert agents_from_env({}) == []
 
 
+class TestPluginAdapterLoop:
+    def test_ingest_plugin_polled_by_server(self, tmp_path, monkeypatch):
+        """A [[plugins]] type=ingest adapter is polled by the serve
+        loop and its events become searchable nodes."""
+        events_dir = tmp_path / "events"
+        events_dir.mkdir()
+        monkeypatch.setenv("JSONL_INGEST_DIR", str(events_dir))
+        import os as _os
+        plug = _os.path.join(_os.path.dirname(__file__), "..",
+                             "examples", "plugins",
+                             "jsonl_dir_ingest.py")
+
+        async def scenario():
+            from cortex_tpu.config import PluginConfig
+            from cortex_tpu.server.serve import Server
+            cfg = CortexConfig()
+            cfg.server.data_dir = str(tmp_path / "data")
+            cfg.server.http_addr = f"127.0.0.1:{free_port()}"
+            cfg.server.grpc_addr = f"127.0.0.1:{free_port()}"
+            cfg.server.warmup = False
+            cfg.auto_linker.interval_secs = 3600
+            cfg.ingest.file.interval_secs = 0.2   # adapter poll cadence
+            cfg.plugins = [PluginConfig(path=plug, type="ingest")]
+            srv = Server(cfg)
+            await srv.start()
+            try:
+                (events_dir / "e.jsonl").write_text(json.dumps({
+                    "kind": "event", "title": "plugin adapter event",
+                    "body": "Delivered through the polled adapter."}) + "\n")
+                for _ in range(50):
+                    await asyncio.sleep(0.2)
+                    if srv.cortex.stats().node_count:
+                        break
+                nodes = srv.cortex.list_nodes()
+                assert nodes and nodes[0].title == "plugin adapter event"
+                assert (events_dir / "e.jsonl.done").exists()
+            finally:
+                await srv.stop()
+        asyncio.run(scenario())
+
+
 class TestStdinLoop:
     def test_jsonl_trickle_flush_and_malformed_skip(self, tmp_path):
         """The serve stdin loop batches, quiet-flushes a trickle, skips

@@ -160,6 +160,7 @@ class CortexConfig:
             max_nodes_per_cycle=int(al.get("max_nodes_per_cycle", 500)),
             max_edges_per_cycle=int(al.get("max_edges_per_cycle", 2000)),
             max_edges_per_node=int(al.get("max_edges_per_node", 50)),
+            candidate_k=int(al.get("candidate_k", 100)),
             generic_content_threshold=int(
                 al.get("generic_content_threshold", 30)),
             run_on_startup=bool(al.get("run_on_startup", True)),

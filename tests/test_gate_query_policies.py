@@ -309,6 +309,27 @@ class TestQueryDsl:
         f2 = parse_and_compile("tags:backend,rust")
         assert s.list_nodes(f2) == []
 
+    def test_docs_config_example_parses(self, tmp_path):
+        """The getting-started config example must load with every key
+        actually recognized (guards against doc/parser drift)."""
+        import os
+        import re
+        from cortex_tpu.config import CortexConfig
+        doc = os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "getting-started", "configuration.md")
+        text = open(doc).read()
+        block = re.search(r"```toml\n(.*?)```", text, re.S).group(1)
+        p = tmp_path / "doc.toml"
+        p.write_text(block)
+        cfg = CortexConfig.load(str(p))
+        cfg.validate()
+        assert cfg.auto_linker.similarity.auto_link_threshold == 0.75
+        assert cfg.auto_linker.candidate_k == 100
+        assert cfg.retention.by_kind["event"].ttl_days == 90.0
+        assert cfg.schemas.get("decision").required_fields == ["outcome"]
+        assert cfg.auto_linker.rules[0].name == "decision-informs-pattern"
+        assert cfg.plugins[0].type == "linker_rule"
+
     def test_fuzz_garbage_never_crashes(self):
         """Any input must either compile or raise the DSL's own errors —
         never an unrelated exception (parser robustness)."""

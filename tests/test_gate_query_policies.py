@@ -309,6 +309,16 @@ class TestQueryDsl:
         f2 = parse_and_compile("tags:backend,rust")
         assert s.list_nodes(f2) == []
 
+    def test_init_example_config_parses(self, tmp_path):
+        """`cortex init` writes this config; it must always load."""
+        from cortex_tpu.cli.main import EXAMPLE_CONFIG
+        from cortex_tpu.config import CortexConfig
+        p = tmp_path / "init.toml"
+        p.write_text(EXAMPLE_CONFIG)
+        cfg = CortexConfig.load(str(p))
+        cfg.validate()
+        assert cfg.embedding.model == "hash"
+
     def test_docs_config_example_parses(self, tmp_path):
         """The getting-started config example must load with every key
         actually recognized (guards against doc/parser drift)."""

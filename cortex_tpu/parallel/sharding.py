@@ -36,6 +36,16 @@ SHARD_AXIS = "shard"
 def build_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # Fail loudly: silently shrinking to fewer devices would let a
+            # "multi-chip" run degenerate to single-chip without anyone
+            # noticing (VERDICT r1 weak #7).
+            raise RuntimeError(
+                f"build_mesh({n_devices}) requested but only {len(devs)} "
+                f"JAX device(s) are visible on platform "
+                f"'{devs[0].platform}'. For a virtual CPU mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} and JAX_PLATFORMS=cpu before JAX initializes.")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (SHARD_AXIS,))
 

@@ -279,8 +279,16 @@ class Cortex:
                     # so the returned object matches what's persisted)
                     self.linker.decay_engine.reinforce(n.id, node=n)
                 else:
-                    n.record_access()
-                    self.storage.put_node(n)
+                    # atomic bump: a blind put_node(n) here could
+                    # resurrect a node deleted between index read and
+                    # this write (the r1 soak flake); re-read to keep
+                    # the returned copy in sync (MemoryStorage aliases
+                    # stored objects, so incrementing n would double-count)
+                    if self.storage.record_access(n.id):
+                        fresh = self.storage.get_node(n.id)
+                        if fresh is not None:
+                            n.access_count = fresh.access_count
+                            n.last_accessed_at = fresh.last_accessed_at
         return out
 
     def search_hybrid(self, query: str, anchors: Sequence[str] = (),

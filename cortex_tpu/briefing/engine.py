@@ -348,12 +348,11 @@ class BriefingEngine:
         return r.render(briefing)
 
     def on_briefing_served(self, briefing: Briefing) -> None:
-        updated = []
+        seen = set()
         for s in briefing.sections:
             for node in s.nodes:
-                fresh = self.storage.get_node(node.id)
-                if fresh is not None:
-                    fresh.record_access()
-                    updated.append(fresh)
-        if updated:
-            self.storage.put_nodes_batch(updated)
+                if node.id not in seen:
+                    seen.add(node.id)
+                    # atomic per-node bump; skips concurrently-deleted
+                    # nodes instead of resurrecting them via a stale put
+                    self.storage.record_access(node.id)

@@ -106,14 +106,21 @@ class DecayEngine:
         for e in edges:
             # weight unchanged; updated_at reset restarts the decay window
             self.storage.update_edge_weight_atomic(e.id, e.weight, touch=True)
-        if node is None:
-            node = self.storage.get_node(node_id)
-        if node is not None:
-            node.access_count += 1
-            node.last_accessed_at = now
-            node.updated_at = now
-            node.metadata[self.REINFORCED_AT_KEY] = now
-            self.storage.put_node(node)
+        # atomic conditional bump — a stale put_node here could
+        # resurrect a node deleted since the caller read it
+        applied = self.storage.record_access(node_id, now=now,
+                                             reinforced_at=now)
+        if applied and node is not None:
+            # sync the caller's copy from what actually landed (field
+            # assignment, not increment: MemoryStorage aliases stored
+            # objects, so incrementing would double-count)
+            fresh = self.storage.get_node(node_id)
+            if fresh is not None:
+                node.access_count = fresh.access_count
+                node.last_accessed_at = fresh.last_accessed_at
+                node.updated_at = fresh.updated_at
+                node.metadata[self.REINFORCED_AT_KEY] = \
+                    fresh.metadata.get(self.REINFORCED_AT_KEY, now)
         return len(edges)
 
     def should_reinforce(self, node) -> bool:

@@ -103,6 +103,28 @@ class Storage(abc.ABC):
     def hard_delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         """Physical removal including incident edges."""
 
+    def record_access(self, node_id: str, *, now: Optional[float] = None,
+                      reinforced_at: Optional[float] = None) -> bool:
+        """Atomically bump access_count / last_accessed_at iff the node
+        still exists and is not deleted. Unlike a read-modify-write
+        put_node of a stale object, this can never resurrect a node
+        deleted by a concurrent writer (the reference records access via
+        an in-transaction re-read, routes.rs:969-985). When
+        reinforced_at is given, also stamps the decay-reinforcement
+        marker and updated_at. Returns True iff applied."""
+        import time as _time
+        now = _time.time() if now is None else now
+        n = self.get_node(node_id)
+        if n is None or n.deleted:
+            return False
+        n.access_count += 1
+        n.last_accessed_at = now
+        if reinforced_at is not None:
+            n.updated_at = now
+            n.metadata["_last_reinforced_at"] = reinforced_at
+        self.put_node(n)
+        return True
+
     @abc.abstractmethod
     def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]: ...
 

@@ -36,6 +36,19 @@ class MemoryStorage(Storage):
     def get_node(self, node_id: str) -> Optional[Node]:
         return self._nodes.get(node_id)
 
+    def record_access(self, node_id: str, *, now: Optional[float] = None,
+                      reinforced_at: Optional[float] = None) -> bool:
+        n = self._nodes.get(node_id)   # liveness re-checked under the GIL
+        if n is None or n.deleted:
+            return False
+        now = time.time() if now is None else now
+        n.access_count += 1
+        n.last_accessed_at = now
+        if reinforced_at is not None:
+            n.updated_at = now
+            n.metadata["_last_reinforced_at"] = reinforced_at
+        return True
+
     def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         n = self._nodes.get(node_id)
         if n is None or n.deleted:

@@ -280,6 +280,32 @@ class SqliteStorage(Storage):
                 "SELECT * FROM nodes WHERE id=?", (node_id,)).fetchone()
         return self._row_to_node(row) if row else None
 
+    def record_access(self, node_id: str, *, now: Optional[float] = None,
+                      reinforced_at: Optional[float] = None) -> bool:
+        """One atomic UPDATE guarded by deleted=0 — never resurrects a
+        concurrently-deleted row (the soak-test lost-update window)."""
+        now = time.time() if now is None else now
+        with self._lock:
+            try:
+                if reinforced_at is None:
+                    cur = self._db.execute(
+                        "UPDATE nodes SET access_count=access_count+1, "
+                        "last_accessed_at=? WHERE id=? AND deleted=0",
+                        (now, node_id))
+                else:
+                    cur = self._db.execute(
+                        "UPDATE nodes SET access_count=access_count+1, "
+                        "last_accessed_at=?, updated_at=?, "
+                        "metadata=json_set(metadata, "
+                        "'$._last_reinforced_at', ?) "
+                        "WHERE id=? AND deleted=0",
+                        (now, now, reinforced_at, node_id))
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
+            return cur.rowcount > 0
+
     def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         with self._lock:
             cur = self._db.execute(

@@ -84,9 +84,15 @@ class TestSoak:
 
         assert not errors, errors[:5]
         # engine is consistent afterwards: store, index and graph agree
+        # EXACTLY — every live node is in the index and nothing else is
+        # (the r1 soak flake was stale-put_node resurrection after a
+        # concurrent delete; record_access is now an atomic conditional
+        # bump, so no fudge factor is tolerated here)
         nodes = cx.list_nodes()
-        embedded = sum(1 for n in nodes if n.embedding is not None)
-        assert len(cx.index) >= len(nodes) - 1   # deletes may lag hard-del
+        assert all(n.embedding is not None for n in nodes)
+        missing = [n.id for n in nodes if n.id not in cx.index]
+        assert not missing, f"live nodes absent from index: {missing}"
+        assert len(cx.index) == len(nodes)
         hits = cx.search("topic0 topic1", limit=3)
         for _, n in hits:
             assert not n.deleted

@@ -304,3 +304,44 @@ class TestSqliteSpecific:
         assert not errs
         assert s.count_nodes() == 80
         s.close()
+
+
+class TestRecordAccess:
+    """record_access must be an atomic conditional bump: it never
+    resurrects a node deleted between the caller's read and the write
+    (the r1 soak-flake root cause)."""
+
+    def test_bumps_live_node(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        assert storage.record_access(n.id) is True
+        fresh = storage.get_node(n.id)
+        assert fresh.access_count == 1
+        assert fresh.last_accessed_at is not None
+
+    def test_reinforced_at_stamp(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        assert storage.record_access(n.id, now=123.0, reinforced_at=99.0)
+        fresh = storage.get_node(n.id)
+        assert fresh.metadata["_last_reinforced_at"] == 99.0
+        assert fresh.last_accessed_at == 123.0
+        assert fresh.updated_at == 123.0
+
+    def test_never_resurrects_soft_deleted(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        storage.delete_node(n.id)
+        assert storage.record_access(n.id) is False
+        assert storage.get_node(n.id).deleted is True
+
+    def test_never_resurrects_hard_deleted(self, storage):
+        n = mknode()
+        storage.put_node(n)
+        storage.hard_delete_node(n.id)
+        assert storage.record_access(n.id) is False
+        assert storage.get_node(n.id) is None
+
+    def test_missing_node(self, storage):
+        assert storage.record_access("01912345-0000-7000-8000-0000000000aa") \
+            is False

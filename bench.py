@@ -1,9 +1,37 @@
-"""Headline benchmark: batched exact cosine top-10 search QPS at 1M x 768d
+"""Headline benchmark: batched cosine top-10 search QPS at 1M x 768d
 on one chip (BASELINE config #3 / the north-star metric).
 
 Baseline: the reference claims top-10 vector search in <10 ms on CPU
 (ARCHITECTURE.md:306) => 100 QPS for a single-threaded query stream.
-vs_baseline = our (exact, recall=1.0) QPS / 100.
+vs_baseline = our QPS / 100, at the reported measured recall.
+
+Candidates (see cortex_tpu/ops/similarity.py for the engineering story):
+  xla         — exact matmul + top_k (fp32 corpus, default precision)
+  approx-bf16 — bf16 corpus + hardware PartialReduce + exact merge
+  quant-int8  — the engine's serving path (DeviceCorpus "auto" on TPU):
+                int8 corpus scan on device producing a small candidate
+                block, then an EXACT fp32 re-rank of the candidates on
+                the host from the fp32 mirror. Final scores are true
+                fp32 cosines — the only path whose recall is 1.0
+                against a genuinely fp32 oracle (the all-device paths
+                carry bf16/bf16x3 matmul noise).
+
+Protocols. All-device paths: dispatch ROUNDS batches back-to-back and
+fetch only the LAST tiny result (device execution is in-order, so that
+fetch drains the pipeline; np.asarray is the drain — block_until_ready
+is a no-op behind a remote-dispatch transport). The quant path is a
+two-stage pipeline (device scan -> host re-rank); its sustained rate is
+the slower stage, so both legs are measured independently and the
+reported value is min(device_leg, host_leg) — per-batch result fetches
+through a network-tunneled TPU cost a full RTT (~30 ms) that no real
+deployment pays, so a naive end-to-end loop here measures the tunnel,
+not the engine.
+
+Recall is measured against the fp32-exact oracle (device matmul at
+Precision.HIGHEST — verified to agree 1.000 with a chunked numpy fp32
+scan at this scale; the DEFAULT-precision device matmul only agrees
+0.997, which is why recall numbers vs a default-precision "oracle"
+flatter the bf16 paths).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
@@ -18,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 N, D, B, K = 1_000_000, 768, 64, 10
+CAND = 36                   # quant path: max(2k, k+16, 32) as the engine does
 BASELINE_QPS = 100.0        # reference CPU claim: <10ms per top-10 query
 ROUNDS = 60                 # long enough that per-dispatch transport
 #                             jitter (tunneled TPUs) averages out
@@ -25,7 +54,7 @@ ROUNDS = 60                 # long enough that per-dispatch transport
 
 def main():
     from cortex_tpu.ops.similarity import (cosine_topk_approx,
-                                           cosine_topk_pallas,
+                                           cosine_topk_quant,
                                            cosine_topk_xla, normalize_rows)
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -38,63 +67,125 @@ def main():
     corpus.block_until_ready()
     corpus_bf16 = corpus.astype(jnp.bfloat16)
     corpus_bf16.block_until_ready()
+    # int8 shadow (per-row scales) — computed on device here to avoid
+    # the host round-trip; DeviceCorpus quantizes from its host mirror
+    rmax = jnp.max(jnp.abs(corpus), axis=1)
+    rscale = 127.0 / jnp.maximum(rmax, 1e-12)
+    corpus_i8 = jnp.clip(jnp.round(corpus * rscale[:, None]),
+                         -127, 127).astype(jnp.int8)
+    rinv = (1.0 / rscale).astype(jnp.float32)
+    corpus_i8.block_until_ready()
     queries = normalize_rows(jax.random.normal(kq, (B, D), jnp.float32))
+    queries_h = np.asarray(queries)
     bias = jnp.zeros((1, n), jnp.float32)
+    bias1d = jnp.zeros((n,), jnp.float32)
+    # host fp32 mirror for the quant path's exact re-rank (DeviceCorpus
+    # owns this in production; fetched once, outside timing)
+    corpus_h = np.asarray(corpus)
 
-    # Throughput protocol: dispatch ROUNDS batches back-to-back and fetch
-    # only the LAST result to host. Device execution is in-order, so the
-    # final tiny [B,K] fetch bounds the whole pipeline — this measures
-    # sustained serving throughput, not per-call transport latency (and
-    # stays honest even when block_until_ready is a no-op behind a
-    # remote-dispatch transport).
+    # fp32-exact oracle
+    ref_top = np.asarray(jax.lax.top_k(
+        jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), K)[1])
+
     def run_xla():
         return cosine_topk_xla(corpus, queries, K, bias)
 
-    def run_pallas_bf16():
-        # bf16 corpus storage halves HBM traffic (the flat-scan
-        # bottleneck); MXU accumulates fp32
-        return cosine_topk_pallas(corpus_bf16, queries, K, bias)
-
     def run_approx_bf16():
-        # hardware PartialReduce top-k with 256-candidate over-fetch +
-        # exact merge; measured recall 1.0 at this scale (see recall
-        # check below, computed against the fp32 exact oracle)
         return cosine_topk_approx(corpus_bf16, queries, K, bias)
 
-    candidates = {"xla": run_xla}
+    def quant_scan():
+        return cosine_topk_quant(corpus_i8, rinv, queries, CAND, bias1d,
+                                 over=256)
+
+    import concurrent.futures as _cf
+    _pool = _cf.ThreadPoolExecutor(2)
+
+    def _rerank_half(i_half, q_half):
+        g = corpus_h[i_half.reshape(-1)].reshape(
+            i_half.shape[0], CAND, D)
+        exact = np.matmul(g, q_half[:, :, None])[:, :, 0]  # BLAS matvec
+        sel = np.argsort(-exact, axis=1)[:, :K]
+        return (np.take_along_axis(exact, sel, axis=1),
+                np.take_along_axis(i_half, sel, axis=1))
+
+    def host_rerank(i_np):
+        # split across two threads: the gather memcpy releases the GIL,
+        # so halves overlap (robust against ambient CPU contention from
+        # the JAX runtime threads)
+        h = B // 2
+        f = _pool.submit(_rerank_half, i_np[:h], queries_h[:h])
+        v2, i2 = _rerank_half(i_np[h:], queries_h[h:])
+        v1, i1 = f.result()
+        return np.concatenate([v1, v2]), np.concatenate([i1, i2])
+
+    def timed_device(fn, drain_col=0):
+        out = fn()
+        np.asarray(out[drain_col])     # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS - 1):
+            fn()
+        out = fn()
+        np.asarray(out[drain_col])     # drains the in-order stream
+        dt = time.perf_counter() - t0
+        return ROUNDS * B / dt, out
+
+    def timed_quant():
+        dev_qps, out = timed_device(quant_scan, drain_col=1)
+        i_np = np.asarray(out[1])
+        host_rerank(i_np)              # warm
+        t0 = time.perf_counter()
+        HR = 30
+        for _ in range(HR):
+            res = host_rerank(i_np)
+        host_ms = (time.perf_counter() - t0) / HR * 1e3
+        host_qps = B / (host_ms / 1e3)
+        qps = min(dev_qps, host_qps)
+        print(f"#   quant legs: device scan {dev_qps:.0f} qps, "
+              f"host re-rank {host_ms:.2f} ms/batch ({host_qps:.0f} qps) "
+              f"-> sustained {qps:.0f}", file=sys.stderr)
+        return qps, res[1]
+
+    def run_and_recall(name, fn):
+        qps, got = fn()
+        got = np.asarray(got)
+        recall = float(np.mean([len(set(ref_top[r]) & set(got[r])) / K
+                                for r in range(B)]))
+        print(f"# {name}: {qps:.1f} qps, recall@10={recall:.4f} "
+              f"(vs fp32-exact oracle)", file=sys.stderr)
+        return qps, recall
+
+    results = {}
+    try:
+        qps, out = timed_device(run_xla)
+        results["xla"] = run_and_recall("xla", lambda: (qps, out[1]))
+    except Exception as e:  # noqa: BLE001
+        print(f"# xla: FAILED {e!r}", file=sys.stderr)
     if on_tpu:
-        candidates["pallas-bf16"] = run_pallas_bf16
-        candidates["approx-bf16"] = run_approx_bf16
-
-    best_qps, best_name = 0.0, "xla"
-    for name, fn in candidates.items():
         try:
-            np.asarray(fn()[0])       # compile + settle
-            t0 = time.perf_counter()
-            for _ in range(ROUNDS - 1):
-                fn()
-            v, i = fn()
-            np.asarray(v)             # drains the in-order stream
-            dt = time.perf_counter() - t0
-            qps = ROUNDS * B / dt
-            print(f"# {name}: {qps:.1f} qps", file=sys.stderr)
-            if qps > best_qps:
-                best_qps, best_name = qps, name
-        except Exception:  # noqa: BLE001 — a failing variant never kills bench
-            continue
+            qps, out = timed_device(run_approx_bf16)
+            results["approx-bf16"] = run_and_recall(
+                "approx-bf16", lambda: (qps, out[1]))
+        except Exception as e:  # noqa: BLE001
+            print(f"# approx-bf16: FAILED {e!r}", file=sys.stderr)
+        try:
+            results["quant-int8+fp32-rerank"] = run_and_recall(
+                "quant-int8+fp32-rerank", timed_quant)
+        except Exception as e:  # noqa: BLE001
+            print(f"# quant: FAILED {e!r}", file=sys.stderr)
 
-    # recall at bench scale vs the fp32 exact oracle, over the full batch
-    v, i = candidates[best_name]()
-    ref_top = np.asarray(jax.lax.top_k(
-        jnp.dot(queries, corpus.T,
-                preferred_element_type=jnp.float32), K)[1])
-    got = np.asarray(i)
-    recall = float(np.mean([len(set(ref_top[r]) & set(got[r])) / K
-                            for r in range(B)]))
+    # headline: fastest path holding recall >= 0.999 vs the exact oracle
+    best_qps, best_name, best_rec = 0.0, "xla", 0.0
+    for name, (qps, rec) in results.items():
+        if qps > best_qps and rec >= 0.999:
+            best_qps, best_name, best_rec = qps, name, rec
+    if best_qps == 0.0 and results:      # nothing held the gate; report best
+        best_name = max(results, key=lambda m: results[m][0])
+        best_qps, best_rec = results[best_name]
 
     print(json.dumps({
         "metric": f"cosine top-{K} QPS @ {n}x{D} (batch {B}, "
-                  f"{best_name}, measured recall@10={recall:.3f})",
+                  f"{best_name}, recall@10={best_rec:.3f} vs fp32-exact)",
         "value": round(best_qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(best_qps / BASELINE_QPS, 2),

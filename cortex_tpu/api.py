@@ -96,6 +96,7 @@ class Cortex:
                     storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(
             self.embedder.dimension,
+            search_path=self.config.embedding.search_path,
             storage_dtype=self.config.embedding.device_dtype)
 
     def _rebuild_index(self) -> None:

@@ -50,6 +50,11 @@ class EmbeddingConfig:
     # device index storage: "float32" (exact snapshots) or "bfloat16"
     # (half the HBM/transfer; MXU accumulates fp32 either way)
     device_dtype: str = "float32"
+    # serving search path: "auto" (int8 scan + exact host re-rank on
+    # TPU at scale, exact elsewhere), "exact" (recall 1.0 by
+    # construction), "approx" (bf16 PartialReduce + exact merge), or
+    # "quant" (force the int8 path)
+    search_path: str = "auto"
     # shard the corpus over all visible devices (power-of-two count);
     # single-device setups ignore this
     sharded: bool = False
@@ -150,6 +155,7 @@ class CortexConfig:
             model=e.get("model", "BAAI/bge-small-en-v1.5"),
             dimension=int(e.get("dimension", 384)),
             device_dtype=e.get("device_dtype", "float32"),
+            search_path=e.get("search_path", "auto"),
             sharded=bool(e.get("sharded", False)))
 
         al = raw.get("auto_linker", {})

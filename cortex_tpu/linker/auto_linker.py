@@ -110,8 +110,16 @@ class AutoLinker:
 
     # ----------------------------------------------------------------- scan
     def _nodes_since_cursor(self) -> List[Node]:
+        """Keyset scan: push created_after into the storage query (an
+        indexed range scan on nodes_by_created in SQLite) so cycle cost
+        is proportional to NEW nodes, not the full table — the reference
+        re-lists everything per cycle (auto_linker.rs:367-375).
+        created_after is inclusive (>=), so same-timestamp boundary rows
+        come back and the strict (created_at, id) keyset below drops the
+        already-processed ones."""
         mark = (self.cursor, self.cursor_id)
-        nodes = [n for n in self.storage.list_nodes(NodeFilter())
+        nodes = [n for n in self.storage.list_nodes(
+                     NodeFilter(created_after=self.cursor))
                  if (n.created_at, n.id) > mark]
         nodes.sort(key=lambda n: (n.created_at, n.id))
         return nodes

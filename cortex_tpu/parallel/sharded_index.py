@@ -75,12 +75,41 @@ def _sharded_filtered_topk(mesh: Mesh, corpus, live, kind_code, agent_code,
               queries)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_hostbias_topk(mesh: Mesh, corpus, bias, queries, *, k: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overflow-filter variant: the exact [N] bias is computed on the
+    host (see DeviceCorpus._host_bias) and sharded along the row axis —
+    no fixed-shape truncation at any filter-list size."""
+    n_dev = mesh.devices.size
+    shard_rows = corpus.shape[0] // n_dev
+
+    def local(c_blk, b_blk, q):
+        offset = jax.lax.axis_index(SHARD_AXIS) * shard_rows
+        scores = jnp.dot(q, c_blk.T,
+                         preferred_element_type=jnp.float32) + b_blk[None, :]
+        kk = min(k, shard_rows)
+        v, i = jax.lax.top_k(scores, kk)
+        gi = i + offset
+        av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
+        ai = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
+        gv, sel = jax.lax.top_k(av, min(k, av.shape[1]))
+        return gv, jnp.take_along_axis(ai, sel, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(corpus, bias, queries)
+
+
 class ShardedCorpus(DeviceCorpus):
     """DeviceCorpus with mesh-sharded device arrays + merged search."""
 
     def __init__(self, dim: int, mesh: Optional[Mesh] = None,
                  storage_dtype: str = "float32"):
-        super().__init__(dim, use_pallas=False,
+        super().__init__(dim, search_path="exact",
                          storage_dtype=storage_dtype)
         self.mesh = mesh or build_mesh()
         self._n_dev = int(self.mesh.devices.size)
@@ -130,14 +159,23 @@ class ShardedCorpus(DeviceCorpus):
                     jnp.asarray(self._agent_h[rows]))
                 self._dirty.clear()
 
-    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int):
+    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
+                         host_bias=None):
         """Override the single-device dispatch with the shard_map
         kernel (per-shard mask+matmul+top-k, ICI exact merge). The
         base class's topk/topk_async flow — locking, k-bucketing,
         generation-checked row->id mapping — is shared."""
-        return _sharded_filtered_topk(
+        if host_bias is not None:      # overflow filters: exact host bias
+            bias = jax.device_put(
+                jnp.asarray(host_bias),
+                NamedSharding(self.mesh, P(SHARD_AXIS)))
+            v, i = _sharded_hostbias_topk(self.mesh, self._dev[0], bias,
+                                          q, k=k_bucket)
+            return v, i, False
+        v, i = _sharded_filtered_topk(
             self.mesh, self._dev[0], self._dev[1], self._dev[2],
             self._dev[3], ak, aa, ex, q, k=k_bucket)
+        return v, i, False
 
 
 class ShardedFlatIndex(TpuFlatIndex):

@@ -7,9 +7,17 @@ kind/agent/exclusion filtering (the reference over-fetches k*10 then
 post-filters, index.rs:350 — here filters are masked *inside* the device
 kernel, so results are exact).
 
-  * TpuFlatIndex — exact flat scan over the DeviceCorpus (Pallas/XLA
-    fused cosine+top-k). recall == 1.0 by construction; the perf bet of
-    the whole rebuild (BASELINE north star).
+  * TpuFlatIndex — flat scan over the DeviceCorpus; the perf bet of
+    the whole rebuild (BASELINE north star). Serving path is selected
+    by `search_path`:
+      - "exact": plain XLA matmul + top_k — recall 1.0 by construction.
+      - "approx": bf16/fp32 matmul + hardware PartialReduce over-fetch +
+        exact merge — near-exact (measured recall@10 = 1.000 at 1Mx768,
+        not a construction guarantee).
+      - "quant": int8 scan + exact fp32 host re-rank of the candidate
+        set — fastest at scale; near-exact (candidate-set membership is
+        the only approximation).
+      - "auto" (default): quant on TPU at scale, exact elsewhere.
   * BruteForceIndex — numpy exact scan; the ground-truth oracle and
     dependency-free fallback (plays the reference's brute-force path,
     index.rs:259-294).
@@ -99,11 +107,13 @@ class VectorIndex:
 
 
 class TpuFlatIndex(VectorIndex):
-    def __init__(self, dim: int, *, use_pallas: Optional[bool] = None,
-                 storage_dtype: str = "float32"):
+    def __init__(self, dim: int, *, search_path: str = "auto",
+                 storage_dtype: str = "float32",
+                 use_pallas: Optional[bool] = None):
         self.dim = dim
-        self._corpus = DeviceCorpus(dim, use_pallas=use_pallas,
-                                    storage_dtype=storage_dtype)
+        self._corpus = DeviceCorpus(dim, search_path=search_path,
+                                    storage_dtype=storage_dtype,
+                                    use_pallas=use_pallas)
 
     def insert(self, node_id: str, vector: np.ndarray, *,
                kind: str = "", source_agent: str = "") -> None:
@@ -182,7 +192,7 @@ class TpuFlatIndex(VectorIndex):
                      if self._corpus._storage_dtype == _jnp.bfloat16
                      else "float32")
         self._corpus = DeviceCorpus(self.dim,
-                                    use_pallas=self._corpus._use_pallas,
+                                    search_path=self._corpus._search_path,
                                     storage_dtype=dtype_str)
         if meta["ids"]:
             self._corpus.upsert_batch(meta["ids"], z["vectors"],

@@ -533,3 +533,79 @@ class TestHybridSearch:
         res = hs.search(HybridQuery(query_text="corpus result", limit=5))
         assert len(res) == 1
         assert res[0].combined_score == res[0].vector_score
+
+
+class TestIncrementalScan:
+    """The cursor scan must be keyset-incremental: cycle cost
+    proportional to NEW nodes since the cursor, not the full table
+    (r1 VERDICT #6; beats auto_linker.rs:367-375 which rescans all)."""
+
+    def test_scan_touches_only_new_nodes(self, tmp_path):
+        from cortex_tpu.storage import SqliteStorage
+        from cortex_tpu.vector import TpuFlatIndex
+
+        s = SqliteStorage(str(tmp_path / "inc.db"))
+        emb = HashingEmbedder(DIM)
+        base = time.time() - 1000.0
+        existing = []
+        for i in range(20_000):
+            n = mknode(title=f"Existing node number {i}", created=base + i * 0.001)
+            n.embedding = emb.embed(n.title).tolist()
+            existing.append(n)
+        s.put_nodes_batch(existing)
+
+        idx = TpuFlatIndex(DIM)
+        linker = AutoLinker(s, idx, emb, AutoLinkerConfig())
+        # advance the cursor past the existing corpus without paying for
+        # a full first cycle: simulate a completed catch-up
+        last = max((n.created_at, n.id) for n in existing)
+        linker.cursor, linker.cursor_id = last
+
+        ten = []
+        now = time.time()
+        for i in range(10):
+            n = mknode(title=f"Fresh node number {i}", created=now + i)
+            n.embedding = emb.embed(n.title).tolist()
+            ten.append(n)
+        s.put_nodes_batch(ten)
+
+        # instrument: the storage query must RETURN only the new rows
+        # (the created_after push-down makes it an indexed range scan)
+        returned = []
+        orig = s.list_nodes
+
+        def counting(f=None):
+            out = orig(f)
+            returned.append(len(out))
+            return out
+
+        s.list_nodes = counting
+        nodes = linker._nodes_since_cursor()
+        s.list_nodes = orig
+
+        assert [n.id for n in nodes] == [n.id for n in ten]
+        # 10 new + at most the single boundary row (created_after is
+        # inclusive so the cursor row itself comes back and is dropped
+        # by the strict keyset filter) — NOT the 20k existing rows
+        assert returned[0] <= 11, (
+            f"scan returned {returned} rows; must touch only new nodes")
+        s.close()
+
+    def test_boundary_ties_are_keyset_filtered(self):
+        """Nodes sharing the cursor timestamp but already processed
+        (id <= cursor_id) must not be re-scanned; later ids at the same
+        timestamp must be."""
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        t0 = 1000.0
+        a = mknode(title="Same second node aa", created=t0)
+        b = mknode(title="Same second node bb", created=t0)
+        lo, hi = sorted([a, b], key=lambda n: n.id)
+        for n in (lo, hi):
+            n.embedding = emb.embed(n.title).tolist()
+            s.put_node(n)
+        from cortex_tpu.vector import TpuFlatIndex
+        linker = AutoLinker(s, TpuFlatIndex(DIM), emb, AutoLinkerConfig())
+        linker.cursor, linker.cursor_id = t0, lo.id
+        got = [n.id for n in linker._nodes_since_cursor()]
+        assert got == [hi.id]

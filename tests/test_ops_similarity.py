@@ -5,8 +5,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from cortex_tpu.ops.similarity import (cosine_topk, cosine_topk_pallas,
-                                       cosine_topk_xla, normalize_rows)
+from cortex_tpu.ops.similarity import (cosine_topk, cosine_topk_quant,
+                                       cosine_topk_xla, normalize_rows,
+                                       quantize_rows)
 
 
 def np_topk(corpus, queries, k, bias=None):
@@ -57,36 +58,51 @@ class TestXlaTopK:
         np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(20))
 
 
-class TestPallasTopK:
-    """Kernel runs in interpret mode on CPU; exact-match against XLA path."""
+class TestQuantTopK:
+    """int8 candidate scan (pure XLA ops — runs on CPU) vs exact oracle.
+    Candidates carry quantization noise in ORDER; membership of the true
+    top-k in the candidate set is the contract (DeviceCorpus re-ranks
+    exactly against the fp32 host mirror)."""
 
-    @pytest.mark.parametrize("n,d,b,k,block", [
-        (300, 64, 5, 10, 128),
-        (1024, 128, 3, 7, 256),
-        (130, 33, 1, 5, 128),       # ragged shapes exercise padding
-        (256, 384, 9, 100, 128),    # k near block size
+    @pytest.mark.parametrize("n,d,b,k", [
+        (300, 64, 5, 10),
+        (1024, 128, 3, 7),
+        (130, 33, 1, 5),            # ragged shapes exercise padding
     ])
-    def test_matches_xla(self, n, d, b, k, block):
+    def test_candidates_contain_exact_topk(self, n, d, b, k):
         rng = np.random.default_rng(42)
-        corpus = _norm(rng.normal(size=(n, d)).astype(np.float32))
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
         queries = _norm(rng.normal(size=(b, d)).astype(np.float32))
-        xv, xi = cosine_topk_xla(corpus, queries, min(k, n))
-        pv, pi = cosine_topk_pallas(corpus, queries, k, block_n=block,
-                                    interpret=True)
-        kk = min(k, n)
-        np.testing.assert_allclose(np.asarray(pv)[:, :kk], np.asarray(xv),
-                                   atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(pi)[:, :kk], np.asarray(xi))
+        cn = np.asarray(_norm(corpus))
+        i8, rinv = quantize_rows(cn)
+        xv, xi = cosine_topk_xla(jnp.asarray(cn), queries, min(k, n))
+        cand = max(2 * k, k + 16, 32)
+        qv, qi = cosine_topk_quant(jnp.asarray(i8), jnp.asarray(rinv),
+                                   queries, cand)
+        for r in range(b):
+            got = set(np.asarray(qi)[r][np.asarray(qv)[r] > -1e29])
+            assert set(np.asarray(xi)[r]) <= got
 
     def test_bias_masking(self):
         rng = np.random.default_rng(7)
-        corpus = _norm(rng.normal(size=(256, 32)).astype(np.float32))
+        corpus = np.asarray(_norm(rng.normal(size=(256, 32))
+                                  .astype(np.float32)))
         queries = _norm(rng.normal(size=(2, 32)).astype(np.float32))
-        bias = np.zeros((1, 256), np.float32)   # per-corpus-row mask
-        bias[:, ::2] = -1e30        # mask even rows
-        pv, pi = cosine_topk_pallas(corpus, queries, 8, jnp.asarray(bias),
-                                    block_n=128, interpret=True)
-        assert np.all(np.asarray(pi) % 2 == 1)
+        i8, rinv = quantize_rows(corpus)
+        bias = np.zeros((256,), np.float32)
+        bias[::2] = -1e30           # mask even rows
+        qv, qi = cosine_topk_quant(jnp.asarray(i8), jnp.asarray(rinv),
+                                   queries, 8, jnp.asarray(bias))
+        live = np.asarray(qv) > -1e29
+        assert np.all(np.asarray(qi)[live] % 2 == 1)
+
+    def test_quantize_roundtrip_error_bounded(self):
+        rng = np.random.default_rng(5)
+        x = np.asarray(_norm(rng.normal(size=(64, 384)).astype(np.float32)))
+        i8, rinv = quantize_rows(x)
+        back = i8.astype(np.float32) * rinv[:, None]
+        # per-element error bounded by half a quantization step
+        assert np.max(np.abs(back - x)) <= np.max(rinv) * 0.5 + 1e-7
 
     def test_approx_topk_matches_exact(self):
         from cortex_tpu.ops.similarity import cosine_topk_approx
@@ -115,13 +131,13 @@ class TestPallasTopK:
         assert np.all(np.asarray(ai) % 2 == 1)
 
     def test_bf16_corpus(self):
+        from cortex_tpu.ops.similarity import cosine_topk_approx
         rng = np.random.default_rng(9)
         corpus = _norm(rng.normal(size=(512, 64)).astype(np.float32))
         queries = _norm(rng.normal(size=(4, 64)).astype(np.float32))
         xv, xi = cosine_topk_xla(corpus, queries, 5)
-        pv, pi = cosine_topk_pallas(
-            jnp.asarray(corpus, jnp.bfloat16), queries, 5,
-            block_n=128, interpret=True)
+        pv, pi = cosine_topk_approx(
+            jnp.asarray(corpus, jnp.bfloat16), queries, 5, over=128)
         # bf16 rounding can permute near-ties; require >=4/5 overlap
         overlap = np.mean([
             len(set(np.asarray(xi)[r]) & set(np.asarray(pi)[r])) / 5

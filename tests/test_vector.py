@@ -270,3 +270,133 @@ class TestScoreDecay:
         for i, n in enumerate(nodes):
             assert batch[i] == pytest.approx(
                 apply_score_decay(n, float(raw[i]), cfg, now=now), abs=1e-5)
+
+
+class TestQuantSearchPath:
+    """search_path="quant": int8 device scan + exact fp32 host re-rank.
+    Must agree with brute force exactly (the re-rank IS exact; only
+    candidate membership is approximate, and at these sizes the
+    candidate set always contains the true top-k)."""
+
+    def _pair(self, n=600, seed=3):
+        tpu = TpuFlatIndex(DIM, search_path="quant")
+        bf = BruteForceIndex(DIM)
+        vecs = rand_vecs(n, seed)
+        kinds = ["fact" if i % 2 == 0 else "event" for i in range(n)]
+        agents = ["alice" if i % 3 == 0 else "bob" for i in range(n)]
+        tpu.insert_batch([f"n{i}" for i in range(n)], vecs,
+                         kinds=kinds, agents=agents)
+        for i in range(n):
+            bf.insert(f"n{i}", vecs[i], kind=kinds[i], source_agent=agents[i])
+        return tpu, bf, vecs
+
+    def test_matches_bruteforce(self):
+        tpu, bf, vecs = self._pair()
+        q = rand_vecs(5, seed=9)
+        got = tpu.search_batch(q, 10)
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            np.testing.assert_allclose([s for _, s in g],
+                                       [s for _, s in w], atol=1e-5)
+
+    def test_filters_respected(self):
+        tpu, bf, vecs = self._pair()
+        q = rand_vecs(3, seed=11)
+        flt = VectorFilter(kinds=["fact"], exclude_ids=["n0", "n2"])
+        got = tpu.search_batch(q, 8, flt)
+        want = bf.search_batch(q, 8, flt)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+    def test_scores_are_exact_fp32(self):
+        """The re-ranked scores must be fp32-exact cosines, not the
+        int8-noisy scan scores."""
+        tpu, bf, vecs = self._pair(n=50)
+        hits = tpu.search(vecs[7], 1)
+        assert hits[0][0] == "n7"
+        assert abs(hits[0][1] - 1.0) < 1e-5
+
+    def test_remove_then_search(self):
+        tpu, bf, vecs = self._pair(n=64)
+        tpu.remove("n5")
+        bf.remove("n5")
+        got = tpu.search(vecs[5], 3)
+        assert all(i != "n5" for i, _ in got)
+
+    def test_invalid_search_path_rejected(self):
+        with pytest.raises(IndexError_):
+            TpuFlatIndex(DIM, search_path="warp")
+
+
+class TestFilterOverflow:
+    """Filter lists beyond the fixed-shape device encoding (16 kinds /
+    64 exclusions) must fall back to an exact host-computed bias, never
+    silently truncate (r1 VERDICT #8 / ADVICE #4)."""
+
+    def _big(self, n=300, n_kinds=40, search_path="auto"):
+        tpu = TpuFlatIndex(DIM, search_path=search_path)
+        bf = BruteForceIndex(DIM)
+        vecs = rand_vecs(n, seed=21)
+        kinds = [f"kind-{i % n_kinds}" for i in range(n)]
+        agents = ["alice"] * n
+        tpu.insert_batch([f"n{i}" for i in range(n)], vecs,
+                         kinds=kinds, agents=agents)
+        for i in range(n):
+            bf.insert(f"n{i}", vecs[i], kind=kinds[i], source_agent=agents[i])
+        return tpu, bf, vecs
+
+    @pytest.mark.parametrize("n_excl", [1, 64, 65, 150, 299])
+    def test_excluded_id_never_returns(self, n_excl):
+        tpu, bf, vecs = self._big()
+        excl = [f"n{i}" for i in range(n_excl)]
+        flt = VectorFilter(exclude_ids=excl)
+        q = rand_vecs(4, seed=33)
+        for hits in tpu.search_batch(q, 20, flt):
+            assert not (set(i for i, _ in hits) & set(excl))
+        # and exact parity with brute force
+        want = bf.search_batch(q, 20, flt)
+        got = tpu.search_batch(q, 20, flt)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+    def test_many_kind_filters_exact(self):
+        tpu, bf, vecs = self._big()
+        kinds = [f"kind-{i}" for i in range(30)]     # > MAX_FILTER_KINDS
+        flt = VectorFilter(kinds=kinds)
+        q = rand_vecs(3, seed=34)
+        got = tpu.search_batch(q, 15, flt)
+        want = bf.search_batch(q, 15, flt)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+    @pytest.mark.parametrize("n_excl", [65, 200])
+    def test_overflow_on_quant_path(self, n_excl):
+        tpu, bf, vecs = self._big(search_path="quant")
+        excl = [f"n{i}" for i in range(n_excl)]
+        flt = VectorFilter(exclude_ids=excl)
+        q = rand_vecs(3, seed=35)
+        got = tpu.search_batch(q, 10, flt)
+        want = bf.search_batch(q, 10, flt)
+        for g, w in zip(got, want):
+            assert not (set(i for i, _ in g) & set(excl))
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+    def test_overflow_on_sharded_index(self):
+        from cortex_tpu.parallel import ShardedFlatIndex, build_mesh
+        import jax
+        mesh = build_mesh(min(8, len(jax.devices())))
+        tpu = ShardedFlatIndex(DIM, mesh)
+        bf = BruteForceIndex(DIM)
+        vecs = rand_vecs(200, seed=40)
+        for i in range(200):
+            tpu.insert(f"n{i}", vecs[i], kind="fact", source_agent="a")
+            bf.insert(f"n{i}", vecs[i], kind="fact", source_agent="a")
+        excl = [f"n{i}" for i in range(100)]          # > MAX_EXCLUDE
+        flt = VectorFilter(exclude_ids=excl)
+        q = rand_vecs(2, seed=41)
+        got = tpu.search_batch(q, 10, flt)
+        want = bf.search_batch(q, 10, flt)
+        for g, w in zip(got, want):
+            assert not (set(i for i, _ in g) & set(excl))
+            assert [i for i, _ in g] == [i for i, _ in w]

@@ -396,7 +396,9 @@ def create_app(state: ServerState) -> web.Application:
         if agent is None:
             agent = Node.new("agent", name, f"Agent node for {name}",
                              Source(agent=name), 0.8)
-            cx.store(agent)
+            # embed+persist off the event loop (a first-compile embed
+            # stall here would block /health and SSE — ADVICE r1 #3)
+            await asyncio.to_thread(cx.store, agent)
         head = cx.prompts.find_head(slug,
                                     request.query.get("branch", "main"))
         if head is None:
@@ -558,7 +560,7 @@ def create_app(state: ServerState) -> web.Application:
             "observation_score": obs_score})
         if body.get("context_signals"):
             obs.metadata["context_signals"] = body["context_signals"]
-        cx.store(obs)
+        await asyncio.to_thread(cx.store, obs)   # embed off the event loop
 
         for from_id, to_id, rel, w in [
                 (agent.id, obs.id, "performed", 1.0),

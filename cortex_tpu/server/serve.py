@@ -187,6 +187,14 @@ class Server:
                 self.state.metrics.mirror_storage(self.cortex.stats())
                 with span("retention.sweep"):
                     await asyncio.to_thread(self.cortex.run_retention)
+                if self.guard is not None:
+                    # bound the crash window: re-encrypt a consistent
+                    # snapshot so the at-rest copy never lags a clean
+                    # shutdown by more than one linker interval
+                    with span("encryption.checkpoint"):
+                        await asyncio.to_thread(
+                            self.guard.checkpoint,
+                            self.cortex.storage.snapshot)
             except Exception:
                 log.exception("auto-linker cycle failed (continuing)")
 
@@ -307,7 +315,12 @@ class Server:
                 await t
         self.tasks.clear()
         if self.grpc_server is not None:
-            self.grpc_server.stop(grace=2.0)
+            # stop() returns a threading.Event; WAIT for it — otherwise
+            # in-flight handlers on the gRPC thread pool keep running
+            # while cortex/guard close underneath them and accepted
+            # writes can miss the re-encrypted snapshot (ADVICE r1 #2)
+            ev = self.grpc_server.stop(grace=2.0)
+            await asyncio.to_thread(ev.wait)
         if self.http_runner is not None:
             await self.http_runner.cleanup()
         if self.state is not None and self.state.batcher is not None:

@@ -61,24 +61,65 @@ def decrypt_file(enc_path: str, plain_path: str, key: bytes) -> None:
 
 
 class EncryptedDbGuard:
-    """Decrypt-to-temp on enter; re-encrypt + remove plaintext on close.
+    """Decrypt on enter; re-encrypt + remove plaintext on clean close.
+
+    The plaintext working copy lives at a DETERMINISTIC path next to the
+    encrypted file (``<enc_path>.plain``, same directory / filesystem —
+    never a world-readable tempdir). Crash semantics (ADVICE r1 #1):
+
+      * clean shutdown -> close() re-encrypts and removes the plaintext.
+      * crash -> the plaintext (holding every write since the last clean
+        shutdown or checkpoint) stays put. The NEXT boot detects the
+        orphan and RESUMES FROM IT (loud warning), instead of silently
+        decrypting the stale .enc and losing those writes while newer
+        plaintext lingered in /tmp. SQLite WAL sidecars are preserved so
+        the reopen replays uncommitted-to-main pages.
+      * checkpoint(snapshot_fn) re-encrypts a consistent snapshot
+        mid-flight, bounding the crash window (call it from a background
+        loop with ``storage.snapshot``).
 
     Use:
         guard = EncryptedDbGuard(enc_path, key)
         storage = SqliteStorage(guard.plain_path)
-        ... serve ...
-        storage.close(); guard.close()
+        ... serve ...                      # optionally guard.checkpoint(
+        storage.close(); guard.close()     #   storage.snapshot) on a timer
     """
 
     def __init__(self, enc_path: str, key: bytes):
         self.enc_path = enc_path
         self.key = key
-        fd, self.plain_path = tempfile.mkstemp(suffix=".db", prefix="cortex-plain-")
-        os.close(fd)
-        if os.path.exists(enc_path) and os.path.getsize(enc_path) > 0:
+        self.plain_path = enc_path + ".plain"
+        self.recovered_from_crash = False
+        if os.path.exists(self.plain_path):
+            # Orphaned working copy from a crash: strictly newer than the
+            # last clean re-encryption. Resume from it; the stale .enc is
+            # refreshed at the next checkpoint/clean shutdown.
+            import logging
+            logging.getLogger(__name__).warning(
+                "encrypted storage: found orphaned plaintext working copy "
+                "%s (previous run did not shut down cleanly); resuming "
+                "from it — it holds every write since the last "
+                "re-encryption", self.plain_path)
+            self.recovered_from_crash = True
+        elif os.path.exists(enc_path) and os.path.getsize(enc_path) > 0:
             decrypt_file(enc_path, self.plain_path, key)
-        else:
-            os.unlink(self.plain_path)  # let sqlite create a fresh db file
+        # else: fresh database — let sqlite create the file
+
+    def checkpoint(self, snapshot_fn) -> None:
+        """Re-encrypt a consistent snapshot without stopping. snapshot_fn
+        (e.g. ``SqliteStorage.snapshot``) must write a consistent copy of
+        the live DB to the path it's given (the SQLite backup API does,
+        WAL included)."""
+        fd, tmp = tempfile.mkstemp(suffix=".db", prefix="cortex-ckpt-",
+                                   dir=os.path.dirname(
+                                       os.path.abspath(self.enc_path)))
+        os.close(fd)
+        try:
+            snapshot_fn(tmp)
+            encrypt_file(tmp, self.enc_path, self.key)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def close(self) -> None:
         if os.path.exists(self.plain_path):

@@ -340,6 +340,37 @@ class TestQueryDsl:
         assert cfg.auto_linker.rules[0].name == "decision-informs-pattern"
         assert cfg.plugins[0].type == "linker_rule"
 
+    def test_root_example_config_parses(self):
+        """cortex.example.toml (the shipped starter config) must load
+        with every key recognized and validate cleanly — parse-pinned
+        like the docs examples so it can never drift from the parser."""
+        import os
+        from cortex_tpu.config import CortexConfig
+        p = os.path.join(os.path.dirname(__file__), "..",
+                         "cortex.example.toml")
+        cfg = CortexConfig.load(p)
+        cfg.validate()
+        # spot-check one key per block so a silently-ignored table fails
+        assert cfg.server.warmup is True
+        assert cfg.schema.kinds == ["meeting-note"]
+        assert cfg.embedding.search_path == "auto"
+        assert cfg.auto_linker.candidate_k == 100
+        assert cfg.auto_linker.similarity.auto_link_threshold == 0.75
+        assert cfg.auto_linker.decay.importance_shield == 0.8
+        assert cfg.auto_linker.rules[0].condition.type == "min_similarity"
+        assert cfg.auto_linker.rules[0].condition.threshold == 0.7
+        assert cfg.briefing.recent_window_secs == 48 * 3600
+        assert cfg.ingest.file.watch_dir == "./ingest"
+        assert cfg.observability.sse_buffer == 1024
+        assert cfg.retention.by_kind["event"].ttl_days == 90.0
+        assert cfg.retention.by_kind["event"].min_score == 0.2
+        assert cfg.security.encryption_at_rest is False
+        assert cfg.prompt_rollback.cooldown_base_hours == 1
+        assert cfg.score_decay.by_kind["event"] == 0.05
+        assert cfg.write_gate.overrides["observation"].min_body_length == 10
+        assert cfg.schemas["decision"].required_fields == ["rationale"]
+        assert cfg.schemas["decision"].fields["priority"].max == 5.0
+
     def test_fuzz_garbage_never_crashes(self):
         """Any input must either compile or raise the DSL's own errors —
         never an unrelated exception (parser robustness)."""

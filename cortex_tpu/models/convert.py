@@ -1,0 +1,110 @@
+"""Offline HuggingFace -> device-encoder weight conversion.
+
+The reference ships a ready-made ONNX BGE-small-en-v1.5 pipeline via
+fastembed (crates/cortex-core/src/vector/embedding.rs:34-57). The
+TPU-native equivalent is a one-time conversion of the same HF weights
+into the pure-JAX encoder's npz pytree (models/encoder.py), after which
+every embed runs batched on the MXU:
+
+    python -m cortex_tpu.models.convert BAAI/bge-small-en-v1.5 bge.npz
+
+Everything here is strictly offline (`local_files_only=True`): the
+model must already be on disk — either a directory or a cached HF hub
+snapshot. Numerical parity of the converted forward against torch is
+locked by tests/test_models.py (cosine agreement > 0.999).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Tuple
+
+from ..errors import EmbeddingError
+from .encoder import BertEncoderConfig, convert_hf_state_dict, save_npz
+
+#: models whose sentence-embedding convention is mean-pooling rather
+#: than CLS (BGE-family uses CLS; sentence-transformers MiniLM uses mean)
+MEAN_POOLED_MODELS = ("minilm", "mpnet", "sentence-transformers")
+
+
+def resolve_local_model(name_or_path: str) -> Optional[str]:
+    """Find a local directory for an HF model without any network
+    access: the path itself, or a cached hub snapshot. None if absent."""
+    if os.path.isdir(name_or_path):
+        return name_or_path
+    try:
+        from huggingface_hub import snapshot_download
+        return snapshot_download(name_or_path, local_files_only=True)
+    except Exception:  # noqa: BLE001 — any miss means "not local"
+        return None
+
+
+def default_pooling(model_name: str) -> str:
+    low = model_name.lower()
+    if any(m in low for m in MEAN_POOLED_MODELS):
+        return "mean"
+    return "cls"
+
+
+def convert(model_dir_or_name: str, out_npz: str,
+            pooling: Optional[str] = None) -> Tuple[str, BertEncoderConfig]:
+    """Convert a local HF BERT-class checkpoint to the encoder npz.
+
+    Returns (resolved model dir, encoder config). The resolved dir also
+    holds the tokenizer files, so `flax:<out_npz>::<dir>` is a complete
+    embedder spec afterwards.
+    """
+    src = resolve_local_model(model_dir_or_name)
+    if src is None:
+        raise EmbeddingError(
+            f"{model_dir_or_name!r} is not a local directory or cached "
+            "HF snapshot (this environment is offline — download the "
+            "model elsewhere and point at the directory)")
+    try:
+        from transformers import AutoConfig, AutoModel
+        hf_cfg = AutoConfig.from_pretrained(src, local_files_only=True)
+        model = AutoModel.from_pretrained(
+            src, local_files_only=True, add_pooling_layer=False)
+    except Exception as e:  # noqa: BLE001
+        raise EmbeddingError(f"cannot load HF model at {src}: {e}") from e
+    if getattr(hf_cfg, "model_type", "bert") not in ("bert",):
+        raise EmbeddingError(
+            f"unsupported architecture {hf_cfg.model_type!r}: the device "
+            "encoder implements the BERT tower (BGE/MiniLM class)")
+    cfg = BertEncoderConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden=hf_cfg.hidden_size,
+        layers=hf_cfg.num_hidden_layers,
+        heads=hf_cfg.num_attention_heads,
+        intermediate=hf_cfg.intermediate_size,
+        max_position=hf_cfg.max_position_embeddings,
+        type_vocab=hf_cfg.type_vocab_size,
+        layernorm_eps=hf_cfg.layer_norm_eps,
+        pooling=pooling or default_pooling(model_dir_or_name))
+    params = convert_hf_state_dict(model.state_dict(), cfg)
+    save_npz(out_npz, params, cfg)
+    return src, cfg
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    pooling = None
+    if "--pooling" in args:
+        i = args.index("--pooling")
+        pooling = args[i + 1]
+        del args[i:i + 2]
+    if len(args) != 2:
+        print("usage: python -m cortex_tpu.models.convert "
+              "<hf-model-dir-or-name> <out.npz> [--pooling cls|mean]",
+              file=sys.stderr)
+        return 2
+    src, cfg = convert(args[0], args[1], pooling=pooling)
+    print(f"converted {src}\n  -> {args[1]}  "
+          f"({cfg.layers}L/{cfg.hidden}h, pooling={cfg.pooling})\n"
+          f"embedder spec: flax:{args[1]}::{src}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

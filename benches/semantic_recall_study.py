@@ -1,0 +1,279 @@
+"""Recall study on STRUCTURED corpora (r1 VERDICT #2 follow-up).
+
+Every r1 recall figure was measured on isotropic gaussian corpora — the
+adversarial geometry, where cosine tie-gaps are tightest and any
+projection collapses. Real embedding corpora have low intrinsic
+dimension and cluster structure. No real BGE weights exist in this
+image (zero egress), so this study measures the serving paths on the
+closest honest substitutes:
+
+  gaussian-1M   isotropic N(0,I) at 1Mx768 (the r1 adversarial case)
+  lowdim-1M     power-law spectrum (s_i ~ i^-1) at 1Mx768: effective
+                rank ~25 — the covariance shape measured for real text
+                embedding models in the literature
+  hash-text     200k REAL English sentences (harvested from installed
+                Python docstrings) through HashingEmbedder(384) — real
+                data, real lexical cluster structure
+  bert-text     the same sentences through the full-size BGE-small
+                ARCHITECTURE device encoder with random weights (random
+                features of real text: realistic covariance without
+                semantic weights)
+
+Paths measured per corpus, recall@10 vs an exact fp32 oracle:
+  quant   int8 per-row scan -> exact fp32 re-rank (the serving path)
+  approx  bf16 corpus + approx_max_k over-fetch + exact merge
+  proj-d' random-projection first pass at d' in {32,64,128} -> exact
+          fp32 re-rank of 512 candidates (the shelved pHNSW-style
+          technique; ships only if recall holds on structured corpora)
+
+Run: python benches/semantic_recall_study.py [--quick]
+Prints one JSON line per (corpus, path) point.
+"""
+
+import argparse
+import ast
+import json
+import os
+import re
+import site
+import sys
+import sysconfig
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from cortex_tpu.ops.similarity import (cosine_topk_approx,
+                                       cosine_topk_quant, quantize_rows,
+                                       quantize_rows_centered)
+
+K = 10
+B = 64           # query batch
+CAND = 36        # serving path candidate width (engine default at k=10)
+PROJ_CAND = 512  # projection path re-rank width
+
+_SENT = re.compile(r"[A-Z][^.!?]{30,220}[.!?]")
+
+
+# --------------------------------------------------------------- text corpus
+def harvest_sentences(limit: int) -> list:
+    """Deterministic English sentence harvest from installed Python
+    docstrings (stdlib + site-packages). Real prose, zero downloads."""
+    roots = [sysconfig.get_paths()["stdlib"]]
+    try:
+        roots += site.getsitepackages()
+    except Exception:  # noqa: BLE001
+        pass
+    sents = set()
+    for base in roots:
+        for root, dirs, files in sorted(os.walk(base)):
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                try:
+                    src = open(os.path.join(root, f), encoding="utf-8",
+                               errors="ignore").read()
+                    tree = ast.parse(src)
+                except Exception:  # noqa: BLE001
+                    continue
+                for node in ast.walk(tree):
+                    if isinstance(node, (ast.Module, ast.FunctionDef,
+                                         ast.AsyncFunctionDef,
+                                         ast.ClassDef)):
+                        d = ast.get_docstring(node)
+                        if d:
+                            for m in _SENT.finditer(d.replace("\n", " ")):
+                                sents.add(m.group(0))
+            if len(sents) >= limit * 2:
+                break
+    out = sorted(sents)
+    rng = np.random.default_rng(0)
+    rng.shuffle(out)
+    return out[:limit]
+
+
+def hash_embed(texts, dim=384):
+    from cortex_tpu.vector.embedding import HashingEmbedder
+    emb = HashingEmbedder(dim=dim)
+    out = np.empty((len(texts), dim), np.float32)
+    for i, t in enumerate(texts):
+        out[i] = emb.embed(t)
+    return out
+
+
+def bert_embed(texts, batch=512):
+    """Full-size BGE-small architecture, random weights, WordPiece-style
+    tokenizer over the harvested vocabulary."""
+    from cortex_tpu.models.encoder import (BertEncoderConfig, bert_encode,
+                                           device_params, init_params)
+    cfg = BertEncoderConfig()           # 384h/12L/12-head, the BGE-small tower
+    params = device_params(init_params(cfg, seed=3))
+    vocab = {}
+
+    def tok(batch_texts, seq=64):
+        ids = np.zeros((len(batch_texts), seq), np.int32)
+        mask = np.zeros((len(batch_texts), seq), np.int32)
+        for r, t in enumerate(batch_texts):
+            ws = re.findall(r"[a-z0-9]+", t.lower())[:seq - 2]
+            row = [101]
+            for w in ws:
+                row.append(vocab.setdefault(
+                    w, 999 + (len(vocab) % (cfg.vocab_size - 1100))))
+            row.append(102)
+            ids[r, :len(row)] = row
+            mask[r, :len(row)] = 1
+        return ids, mask
+
+    out = np.empty((len(texts), cfg.hidden), np.float32)
+    for s in range(0, len(texts), batch):
+        chunk = texts[s:s + batch]
+        if len(chunk) < batch:          # keep one compiled shape
+            chunk = chunk + [""] * (batch - len(chunk))
+        ids, mask = tok(chunk)
+        out[s:s + batch] = bert_encode(params, cfg, ids, mask
+                                       )[:len(texts) - s]
+    return out
+
+
+# ---------------------------------------------------------- device corpora
+def device_gaussian(n, d, seed=0):
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n, d), jnp.float32)
+    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+
+def device_lowdim(n, d, seed=0, alpha=1.0):
+    """Power-law spectrum: col i scaled by (i+1)^-alpha. Effective rank
+    (sum s^2)^2 / sum s^4 at alpha=1, d=768 is ~25 — the 'real text
+    embeddings' regime."""
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n, d), jnp.float32)
+    s = (jnp.arange(1, d + 1, dtype=jnp.float32)) ** (-alpha)
+    x = x * s[None, :]
+    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+
+# ----------------------------------------------------------------- measure
+def oracle_topk(corpus_dev, q_dev, k=K):
+    s = jax.lax.dot_general(
+        q_dev, corpus_dev, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return np.asarray(jax.lax.top_k(s, k)[1])
+
+
+def recall_of(rows, ref):
+    return float(np.mean([len(set(ref[b]) & set(rows[b][:K])) / K
+                          for b in range(ref.shape[0])]))
+
+
+def rerank_exact(host_corpus, cand_rows, queries, k=K):
+    """Exact fp32 host re-rank of candidate rows (the serving path's
+    second stage)."""
+    out = np.empty((queries.shape[0], k), np.int64)
+    for b in range(queries.shape[0]):
+        rows = cand_rows[b]
+        s = host_corpus[rows] @ queries[b]
+        out[b] = rows[np.argsort(-s)[:k]]
+    return out
+
+
+def measure_corpus(name, corpus_dev, host_corpus, queries, dprimes,
+                   seed=7):
+    q_dev = jnp.asarray(queries)
+    ref = oracle_topk(corpus_dev, q_dev)
+    n, d = corpus_dev.shape
+    results = []
+
+    # quant serving path — centered, as the engine quantizes
+    c_i8, rinv, _mu = quantize_rows_centered(host_corpus)
+    t0 = time.perf_counter()
+    _, rows = cosine_topk_quant(jnp.asarray(c_i8), jnp.asarray(rinv),
+                                q_dev, CAND)
+    rows = np.asarray(rows)
+    scan_s = time.perf_counter() - t0
+    got = rerank_exact(host_corpus, rows, queries)
+    results.append(("quant-int8c+rerank", recall_of(got, ref), scan_s))
+
+    # uncentered variant (the r1 scheme) for the comparison table
+    c_i8u, rinvu = quantize_rows(host_corpus)
+    _, rows = cosine_topk_quant(jnp.asarray(c_i8u), jnp.asarray(rinvu),
+                                q_dev, CAND)
+    got = rerank_exact(host_corpus, np.asarray(rows), queries)
+    results.append(("quant-int8-uncentered+rerank",
+                    recall_of(got, ref), None))
+
+    # approx bf16 path
+    cb = corpus_dev.astype(jnp.bfloat16)
+    _, rows = cosine_topk_approx(cb, q_dev, K)
+    results.append(("approx-bf16", recall_of(np.asarray(rows), ref), None))
+
+    # projection-filter paths
+    key = jax.random.PRNGKey(seed)
+    for dp in dprimes:
+        p = jax.random.normal(key, (d, dp), jnp.float32) / np.sqrt(dp)
+        cp = corpus_dev @ p
+        qp = q_dev @ p
+        s = jax.lax.dot_general(qp, cp, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        _, cand = jax.lax.approx_max_k(s, min(PROJ_CAND, n),
+                                       recall_target=0.95)
+        got = rerank_exact(host_corpus, np.asarray(cand), queries)
+        results.append((f"proj-{dp}+rerank{PROJ_CAND}",
+                        recall_of(got, ref), None))
+
+    for path, rec, scan_s in results:
+        row = {"metric": f"recall@10 {name} ({n}x{d}) {path}",
+               "value": round(rec, 4), "unit": "recall@10"}
+        if scan_s is not None:
+            row["scan_ms_per_batch"] = round(scan_s * 1000, 2)
+        print(json.dumps(row), flush=True)
+    return {p: r for p, r, _ in results}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small sizes, CPU-friendly")
+    args = ap.parse_args()
+    big_n = 100_000 if args.quick else 1_000_000
+    text_n = 5_000 if args.quick else 200_000
+    dprimes = (32, 64, 128)
+
+    # synthetic geometries at scale (device-generated: no upload cost)
+    for name, builder in (("gaussian", device_gaussian),
+                          ("lowdim-a1.0", device_lowdim)):
+        corpus = builder(big_n, 768)
+        host = np.asarray(corpus)
+        qs = np.asarray(builder(B, 768, seed=99))
+        measure_corpus(name, corpus, host, qs, dprimes)
+        del corpus, host
+
+    # real text, two embedders
+    texts = harvest_sentences(text_n + B)
+    qs_text, corpus_texts = texts[:B], texts[B:]
+    t0 = time.perf_counter()
+    h = hash_embed(corpus_texts)
+    hq = hash_embed(qs_text)
+    print(json.dumps({"metric": "hash-embed corpus", "value":
+                      round(len(corpus_texts) /
+                            (time.perf_counter() - t0), 1),
+                      "unit": "texts/sec"}), flush=True)
+    measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
+
+    t0 = time.perf_counter()
+    be = bert_embed(corpus_texts)
+    bq = bert_embed(qs_text)
+    print(json.dumps({"metric": "bert-embed corpus (random weights)",
+                      "value": round(len(corpus_texts) /
+                                     (time.perf_counter() - t0), 1),
+                      "unit": "texts/sec"}), flush=True)
+    measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
+
+
+if __name__ == "__main__":
+    main()

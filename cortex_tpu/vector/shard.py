@@ -37,7 +37,7 @@ import numpy as np
 from ..errors import IndexError_
 from ..ops.similarity import (NEG_INF, cosine_topk_approx,
                               cosine_topk_quant, cosine_topk_xla,
-                              quantize_rows)
+                              quantize_rows_centered)
 
 MIN_CAP = 1024
 MAX_FILTER_KINDS = 16
@@ -175,6 +175,7 @@ class DeviceCorpus:
         self._full_resync = True
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._dev_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._quant_mu = np.zeros(dim, np.float32)   # int8 centering shift
         self.kinds = Interner()
         self.agents = Interner()
         self._lock = threading.RLock()
@@ -313,12 +314,24 @@ class DeviceCorpus:
 
     def _sync_quant(self, rows: Optional[np.ndarray]) -> None:
         """Refresh the int8 shadow (values + per-row dequant factors)
-        from the fp32 host mirror. rows=None -> full re-upload."""
+        from the fp32 host mirror. rows=None -> full re-upload.
+
+        Quantization is CENTERED on the live-row mean (ranking-
+        invariant — see ops.similarity.quantize_rows_centered): this is
+        what keeps the int8 scan's candidate recall at 1.0 on
+        anisotropic real-encoder corpora. Incremental row updates
+        reuse the μ of the last full sync (any fixed shift is correct;
+        a stale μ only costs a sliver of quantization resolution)."""
         if rows is None:
-            q, rinv = quantize_rows(self._emb_h)
+            live = self._live_h
+            mu = (self._emb_h[live].mean(axis=0).astype(np.float32)
+                  if live.any() else np.zeros(self.dim, np.float32))
+            q, rinv, self._quant_mu = quantize_rows_centered(
+                self._emb_h, mu)
             self._dev_q = (jnp.asarray(q), jnp.asarray(rinv))
         else:
-            q, rinv = quantize_rows(self._emb_h[rows])
+            q, rinv, _ = quantize_rows_centered(
+                self._emb_h[rows], self._quant_mu)
             i8, ri = self._dev_q
             self._dev_q = (i8.at[jnp.asarray(rows)].set(jnp.asarray(q)),
                            ri.at[jnp.asarray(rows)].set(jnp.asarray(rinv)))

@@ -96,6 +96,42 @@ class TestQuantTopK:
         live = np.asarray(qv) > -1e29
         assert np.all(np.asarray(qi)[live] % 2 == 1)
 
+    def test_centered_quant_survives_anisotropy(self):
+        """Real text encoders are anisotropic: every row = big shared
+        component + small residual, and cosine gaps live entirely in
+        the residual. Uncentered int8 spends its range on the shared
+        component and candidate membership collapses; centered
+        quantization (the engine's scheme) must keep the true top-k in
+        the candidate set. Ranking-invariance: q·(x−μ) orders like q·x."""
+        from cortex_tpu.ops.similarity import quantize_rows_centered
+        rng = np.random.default_rng(21)
+        d, n, b, k = 96, 4096, 8, 10
+        common = _norm(rng.normal(size=(1, d)).astype(np.float32))
+        resid = rng.normal(size=(n, d)).astype(np.float32) * 0.02
+        corpus = np.asarray(_norm(common + resid))
+        queries = np.asarray(_norm(common + rng.normal(size=(b, d))
+                                   .astype(np.float32) * 0.02))
+        xv, xi = cosine_topk_xla(jnp.asarray(corpus),
+                                 jnp.asarray(queries), k)
+        i8, rinv, mu = quantize_rows_centered(corpus)
+        cand = max(2 * k, k + 16, 32)
+        qv, qi = cosine_topk_quant(jnp.asarray(i8), jnp.asarray(rinv),
+                                   jnp.asarray(queries), cand)
+        for r in range(b):
+            got = set(np.asarray(qi)[r][np.asarray(qv)[r] > -1e29])
+            missing = set(np.asarray(xi)[r]) - got
+            assert not missing, f"row {r}: true top-{k} rows {missing} " \
+                                f"missing from centered candidates"
+        # a stale / arbitrary shift is still ranking-correct
+        i8b, rinvb, _ = quantize_rows_centered(corpus, mu * 0.5)
+        qv2, qi2 = cosine_topk_quant(jnp.asarray(i8b), jnp.asarray(rinvb),
+                                     jnp.asarray(queries), cand)
+        for r in range(b):
+            got = set(np.asarray(qi2)[r][np.asarray(qv2)[r] > -1e29])
+            # half-centering halves the residual resolution; membership
+            # of the top-1 (largest gap) must still survive
+            assert int(np.asarray(xi)[r][0]) in got
+
     def test_quantize_roundtrip_error_bounded(self):
         rng = np.random.default_rng(5)
         x = np.asarray(_norm(rng.normal(size=(64, 384)).astype(np.float32)))

@@ -309,6 +309,39 @@ class TestQuantSearchPath:
         for g, w in zip(got, want):
             assert [i for i, _ in g] == [i for i, _ in w]
 
+    def test_anisotropic_corpus_matches_bruteforce(self):
+        """Real-encoder geometry: all vectors share a dominant common
+        component, cosine gaps live in a small residual. The centered
+        int8 shadow must keep the serving path exact here (uncentered
+        quantization loses ~20% recall on this geometry — see
+        benches/semantic_recall_study.py). Also covers incremental
+        insert -> partial quant sync against a stale centering shift."""
+        rng = np.random.default_rng(17)
+        n = 800
+        common = rng.normal(size=(1, DIM)).astype(np.float32)
+        common /= np.linalg.norm(common)
+        vecs = common + rng.normal(size=(n, DIM)).astype(np.float32) * 0.02
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tpu = TpuFlatIndex(DIM, search_path="quant")
+        bf = BruteForceIndex(DIM)
+        tpu.insert_batch([f"n{i}" for i in range(n - 50)], vecs[:n - 50])
+        for i in range(n - 50):
+            bf.insert(f"n{i}", vecs[i])
+        q = common + rng.normal(size=(6, DIM)).astype(np.float32) * 0.02
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        tpu.search_batch(q, 10)          # forces full sync (sets mu)
+        # incremental tail quantizes against the stale mu — still exact
+        tpu.insert_batch([f"n{i}" for i in range(n - 50, n)],
+                         vecs[n - 50:])
+        for i in range(n - 50, n):
+            bf.insert(f"n{i}", vecs[i])
+        got = tpu.search_batch(q, 10)
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            np.testing.assert_allclose([s for _, s in g],
+                                       [s for _, s in w], atol=1e-5)
+
     def test_scores_are_exact_fp32(self):
         """The re-ranked scores must be fp32-exact cosines, not the
         int8-noisy scan scores."""

@@ -253,6 +253,7 @@ def create_app(state: ServerState) -> web.Application:
             "nodes": [node_json(n) for n in sub.nodes.values()],
             "edges": [edge_json(e) for e in sub.edges],
             "depths": sub.depths,
+            "truncated": sub.truncated,   # SDKs parse this (budget hit)
         })
 
     # -------------------------------------------------------------- edges

@@ -131,6 +131,13 @@ def compute_baseline_stats(obs: Sequence[Tuple[float, float]]
     return mean_c, max(var_c ** 0.5, 0.01), mean_s, max(var_s ** 0.5, 0.01)
 
 
+def compute_cooldown_hours(base_hours: int, rollback_count: int) -> int:
+    """Exponential rollback cooldown: doubles per rollback, the shift is
+    capped at 2^7, and the result at 168h (one week) — reference
+    rollback.rs:598-600."""
+    return min(base_hours * (1 << min(rollback_count - 1, 7)), 168)
+
+
 def _is_active_deployment(n: Node) -> bool:
     try:
         b = json.loads(n.body)
@@ -397,9 +404,8 @@ class RollbackMonitor:
             to_version = max(from_version - 1, 0)
 
         rollback_count = self._count_rollbacks(slug, branch) + 1
-        cooldown_hours = min(
-            self.config.cooldown_base_hours
-            * (1 << min(rollback_count - 1, 7)), 168)
+        cooldown_hours = compute_cooldown_hours(
+            self.config.cooldown_base_hours, rollback_count)
         cooldown_expires = time.time() + cooldown_hours * 3600
         is_quarantined = rollback_count >= \
             self.config.max_rollbacks_before_quarantine

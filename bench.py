@@ -67,14 +67,17 @@ def main():
     corpus.block_until_ready()
     corpus_bf16 = corpus.astype(jnp.bfloat16)
     corpus_bf16.block_until_ready()
-    # int8 shadow (per-row scales) — computed on device here to avoid
-    # the host round-trip; DeviceCorpus quantizes from its host mirror
-    rmax = jnp.max(jnp.abs(corpus), axis=1)
+    # int8 shadow (per-row scales, CENTERED as DeviceCorpus quantizes —
+    # ranking-invariant; a no-op for this zero-mean corpus but the exact
+    # serving scheme) — computed on device to avoid the host round-trip
+    centered = corpus - jnp.mean(corpus, axis=0)[None, :]
+    rmax = jnp.max(jnp.abs(centered), axis=1)
     rscale = 127.0 / jnp.maximum(rmax, 1e-12)
-    corpus_i8 = jnp.clip(jnp.round(corpus * rscale[:, None]),
+    corpus_i8 = jnp.clip(jnp.round(centered * rscale[:, None]),
                          -127, 127).astype(jnp.int8)
     rinv = (1.0 / rscale).astype(jnp.float32)
     corpus_i8.block_until_ready()
+    del centered
     queries = normalize_rows(jax.random.normal(kq, (B, D), jnp.float32))
     queries_h = np.asarray(queries)
     bias = jnp.zeros((1, n), jnp.float32)

@@ -176,6 +176,7 @@ class DeviceCorpus:
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._dev_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._quant_mu = np.zeros(dim, np.float32)   # int8 centering shift
+        self._bf16_mu: Optional[np.ndarray] = None   # bf16 centering shift
         self.kinds = Interner()
         self.agents = Interner()
         self._lock = threading.RLock()
@@ -303,7 +304,22 @@ class DeviceCorpus:
     def _emb_for_device(self, rows=None) -> np.ndarray:
         src = self._emb_h if rows is None else self._emb_h[rows]
         if self._storage_dtype == jnp.bfloat16:
-            # cast on host so the wire/HBM cost is halved too
+            # CENTERED bf16 (cast on host so the wire/HBM cost is
+            # halved too): rounding error then scales with the residual
+            # ||x - mu||, not ||x|| — on anisotropic real-encoder
+            # corpora (all rows share a dominant component) this is the
+            # difference between ~0.71 and ~1.0 recall@10. Ranking is
+            # invariant per query; the q.mu term is added back to the
+            # returned scores on the host (_finish_topk). Partial row
+            # updates reuse the last full-sync mu (any fixed shift is
+            # ranking-correct).
+            if rows is None:
+                live = self._live_h
+                self._bf16_mu = (
+                    self._emb_h[live].mean(axis=0).astype(np.float32)
+                    if live.any() else None)
+            if self._bf16_mu is not None:
+                src = src - self._bf16_mu[None, :]
             return src.astype(jax.dtypes.bfloat16)
         return src
 
@@ -524,6 +540,12 @@ class DeviceCorpus:
             else:
                 v = v[:, :kk]
                 i = i[:, :kk]
+                if self._bf16_mu is not None and q_np is not None:
+                    # add back the per-query q.mu the centered bf16
+                    # corpus dropped, so returned scores are absolute
+                    # cosines (thresholds/gate checks depend on them)
+                    comp = (q_np @ self._bf16_mu).astype(np.float32)
+                    v = np.where(v > -1e29, v + comp[:, None], v)
             if kk < k:
                 v = np.pad(v, ((0, 0), (0, k - kk)),
                            constant_values=NEG_INF)

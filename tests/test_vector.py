@@ -342,6 +342,40 @@ class TestQuantSearchPath:
             np.testing.assert_allclose([s for _, s in g],
                                        [s for _, s in w], atol=1e-5)
 
+    def test_bf16_storage_anisotropic_centered(self):
+        """bf16 device storage is centered (rounding error scales with
+        the residual, not the shared component) and returned scores are
+        compensated back to absolute cosines. On this anisotropic
+        corpus an uncentered bf16 store loses ~25% recall."""
+        rng = np.random.default_rng(23)
+        n = 512
+        common = rng.normal(size=(1, DIM)).astype(np.float32)
+        common /= np.linalg.norm(common)
+        vecs = common + rng.normal(size=(n, DIM)).astype(np.float32) * 0.02
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tpu = TpuFlatIndex(DIM, search_path="approx",
+                           storage_dtype="bfloat16")
+        bf = BruteForceIndex(DIM)
+        tpu.insert_batch([f"n{i}" for i in range(n)], vecs)
+        for i in range(n):
+            bf.insert(f"n{i}", vecs[i])
+        q = common + rng.normal(size=(4, DIM)).astype(np.float32) * 0.02
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        got = tpu.search_batch(q, 10)
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            grank = [i for i, _ in g]
+            wrank = [i for i, _ in w]
+            # rank agreement within residual-rounding noise: require the
+            # same top-10 SET and a close-to-exact ordering up front
+            assert set(grank) == set(wrank)
+            assert grank[0] == wrank[0]
+            # compensated scores are absolute cosines (all ~0.99 here,
+            # NOT the small centered residual scores)
+            for (_, gs), (_, ws) in zip(g, w):
+                assert gs == pytest.approx(ws, abs=5e-3)
+                assert gs > 0.9
+
     def test_scores_are_exact_fp32(self):
         """The re-ranked scores must be fp32-exact cosines, not the
         int8-noisy scan scores."""

@@ -8,7 +8,8 @@ dependency). Set CORTEX_NATIVE=0 to disable.
 
 from .build import available, lib_path, load
 from .graph import (bfs_depths, components_native, dijkstra_maxprod,
-                    decay_sweep_native)
+                    decay_sweep_native, rerank_topk_native)
 
 __all__ = ["available", "lib_path", "load", "bfs_depths",
-           "components_native", "dijkstra_maxprod", "decay_sweep_native"]
+           "components_native", "dijkstra_maxprod", "decay_sweep_native",
+           "rerank_topk_native"]

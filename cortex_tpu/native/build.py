@@ -80,6 +80,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.gc_decay_sweep.restype = ctypes.c_int64
         lib.gc_decay_sweep.argtypes = [f32p, f32p, f32p, ctypes.c_int64,
                                        ctypes.c_float, ctypes.c_float, u8p]
+        lib.gc_rerank_topk.restype = ctypes.c_int32
+        lib.gc_rerank_topk.argtypes = [f32p, ctypes.c_int64,
+                                       ctypes.c_int32, f32p,
+                                       ctypes.c_int32, i32p,
+                                       ctypes.c_int32, u8p,
+                                       ctypes.c_int32, f32p, i32p]
         _LIB = lib
         return _LIB
 

@@ -81,6 +81,31 @@ def components_native(indptr: np.ndarray, indices: np.ndarray
     return comp
 
 
+def rerank_topk_native(corpus: np.ndarray, queries: np.ndarray,
+                       cand_rows: np.ndarray, valid: np.ndarray,
+                       k: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded exact fp32 re-rank of [B, cand] candidate rows against
+    the corpus mirror. Returns (scores [B,k], rows [B,k]) — invalid
+    slots score -1e30 — or None without the native lib. Tie order
+    matches numpy's stable argsort of -scores."""
+    lib = load()
+    if lib is None:
+        return None
+    corpus = np.ascontiguousarray(corpus, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    cand_rows = np.ascontiguousarray(cand_rows, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    b, cand = cand_rows.shape
+    scores = np.empty((b, k), np.float32)
+    rows = np.empty((b, k), np.int32)
+    lib.gc_rerank_topk(
+        _f32(corpus), corpus.shape[0], corpus.shape[1], _f32(queries),
+        b, _i32(cand_rows), cand,
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), k,
+        _f32(scores), _i32(rows))
+    return scores, rows
+
+
 def decay_sweep_native(weights: np.ndarray, eff_rates: np.ndarray,
                        days: np.ndarray, delete_below: float,
                        prune_below: float

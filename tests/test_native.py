@@ -94,6 +94,36 @@ class TestRawKernels:
         assert fl.tolist() == [0, 1, 0]
 
 
+    def test_rerank_topk_matches_numpy(self):
+        """Threaded C++ re-rank == the numpy reference (scores, rows,
+        and stable tie order), including invalid-slot padding."""
+        rng = np.random.default_rng(31)
+        n, d, b, cand, k = 500, 48, 7, 24, 10
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((b, d)).astype(np.float32)
+        rows = rng.integers(0, n, size=(b, cand)).astype(np.int32)
+        rows[0, :3] = rows[0, 3]          # exact-duplicate candidates -> ties
+        valid = (rng.random((b, cand)) > 0.2)
+        valid[2, :] = False               # one query with zero candidates
+        out = native.rerank_topk_native(corpus, queries, rows, valid, k)
+        assert out is not None
+        sv, si = out
+        # numpy reference (the fallback implementation)
+        safe = np.where(valid, rows, 0)
+        g = corpus[safe.reshape(-1)].reshape(b, cand, d)
+        exact = np.matmul(g, queries[:, :, None])[:, :, 0]
+        exact = np.where(valid, exact, -1e30)
+        order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        rv = np.take_along_axis(exact, order, axis=1)
+        ri = np.take_along_axis(rows, order, axis=1)
+        for bb in range(b):
+            ok = rv[bb] > -1e29
+            # fp32 accumulation order differs (unrolled lanes vs BLAS)
+            np.testing.assert_allclose(sv[bb][ok], rv[bb][ok], atol=1e-4)
+            assert si[bb][ok].tolist() == ri[bb][ok].tolist()
+            assert (sv[bb][~ok] <= -1e29).all()
+
+
 class TestEngineParity:
     def test_find_paths_native_matches_python(self):
         cx = Cortex.in_memory()

@@ -5,8 +5,9 @@ A ground-up rebuild of the capabilities of MikeSquared-Agency/cortex
 
   - host: durable node/edge store (SQLite), graph-of-record, app services,
     servers (gRPC/HTTP/SSE/MCP), CLI
-  - device: embedding shards as padded [N, d] arrays, fused Pallas
-    cosine-distance + top-k search, blocked all-pairs auto-link scans,
+  - device: embedding shards as padded [N, d] arrays, centered-int8
+    cosine + top-k scans with exact fp32 re-rank, blocked all-pairs
+    auto-link scans,
     adjacency-gather graph proximity, vectorized decay sweeps
   - mesh: corpus-axis sharding over jax.sharding.Mesh with cross-shard
     top-k merges over ICI

@@ -43,6 +43,67 @@ class TestShardedParity:
             np.testing.assert_allclose([s for _, s in row_s],
                                        [s for _, s in row_1], atol=1e-5)
 
+    def test_quant_path_matches_bruteforce(self, mesh8):
+        """The int8 serving scan sharded over the mesh: per-shard scan,
+        ICI candidate merge, exact fp32 host re-rank — results must be
+        identical to brute force (ids AND scores), with filters and
+        cross-shard exclusions, on an anisotropic corpus (the geometry
+        centering exists for)."""
+        sharded = ShardedFlatIndex(DIM, mesh8, search_path="quant")
+        bf = BruteForceIndex(DIM)
+        rng = np.random.default_rng(41)
+        n = 600
+        common = rng.normal(size=(1, DIM)).astype(np.float32)
+        common /= np.linalg.norm(common)
+        vecs = common + rng.normal(size=(n, DIM)).astype(np.float32) * 0.05
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = [f"n{i:04d}" for i in range(n)]
+        kinds = ["fact" if i % 3 else "event" for i in range(n)]
+        agents = [f"a{i % 5}" for i in range(n)]
+        sharded.insert_batch(ids[:500], vecs[:500], kinds=kinds[:500],
+                             agents=agents[:500])
+        for i in range(500):
+            bf.insert(ids[i], vecs[i], kind=kinds[i],
+                      source_agent=agents[i])
+        q = common + rng.normal(size=(5, DIM)).astype(np.float32) * 0.05
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sharded.search_batch(q, 10)        # full sync sets the mu
+        # incremental tail: partial quant scatter against the stale mu
+        sharded.insert_batch(ids[500:], vecs[500:], kinds=kinds[500:],
+                             agents=agents[500:])
+        for i in range(500, n):
+            bf.insert(ids[i], vecs[i], kind=kinds[i],
+                      source_agent=agents[i])
+        for flt in (None,
+                    VectorFilter(kinds=["fact"]),
+                    VectorFilter(exclude_ids=[f"n{i:04d}"
+                                              for i in range(0, n, 7)])):
+            got = sharded.search_batch(q, 10, flt)
+            want = bf.search_batch(q, 10, flt)
+            for g, w in zip(got, want):
+                assert [i for i, _ in g] == [i for i, _ in w]
+                np.testing.assert_allclose([s for _, s in g],
+                                           [s for _, s in w], atol=1e-5)
+
+    def test_quant_hostbias_overflow_path(self, mesh8):
+        """>64 exclusions on the quant path must fall back to the exact
+        sharded host-bias scan — excluded ids never return."""
+        sharded = ShardedFlatIndex(DIM, mesh8, search_path="quant")
+        ids, vecs = seed(sharded, n=400)
+        bf = BruteForceIndex(DIM)
+        for i, v in zip(ids, vecs):
+            bf.insert(i, v)
+        excl = ids[::3]                     # 134 exclusions > MAX_EXCLUDE
+        flt = VectorFilter(exclude_ids=excl)
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(4, DIM)).astype(np.float32)
+        got = sharded.search_batch(q, 12, flt)
+        want = bf.search_batch(q, 12, flt)
+        excluded = set(excl)
+        for g, w in zip(got, want):
+            assert not (set(i for i, _ in g if i) & excluded)
+            assert [i for i, _ in g] == [i for i, _ in w]
+
     def test_matches_bruteforce_with_filters(self, mesh8):
         sharded = ShardedFlatIndex(DIM, mesh8)
         oracle = BruteForceIndex(DIM)

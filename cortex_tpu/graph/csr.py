@@ -52,6 +52,13 @@ def _bfs_hops(nbrs: jnp.ndarray, dist0: jnp.ndarray,
     return jax.lax.fori_loop(0, 8, body, dist0)  # 8 = static max hop count
 
 
+@jax.jit
+def _gather_depths(nbrs, dist0, hops, rows):
+    """BFS relaxation + candidate-row gather in one dispatch."""
+    dist = _bfs_hops(nbrs, dist0, hops)
+    return dist[rows]
+
+
 class DeviceGraphMirror:
     """Undirected padded-neighbor adjacency on device, keyed to a
     node-id <-> row mapping shared with the embedding corpus."""
@@ -104,11 +111,69 @@ class DeviceGraphMirror:
         self._nbrs = jnp.asarray(nbrs)
         self._built_version = self._cache.version
 
+    # ------------------------------------------------------- host fast path
+    #: frontier budget before falling back to the device relaxation —
+    #: hybrid anchor BFS touches O(deg^hops) nodes, tiny on real
+    #: graphs, while the device min-plus pass costs O(N*deg*hops)
+    #: regardless of frontier AND its [N, deg] gather lowers to a
+    #: serial slice loop on TPU (measured ~460ms/pass at 1Mx8). The
+    #: device form only wins when the frontier is a large fraction of
+    #: the graph.
+    HOST_FRONTIER_BUDGET = 200_000
+
+    def _in_graph(self, node_id: str) -> bool:
+        return bool(self._cache.outgoing(node_id)
+                    or self._cache.incoming(node_id))
+
+    def _host_bfs(self, src: str, max_hops: int,
+                  budget: int) -> Optional[Dict[str, int]]:
+        """Frontier BFS over the host adjacency (exact — no degree
+        cap, unlike the padded device table). None when the visited
+        count blows the budget (caller falls back to device)."""
+        if not self._in_graph(src):
+            return {}
+        dist = {src: 0}
+        frontier = [src]
+        for h in range(max_hops):
+            nxt = []
+            for u in frontier:
+                for a in self._cache.outgoing(u):
+                    if a.neighbor not in dist:
+                        dist[a.neighbor] = h + 1
+                        nxt.append(a.neighbor)
+                for a in self._cache.incoming(u):
+                    if a.neighbor not in dist:
+                        dist[a.neighbor] = h + 1
+                        nxt.append(a.neighbor)
+                if len(dist) > budget:
+                    return None
+            if not nxt:
+                break
+            frontier = nxt
+        return dist
+
     def per_anchor_depths(self, anchor_ids: Sequence[str],
                           max_hops: int) -> Dict[str, "np.ndarray"]:
-        """depth-from-each-anchor, batched: one vmapped BFS over an
-        [A, N] distance matrix. Returns {node_id: [A] int32 depths}
-        (entries omitted when unreachable from every anchor)."""
+        """depth-from-each-anchor. Host frontier BFS per anchor first
+        (tiny frontiers, no device build needed); the vmapped device
+        relaxation over an [A, N] distance matrix is the fallback for
+        frontiers that cover a large fraction of the graph. Returns
+        {node_id: [A] int32 depths} (entries omitted when unreachable
+        from every anchor)."""
+        known = [a for a in anchor_ids if self._in_graph(a)]
+        per: List[Optional[Dict[str, int]]] = [
+            self._host_bfs(a, max_hops, self.HOST_FRONTIER_BUDGET)
+            for a in known]
+        if all(d is not None for d in per):
+            out: Dict[str, np.ndarray] = {}
+            for j, d in enumerate(per):
+                for nid, depth in d.items():
+                    row = out.get(nid)
+                    if row is None:
+                        row = np.full(len(known), INF_DEPTH, np.int32)
+                        out[nid] = row
+                    row[j] = depth
+            return out
         self.ensure()
         if self._nbrs is None or self.n == 0:
             return {}
@@ -130,13 +195,43 @@ class DeviceGraphMirror:
         return out
 
     def anchor_row_ids(self, anchor_ids: Sequence[str]) -> List[str]:
-        """Anchor ids present in the graph, in per_anchor_depths order."""
-        self.ensure()
-        return [a for a in anchor_ids if a in self._row_of]
+        """Anchor ids present in the graph, in per_anchor_depths order.
+        Membership comes from the host adjacency (same set as the
+        device row map) so no device build is forced."""
+        return [a for a in anchor_ids if self._in_graph(a)]
+
+    def _host_multi_bfs(self, srcs: Sequence[str], max_hops: int,
+                        budget: int) -> Optional[Dict[str, int]]:
+        """Multi-source frontier BFS on host adjacency; None over budget."""
+        frontier = [a for a in srcs if self._in_graph(a)]
+        dist = {a: 0 for a in frontier}
+        for h in range(max_hops):
+            nxt = []
+            for u in frontier:
+                for a in self._cache.outgoing(u):
+                    if a.neighbor not in dist:
+                        dist[a.neighbor] = h + 1
+                        nxt.append(a.neighbor)
+                for a in self._cache.incoming(u):
+                    if a.neighbor not in dist:
+                        dist[a.neighbor] = h + 1
+                        nxt.append(a.neighbor)
+                if len(dist) > budget:
+                    return None
+            if not nxt:
+                break
+            frontier = nxt
+        return dist
 
     def depths_from(self, anchor_ids: Sequence[str],
                     max_hops: int) -> Dict[str, int]:
-        """Min depth from any anchor for every reachable node (<= max_hops)."""
+        """Min depth from any anchor for every reachable node (<= max_hops).
+        Host frontier BFS first; device relaxation only for frontiers
+        that cover a large fraction of the graph."""
+        host = self._host_multi_bfs(anchor_ids, max_hops,
+                                    self.HOST_FRONTIER_BUDGET)
+        if host is not None:
+            return host
         self.ensure()
         if self._nbrs is None or self.n == 0:
             return {}
@@ -160,3 +255,51 @@ class DeviceGraphMirror:
         """graph score = 1 / (1 + depth) (hybrid.rs:189-225)."""
         return {i: 1.0 / (1.0 + d)
                 for i, d in self.depths_from(anchor_ids, max_hops).items()}
+
+    def batch_graph_scores(self, anchor_ids: Sequence[str],
+                           max_hops: int,
+                           candidate_ids: Sequence[Sequence[Optional[str]]]
+                           ) -> np.ndarray:
+        """[B, M] graph scores (1/(1+depth), 0 when unreachable/None)
+        for already-retrieved candidate ids — the batch form of the
+        hybrid fusion. Host frontier BFS serves small anchor frontiers
+        with zero device work; otherwise the multi-source BFS runs
+        ONCE on device and depths are gathered only at the candidate
+        rows, so the [N] distance vector never leaves the device."""
+        b = len(candidate_ids)
+        m = max((len(r) for r in candidate_ids), default=0)
+        out = np.zeros((b, m), np.float32)
+        if m == 0:
+            return out
+        host = self._host_multi_bfs(anchor_ids, max_hops,
+                                    self.HOST_FRONTIER_BUDGET)
+        if host is not None:
+            for i, rlist in enumerate(candidate_ids):
+                for j, nid in enumerate(rlist):
+                    d = host.get(nid)
+                    if d is not None and d <= max_hops:
+                        out[i, j] = 1.0 / (1.0 + d)
+            return out
+        self.ensure()
+        if self._nbrs is None or self.n == 0:
+            return out
+        srcs = [self._row_of[a] for a in anchor_ids if a in self._row_of]
+        if not srcs:
+            return out
+        rows = np.zeros((b, m), np.int32)
+        present = np.zeros((b, m), bool)
+        for i, rlist in enumerate(candidate_ids):
+            for j, nid in enumerate(rlist):
+                r = self._row_of.get(nid) if nid is not None else None
+                if r is not None:
+                    rows[i, j] = r
+                    present[i, j] = True
+        n_pad = self._nbrs.shape[0]
+        dist0 = np.full(n_pad, INF_DEPTH, np.int32)
+        dist0[srcs] = 0
+        d = np.asarray(_gather_depths(
+            self._nbrs, jnp.asarray(dist0),
+            jnp.int32(min(max_hops, 8)), jnp.asarray(rows)))
+        reach = present & (d <= max_hops)
+        out[reach] = 1.0 / (1.0 + d[reach])
+        return out

@@ -227,5 +227,9 @@ class AutoLinkerConfig:
 
     def validate(self) -> None:
         self.similarity.validate()
+        seen = set()
         for r in self.rules:
             r.validate()
+            if r.name in seen:            # config.rs:154 duplicate gate
+                raise ValidationError(f"Duplicate rule name: '{r.name}'")
+            seen.add(r.name)

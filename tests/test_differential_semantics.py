@@ -307,3 +307,280 @@ class TestRollbackDifferential:
         body = json.loads(dep.body)
         assert body["status"] == "stable"
         assert body["n_observed"] >= 20
+
+
+# ---------------------------------------------------------------------------
+# prompt selection math (selection.rs in-file tests, 34 cases)
+# ---------------------------------------------------------------------------
+
+from cortex_tpu.prompt.selection import (ContextSignals, context_fit,
+                                         observation_score, score_variant,
+                                         update_edge_weight)
+
+
+class TestSelectionDifferential:
+    """Exact-value mirrors of selection.rs:202-579."""
+
+    def test_get_signal_sentiment_keys(self):
+        s = ContextSignals(sentiment=0.8)
+        assert s.get_signal("user_pleased") == pytest.approx(0.8)
+        assert s.get_signal("sentiment_high") == pytest.approx(0.8)
+        assert s.get_signal("user_frustrated") == pytest.approx(0.2)
+
+    def test_get_signal_task_case_insensitive_both_directions(self):
+        """selection.rs:251-264: 'CODING' client value matches task_coding,
+        and 'task_CODING' key matches a lowercase task_type."""
+        assert ContextSignals(task_type="CODING").get_signal(
+            "task_coding") == 1.0
+        assert ContextSignals(task_type="coding").get_signal(
+            "task_CODING") == 1.0
+
+    def test_get_signal_unknown_task_prefix_zero(self):
+        """selection.rs:273-281: task_debugging is not the active type."""
+        s = ContextSignals(task_type="coding")
+        assert s.get_signal("task_debugging") == 0.0
+        assert s.get_signal("") == 0.0
+        assert s.get_signal("nonexistent_key") == 0.0
+
+    def test_context_fit_none_for_all_zero_weights(self):
+        """selection.rs:296-300."""
+        assert context_fit({"user_pleased": 0.0, "task_coding": 0.0},
+                           ContextSignals()) is None
+
+    def test_context_fit_reference_value(self):
+        """selection.rs:302-318: dot=1.11, abs_sum=1.2, fit=0.925."""
+        signals = ContextSignals(sentiment=0.1, task_type="coding")
+        fit = context_fit({"user_frustrated": 0.9, "task_coding": 0.3},
+                          signals)
+        assert fit == pytest.approx(0.925, abs=1e-3)
+
+    def test_context_fit_negative_weight_clamps_to_zero(self):
+        """selection.rs:320-343."""
+        cw = {"energy_high": -0.8}
+        assert context_fit(cw, ContextSignals(energy=1.0)) \
+            == pytest.approx(0.0)
+        assert context_fit(cw, ContextSignals(energy=0.0)) \
+            == pytest.approx(0.0)
+
+    def test_context_fit_ignores_unknown_keys(self):
+        """selection.rs:345-352: unknown signal contributes 0 to the dot
+        but its |w| still normalizes."""
+        fit = context_fit({"completely_unknown_signal": 1.0},
+                          ContextSignals())
+        assert fit == pytest.approx(0.0)
+
+    def test_score_variant_blend_consistency(self):
+        """selection.rs:369-385."""
+        signals = ContextSignals(sentiment=0.2, task_type="crisis")
+        cw = {"user_frustrated": 0.8, "task_crisis": 0.9}
+        fit = context_fit(cw, signals)
+        expected = min(1.0, max(0.0, 0.5 * 0.6 + 0.5 * fit))
+        assert score_variant(0.6, cw, signals) == pytest.approx(expected)
+
+    def test_score_variant_prefers_contextual_match(self):
+        """selection.rs:387-410."""
+        signals = ContextSignals(sentiment=0.1, task_type="coding")
+        matched = score_variant(
+            0.5, {"user_frustrated": 0.9, "task_coding": 0.8}, signals)
+        mismatched = score_variant(
+            0.5, {"user_pleased": 0.9, "task_casual": 0.8}, signals)
+        assert matched > mismatched
+
+    @pytest.mark.parametrize("sentiment,corrections,outcome,expected", [
+        (0.8, 1, "success", 0.87),    # selection.rs:426-431
+        (0.5, 0, "partial", 0.65),    # :433-438
+        (0.2, 5, "failure", 0.25),    # :440-445
+        (1.0, 0, "success", 1.0),     # :469-475
+        (0.0, 10, "failure", 0.0),    # :477-482
+    ])
+    def test_observation_score_reference_values(self, sentiment, corrections,
+                                                outcome, expected):
+        assert observation_score(sentiment, corrections, outcome) \
+            == pytest.approx(expected, abs=0.01)
+
+    def test_observation_score_unknown_equals_failure(self):
+        assert observation_score(0.5, 0, "unknown") \
+            == pytest.approx(observation_score(0.5, 0, "failure"))
+
+    def test_observation_score_correction_saturation(self):
+        """selection.rs:458-467: >=10 corrections saturate the penalty."""
+        assert observation_score(0.5, 10, "success") \
+            == pytest.approx(observation_score(0.5, 20, "success"))
+
+    def test_update_edge_weight_values(self):
+        """selection.rs:486-498: 0.9*0.8+0.1*1.0=0.82; 0.9*0.8=0.72."""
+        assert update_edge_weight(0.8, 1.0) == pytest.approx(0.82, abs=1e-3)
+        assert update_edge_weight(0.8, 0.0) == pytest.approx(0.72, abs=1e-3)
+
+    def test_update_edge_weight_converges_to_score(self):
+        """selection.rs:522-530: 200 steps at obs=0.3 from 0.8 -> ~0.3."""
+        w = 0.8
+        for _ in range(200):
+            w = update_edge_weight(w, 0.3)
+        assert w == pytest.approx(0.3, abs=0.01)
+
+    def test_to_signal_map_consistent_with_get_signal(self):
+        """selection.rs:561-578."""
+        s = ContextSignals(sentiment=0.7, task_type="planning",
+                           correction_rate=0.2, topic_shift=0.5, energy=0.9)
+        for key, val in s.to_signal_map().items():
+            assert s.get_signal(key) == pytest.approx(val), key
+
+
+# ---------------------------------------------------------------------------
+# linker config rules (linker/config.rs in-file tests, 31 cases)
+# ---------------------------------------------------------------------------
+
+from cortex_tpu.errors import ValidationError
+from cortex_tpu.linker import AutoLinkerConfig, ConfigRule, RuleCondition
+
+
+def _cnode(kind="fact", title="A node title", body="Body text", agent="a",
+           tags=(), created=None):
+    n = Node.new(kind, title, body, Source(agent=agent))
+    n.tags = list(tags)
+    if created is not None:
+        n.created_at = created
+    return n
+
+
+class TestConfigRuleDifferential:
+    """Mirrors of linker/config.rs:696-860 cases not already covered by
+    test_linker.TestConfigRules."""
+
+    def test_self_edge_prevention(self):
+        """config.rs:271-285: a rule never links a node to itself even
+        when kinds match and the condition passes."""
+        r = ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                       relation="related_to",
+                       condition=RuleCondition(type="always"))
+        n = _cnode()
+        assert r.evaluate(n, n, 1.0) == []
+
+    def test_kind_gate_rejects_wrong_kinds(self):
+        """config.rs:246-267: neither direction fires for wrong kinds."""
+        r = ConfigRule(name="r", from_kind="decision", to_kind="event",
+                       relation="led_to",
+                       condition=RuleCondition(type="always"))
+        fact = _cnode(kind="fact")
+        event = _cnode(kind="event", title="Other title")
+        assert r.evaluate(fact, event, 0.0) == []
+        assert r.evaluate(event, fact, 0.0) == []
+
+    def test_condition_min_similarity_boundary(self):
+        """config.rs:298-305: >= is inclusive at the threshold."""
+        c = RuleCondition(type="min_similarity", threshold=0.85)
+        a, b = _cnode(), _cnode(title="Other title")
+        assert c.evaluate(a, b, 0.90)
+        assert c.evaluate(a, b, 0.85)
+        assert not c.evaluate(a, b, 0.80)
+
+    def test_condition_shared_tags(self):
+        """config.rs:309-321."""
+        c = RuleCondition(type="shared_tags", min_shared=2)
+        a = _cnode(tags=["x", "y", "z"])
+        assert c.evaluate(a, _cnode(title="B", tags=["y", "z"]), 0.0)
+        assert not c.evaluate(a, _cnode(title="C", tags=["z"]), 0.0)
+
+    def test_condition_same_agent(self):
+        """config.rs:324-330."""
+        c = RuleCondition(type="same_agent")
+        a = _cnode(agent="alice")
+        assert c.evaluate(a, _cnode(title="B", agent="alice"), 0.0)
+        assert not c.evaluate(a, _cnode(title="C", agent="bob"), 0.0)
+
+    def test_condition_temporal_proximity(self):
+        """config.rs:334-346: within the window fires, outside doesn't."""
+        c = RuleCondition(type="temporal_proximity", window_minutes=30)
+        t0 = 1_700_000_000.0
+        a = _cnode(created=t0)
+        near = _cnode(title="B", created=t0 + 10 * 60)
+        far = _cnode(title="C", created=t0 + 120 * 60)
+        assert c.evaluate(a, near, 0.0)
+        assert not c.evaluate(a, far, 0.0)
+
+    def test_condition_newer_than_is_directional(self):
+        """config.rs:350-356."""
+        c = RuleCondition(type="newer_than")
+        older = _cnode(created=1_700_000_000.0)
+        newer = _cnode(title="B", created=1_700_000_100.0)
+        assert c.evaluate(newer, older, 0.0)
+        assert not c.evaluate(older, newer, 0.0)
+
+    def test_condition_malformed_body_json(self):
+        """config.rs:398-414: malformed or non-object JSON bodies never
+        match body_field conditions (no exception)."""
+        ref = RuleCondition(type="body_field_ref", field="prompt_id",
+                            match_field="id")
+        contains = RuleCondition(type="body_field_contains", field="facts",
+                                 match_field="title")
+        target = _cnode(kind="prompt", title="T")
+        for bad in ("not json at all", '["a", "list"]', '42', ''):
+            src = _cnode(kind="observation", title="S", body=bad)
+            assert not ref.evaluate(src, target, 0.0)
+            assert not contains.evaluate(src, target, 0.0)
+
+    def test_condition_negation_detected_asymmetric(self):
+        """config.rs:433-439: fires only when exactly one side negates."""
+        c = RuleCondition(type="negation_detected")
+        pos = _cnode(title="Coffee is great", body="Everyone loves it")
+        neg = _cnode(title="Coffee is not great",
+                     body="We no longer serve it")
+        pos2 = _cnode(title="Tea is great", body="Also loved by everyone")
+        assert c.evaluate(pos, neg, 0.0)
+        assert not c.evaluate(pos, pos2, 0.0)
+
+    def test_provenance_contains_rule_name(self):
+        """config.rs:563+: auto_structural provenance carries the rule
+        name so edges are attributable."""
+        r = ConfigRule(name="my-custom-rule", from_kind="fact",
+                       to_kind="fact", relation="related_to",
+                       condition=RuleCondition(type="always"))
+        out = r.evaluate(_cnode(), _cnode(title="Other title"), 0.0)
+        assert len(out) == 1
+        assert out[0].provenance.kind == "auto_structural"
+        assert out[0].provenance.rule == "my-custom-rule"
+
+    def test_duplicate_rule_names_rejected(self):
+        """config.rs:154, test at :785-811."""
+        cfg = AutoLinkerConfig(rules=[
+            ConfigRule(name="duplicate", from_kind="fact", to_kind="fact",
+                       relation="related_to"),
+            ConfigRule(name="duplicate", from_kind="event", to_kind="event",
+                       relation="related_to"),
+        ])
+        with pytest.raises(ValidationError, match="Duplicate rule name"):
+            cfg.validate()
+
+    def test_use_legacy_rules_matrix(self):
+        """config.rs:517-561: default on without rules, auto-off with
+        rules, explicit flag always wins."""
+        rule = ConfigRule(name="r", from_kind="fact", to_kind="fact",
+                          relation="related_to")
+        assert AutoLinkerConfig().use_legacy_rules() is True
+        assert AutoLinkerConfig(rules=[rule]).use_legacy_rules() is False
+        assert AutoLinkerConfig(
+            rules=[rule], legacy_rules_enabled=True).use_legacy_rules() is True
+        assert AutoLinkerConfig(
+            legacy_rules_enabled=False).use_legacy_rules() is False
+
+    def test_all_condition_types_from_dict(self):
+        """config.rs:92-117: every condition variant deserializes from
+        its TOML dict form and validates."""
+        cases = [
+            {"type": "always"},
+            {"type": "min_similarity", "threshold": 0.8},
+            {"type": "shared_tags", "min_shared": 2},
+            {"type": "same_agent"},
+            {"type": "temporal_proximity", "window_minutes": 45},
+            {"type": "newer_than"},
+            {"type": "body_field_ref", "field": "a", "match_field": "id"},
+            {"type": "body_field_contains", "field": "xs",
+             "match_field": "title"},
+            {"type": "tag_references_title", "tag_prefix": "goal-"},
+            {"type": "negation_detected"},
+        ]
+        for d in cases:
+            cond = RuleCondition.from_dict(d)
+            cond.validate("r")
+            assert cond.type == d["type"]

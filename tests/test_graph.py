@@ -1,5 +1,6 @@
 """Graph engine tests (parity model: reference graph/tests.rs, 27 tests)."""
 
+import numpy as np
 import pytest
 
 from cortex_tpu.graph import (BFS, BOTH, DFS, INCOMING, OUTGOING, WEIGHTED,
@@ -357,6 +358,48 @@ class TestDeviceMirror:
         assert prox[nodes[0].id] == pytest.approx(1.0)
         assert prox[nodes[1].id] == pytest.approx(0.5)
         assert prox[nodes[2].id] == pytest.approx(1 / 3)
+
+    def test_batch_graph_scores_matches_scalar(self, engine):
+        """The batched candidate-gather form must agree with
+        proximity_scores per id, handle None slots and unknown ids as
+        0, and respect max_hops."""
+        g, s = engine
+        nodes, _ = build_chain(s, 5)
+        mirror = DeviceGraphMirror(g.cache)
+        scalar = mirror.proximity_scores([nodes[0].id], 2)
+        cands = [[nodes[0].id, nodes[2].id, None, "missing-id"],
+                 [nodes[4].id, nodes[1].id, nodes[3].id, nodes[0].id]]
+        got = mirror.batch_graph_scores([nodes[0].id], 2, cands)
+        assert got.shape == (2, 4)
+        assert got[0, 0] == pytest.approx(scalar[nodes[0].id])
+        assert got[0, 1] == pytest.approx(scalar[nodes[2].id])
+        assert got[0, 2] == 0.0 and got[0, 3] == 0.0
+        assert got[1, 0] == 0.0            # depth 4 > max_hops
+        assert got[1, 1] == pytest.approx(scalar[nodes[1].id])
+        assert got[1, 2] == 0.0            # depth 3 > max_hops
+        # no anchors -> all zeros
+        assert (mirror.batch_graph_scores([], 2, cands) == 0).all()
+
+    def test_device_fallback_matches_host_path(self, engine, monkeypatch):
+        """Over the frontier budget the mirror falls back to the device
+        relaxation; both forms must return identical depths."""
+        g, s = engine
+        nodes, _ = build_chain(s, 6)
+        mirror = DeviceGraphMirror(g.cache)
+        host = mirror.depths_from([nodes[0].id], 3)
+        host_per = mirror.per_anchor_depths([nodes[0].id, nodes[5].id], 3)
+        monkeypatch.setattr(DeviceGraphMirror, "HOST_FRONTIER_BUDGET", 0)
+        dev = mirror.depths_from([nodes[0].id], 3)
+        dev_per = mirror.per_anchor_depths([nodes[0].id, nodes[5].id], 3)
+        assert dev == host
+        assert set(dev_per) == set(host_per)
+        for nid in host_per:
+            assert host_per[nid].tolist() == dev_per[nid].tolist()
+        cands = [[nodes[2].id, None], [nodes[4].id, nodes[0].id]]
+        a = mirror.batch_graph_scores([nodes[0].id], 2, cands)
+        monkeypatch.undo()
+        b = mirror.batch_graph_scores([nodes[0].id], 2, cands)
+        np.testing.assert_allclose(a, b)
 
     def test_version_rebuild(self, engine):
         g, s = engine

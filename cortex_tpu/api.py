@@ -244,6 +244,13 @@ class Cortex:
         """Query-DSL filtered listing."""
         return self.storage.list_nodes(parse_and_compile(dsl))
 
+    def overfetch_k(self, limit: int, decay: bool = True) -> int:
+        """Candidate count for the device scan before the decay
+        re-rank (routes.rs:900-904: (limit*3).max(30) when decay on)."""
+        if decay and self.config.score_decay.enabled:
+            return max(limit * 3, 30)
+        return limit
+
     def search(self, query: str, limit: int = 10, *,
                flt: Optional[VectorFilter] = None,
                decay: bool = True,
@@ -253,9 +260,21 @@ class Cortex:
         search hot path, http/routes.rs:887-988, collapsed to one device
         round-trip + one batch re-rank)."""
         emb = self.embedder.embed(query)
+        hits = self.index.search(emb, self.overfetch_k(limit, decay), flt)
+        return self.finish_search(hits, limit, decay=decay,
+                                  recency_bias=recency_bias,
+                                  record_access=record_access)
+
+    def finish_search(self, hits, limit: int = 10, *,
+                      decay: bool = True,
+                      recency_bias: Optional[float] = None,
+                      record_access: bool = True
+                      ) -> List[Tuple[float, Node]]:
+        """Hydrate + decay-re-rank already-retrieved (node_id, score)
+        hits — the host tail of `search`, shared with the server's
+        read-side batcher (concurrent queries share one device scan,
+        then each request finishes here with its own limit/decay)."""
         cfg = self.config.score_decay
-        over = max(limit * 3, 30) if decay and cfg.enabled else limit
-        hits = self.index.search(emb, over, flt)
         nodes, raw = [], []
         for nid, score in hits:
             n = self.storage.get_node(nid)

@@ -35,6 +35,8 @@ class ServerConfig:
     data_dir: str = "./data"
     nats_url: Optional[str] = None
     warmup: bool = True     # pre-compile hot device programs at boot
+    # coalesce concurrent GET /search into shared device dispatches
+    search_batching: bool = True
 
 
 @dataclass
@@ -146,7 +148,8 @@ class CortexConfig:
             http_addr=s.get("http_addr", "0.0.0.0:9091"),
             data_dir=s.get("data_dir", "./data"),
             nats_url=s.get("nats_url"),
-            warmup=bool(s.get("warmup", True)))
+            warmup=bool(s.get("warmup", True)),
+            search_batching=bool(s.get("search_batching", True)))
         sc = raw.get("schema", {})
         cfg.schema = SchemaConfig(kinds=list(sc.get("kinds", [])),
                                   relations=list(sc.get("relations", [])))

@@ -140,6 +140,11 @@ def create_app(state: ServerState) -> web.Application:
                                     state.batcher.batches)
             state.metrics.set_gauge("cortex_admission_items_total",
                                     state.batcher.items)
+        if state.search_batcher is not None:
+            state.metrics.set_gauge("cortex_search_batches_total",
+                                    state.search_batcher.batches)
+            state.metrics.set_gauge("cortex_search_batch_items_total",
+                                    state.search_batcher.items)
         return web.Response(text=state.metrics.render(),
                            content_type="text/plain")
 
@@ -294,9 +299,18 @@ def create_app(state: ServerState) -> web.Application:
             flt = VectorFilter(kinds=kinds.split(",") if kinds else None,
                                source_agent=agent_f)
         t0 = time.perf_counter()
-        hits = await asyncio.to_thread(
-            cx.search, q, limit=limit, flt=flt,
-            recency_bias=float(recency) if recency else None)
+        rb = float(recency) if recency else None
+        if state.search_batcher is not None:
+            # read-side coalescing: concurrent searches share one
+            # embed_batch + search_batch device dispatch; the decay
+            # re-rank + access recording stay per-request
+            raw_hits = await state.search_batcher.search(
+                q, cx.overfetch_k(limit), flt)
+            hits = await asyncio.to_thread(
+                cx.finish_search, raw_hits, limit, recency_bias=rb)
+        else:
+            hits = await asyncio.to_thread(
+                cx.search, q, limit=limit, flt=flt, recency_bias=rb)
         state.metrics.record_search("search", time.perf_counter() - t0)
         return json_ok([{"score": s, "node": node_json(n)}
                         for s, n in hits])

@@ -72,6 +72,8 @@ class Server:
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
         self.state.enable_batched_admission()
+        if config.server.search_batching:
+            self.state.enable_batched_search()
         self.state.metrics.mirror_storage(self.cortex.stats())
 
         from .webhooks import from_config as webhooks_from_config
@@ -92,6 +94,26 @@ class Server:
             log.info("plugins: %d attached, %d ingest adapters, "
                      "%d errors", attached, len(adapters),
                      len(self.plugins.errors))
+
+        if config.server.warmup:
+            # BEFORE the background loops spawn: warmup compiles must
+            # not run concurrently with the linker's first cycle —
+            # overlapping compile/fetch RPCs from two threads is
+            # exactly the pattern that wedges a tunneled device
+            # transport (observed repeatedly under axon). Bounded: a
+            # wedged warmup RPC must not hang boot forever — serve
+            # cold instead (requests then pay first-compile latency,
+            # protected by the fetch watchdog in vector.shard). The
+            # abandoned thread's compiles still land in the cache if
+            # they ever finish.
+            try:
+                await asyncio.wait_for(
+                    asyncio.to_thread(self._warmup),
+                    timeout=float(os.environ.get(
+                        "CORTEX_WARMUP_TIMEOUT_S", "600")))
+            except asyncio.TimeoutError:
+                log.warning("device warmup exceeded its deadline; "
+                            "serving with cold compile caches")
 
         # background tasks (serve.rs:176-290)
         self.tasks.append(asyncio.create_task(
@@ -121,9 +143,6 @@ class Server:
             self.tasks.append(asyncio.create_task(
                 self._nats_loop(config.server.nats_url),
                 name="nats-ingest"))
-
-        if config.server.warmup:
-            await asyncio.to_thread(self._warmup)
 
         # gRPC (serve.rs:292-339)
         self.grpc_server = create_grpc_server(
@@ -175,12 +194,31 @@ class Server:
         vecs = rng.normal(size=(8, dim)).astype(_np.float32)
         scratch.insert_batch([f"w{i}" for i in range(8)], vecs,
                              kinds=["fact"] * 8, agents=["warm"] * 8)
+        log.info("warmup: scratch corpus built")
         scratch.search_batch(vecs[:1], 10)                    # plain (k=16)
         scratch.search_batch(vecs[:1], 5)                     # gate's k (8)
         scratch.search_batch(vecs[:1], 10,
                              VectorFilter(kinds=["fact"]))    # filtered
         scratch.insert("w9", vecs[0], kind="fact", source_agent="warm")
         scratch.search_batch(vecs[:1], 10)                    # scatter
+        log.info("warmup: scratch searches compiled")
+        # warm the REAL index's programs too: XLA caches by shape, and
+        # the serving corpus capacity differs from the scratch corpus,
+        # so the compiles above don't cover it. The search batcher
+        # coalesces concurrent requests into power-of-two batch buckets
+        # — compile each bucket now so no production request ever waits
+        # on (or wedges in, see shard.DeviceFetchTimeout) a cold
+        # compile. Searches are read-only.
+        if len(self.cortex.index) > 0:
+            over = self.cortex.overfetch_k(10)    # the default /search k
+            bmax = 64
+            qs = rng.normal(size=(bmax, dim)).astype(_np.float32)
+            b = 1
+            while b <= bmax:
+                self.cortex.index.search_batch(qs[:b], over)
+                log.info("warmup: serving bucket B=%d compiled", b)
+                b *= 2
+            self.cortex.index.search_batch(qs[:1], 10)        # no-decay k
         self.cortex.embedder.embed("warmup text")
         log.info("device warmup done in %.1fs", _time.monotonic() - t0)
 
@@ -338,6 +376,8 @@ class Server:
             await self.http_runner.cleanup()
         if self.state is not None and self.state.batcher is not None:
             await self.state.batcher.close()
+        if self.state is not None and self.state.search_batcher is not None:
+            await self.state.search_batcher.close()
         if getattr(self, "webhooks", None) is not None:
             self.webhooks.close()
         if self.cortex is not None:

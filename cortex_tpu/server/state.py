@@ -16,7 +16,8 @@ class ServerState:
     metrics: CortexMetrics = field(default_factory=CortexMetrics)
     bus: EventBus = field(default_factory=EventBus)
     auth_token: Optional[str] = None
-    batcher: Optional[object] = None   # EmbedBatcher, set by serve boot
+    batcher: Optional[object] = None         # EmbedBatcher, set by serve boot
+    search_batcher: Optional[object] = None  # SearchBatcher, set by serve boot
 
     def __post_init__(self):
         self.cortex.add_hook(EventBusHook(self.bus))
@@ -29,3 +30,11 @@ class ServerState:
         self.batcher = EmbedBatcher(self.cortex.embedder,
                                     max_batch=max_batch,
                                     max_wait_ms=max_wait_ms)
+
+    def enable_batched_search(self, *, max_batch: int = 64,
+                              max_wait_ms: float = 3.0) -> None:
+        from .batcher import SearchBatcher
+        self.search_batcher = SearchBatcher(self.cortex.index,
+                                            self.cortex.embedder,
+                                            max_batch=max_batch,
+                                            max_wait_ms=max_wait_ms)

@@ -8,10 +8,13 @@ Behavioral parity with crates/cortex-core/src/vector/hybrid.rs:95-225:
   - graph score = 1/(1+depth), best (nearest) anchor kept (:189-225)
   - combined = w*vec + (1-w)*graph (:163-164); sort desc, truncate
 
-TPU-native difference: anchor proximity is NOT a per-anchor host BFS —
-all anchors run as one vmapped masked min-plus relaxation over the
-device adjacency table (graph/csr.py), and the vector leg is the fused
-device top-k. The two device calls can overlap (async dispatch).
+TPU-native difference: the vector leg is the fused device top-k, and
+anchor proximity routes by frontier size (graph/csr.py): a frontier BFS
+over the host adjacency when the anchor neighborhood is small (cost ~
+deg^hops, independent of N — measured 0.27ms/batch at 1M nodes / 5M
+edges), falling back to one vmapped masked min-plus relaxation over the
+device adjacency table when the frontier covers a large fraction of the
+graph. The vector dispatch overlaps the proximity pass either way.
 """
 
 from __future__ import annotations

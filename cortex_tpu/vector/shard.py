@@ -27,6 +27,7 @@ across many inserts (recompiles amortize to O(log N)).
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -42,6 +43,40 @@ from ..ops.similarity import (NEG_INF, cosine_topk_approx,
                               quantize_rows_centered)
 
 MIN_CAP = 1024
+# Watchdog for device result fetches: through a network-tunneled TPU a
+# cold-compile fetch can (rarely) lose its response and block forever
+# (observed: array._value wedged with an idle process; the identical
+# program compiles in seconds on retry). Instead of np.asarray blocking
+# unboundedly, poll is_ready() against this deadline and let the caller
+# re-dispatch. 0 disables (local devices don't need it). The default
+# must cover a warm execution + RTT, NOT a cold compile — compiles
+# belong to boot warmup, and a re-dispatched program that genuinely
+# still needs compiling just spends a second deadline on it.
+FETCH_TIMEOUT_S = float(os.environ.get("CORTEX_FETCH_TIMEOUT_S", "45"))
+
+log = logging.getLogger("cortex.shard")
+
+
+class DeviceFetchTimeout(RuntimeError):
+    """A device fetch exceeded FETCH_TIMEOUT_S; the dispatch is
+    presumed lost and should be re-issued."""
+
+
+def _fetch_array(x, timeout: float = None) -> np.ndarray:
+    """np.asarray with a liveness deadline (see FETCH_TIMEOUT_S)."""
+    import time as _time
+    if timeout is None:
+        timeout = FETCH_TIMEOUT_S
+    if timeout > 0 and hasattr(x, "is_ready"):
+        deadline = _time.monotonic() + timeout
+        wait = 0.0005
+        while not x.is_ready():
+            if _time.monotonic() > deadline:
+                raise DeviceFetchTimeout(
+                    f"device fetch not ready after {timeout:.0f}s")
+            _time.sleep(wait)
+            wait = min(wait * 2, 0.25)
+    return np.asarray(x)
 # the C++ re-rank parallelizes across queries (ctypes releases the
 # GIL); single-core it's a wash with numpy's BLAS path, so only prefer
 # it when there are cores to use
@@ -525,9 +560,12 @@ class DeviceCorpus:
         rescore=True (quant path): the device returned an int8-scored
         CANDIDATE list; re-rank it exactly against the fp32 host mirror
         (numpy gather of B*cand rows — ~0.5 ms at serving shapes, and
-        it overlaps the next batch's device scan in pipelined use)."""
-        v = np.asarray(v)
-        i = np.asarray(i)
+        it overlaps the next batch's device scan in pipelined use).
+
+        Raises DeviceFetchTimeout when the fetch wedges (lost tunnel
+        response) — the caller re-dispatches."""
+        v = _fetch_array(v)
+        i = _fetch_array(i)
         with self._lock:
             if generation != self._generation:
                 return None     # caller retries
@@ -589,6 +627,18 @@ class DeviceCorpus:
                 return lambda: empty
             self.sync()
             q_np = _norm_rows(np.asarray(queries, np.float32))
+            # bucket the batch dim like k: every distinct B would
+            # otherwise compile its own XLA program (tens of seconds
+            # each on a cold cache), and batch-coalescing callers
+            # produce arbitrary B values wave by wave
+            b_req = q_np.shape[0]
+            b_bucket = 1
+            while b_bucket < b_req:
+                b_bucket *= 2
+            if b_bucket != b_req:
+                q_np = np.concatenate(
+                    [q_np, np.zeros((b_bucket - b_req, self.dim),
+                                    np.float32)])
             q = jnp.asarray(q_np)
             ak, aa, ex, hb = self._filter_codes(kinds, agent, exclude_ids)
             kk, k_bucket = self._k_bucket(k)
@@ -608,23 +658,36 @@ class DeviceCorpus:
             return self._finish_topk(av, ai, k, kk, a_gen,
                                      q_np=q_np, rescore=a_resc)
 
-        def finish():
-            out = self._finish_topk(v, i, k, kk, gen,
-                                    q_np=q_np, rescore=resc)
+        def finish_full():
+            try:
+                out = self._finish_topk(v, i, k, kk, gen,
+                                        q_np=q_np, rescore=resc)
+            except DeviceFetchTimeout:
+                log.warning("device fetch wedged (>%.0fs); re-dispatching",
+                            FETCH_TIMEOUT_S)
+                out = None          # lost dispatch: re-issue below
             if out is not None:
                 return out
-            # row reassignment raced the fetch (rare): bounded retries,
-            # then one final attempt holding the lock across
-            # dispatch+fetch so nothing can interleave — never
-            # unbounded under sustained delete/insert churn
+            # row reassignment raced the fetch (rare) or the fetch
+            # timed out (wedged tunnel dispatch): bounded retries, then
+            # one final attempt holding the lock across dispatch+fetch
+            # so nothing can interleave — never unbounded under
+            # sustained delete/insert churn
             for _ in range(3):
-                out = attempt()
+                try:
+                    out = attempt()
+                except DeviceFetchTimeout:
+                    out = None
                 if out is not None:
                     return out
             with self._lock:
                 out = attempt()    # RLock held across dispatch AND fetch
                 assert out is not None
                 return out
+
+        def finish():
+            vv, ids = finish_full()
+            return vv[:b_req], ids[:b_req]   # drop batch-bucket padding
         return finish
 
     # ------------------------------------------------------------- snapshot

@@ -93,3 +93,144 @@ class TestEmbedBatcher:
                 await state.batcher.close()
                 await client.close()
         asyncio.run(scenario())
+
+
+class CountingIndex:
+    """Wraps a real index, counting search_batch dispatches."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.batch_calls = 0
+        self.batch_sizes = []
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def search_batch(self, vectors, k, flt=None):
+        self.batch_calls += 1
+        self.batch_sizes.append(len(vectors))
+        return self.inner.search_batch(vectors, k, flt)
+
+
+class TestSearchBatcher:
+    def _cortex(self):
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.types import Node, Source
+        cx = Cortex.in_memory()
+        for i in range(20):
+            cx.store(Node.new("fact", f"Fact number {i} about topic {i % 4}",
+                              f"The body of fact {i} long enough to pass "
+                              "the write gate checks.",
+                              Source(agent="test")))
+        return cx
+
+    def test_concurrent_searches_share_one_dispatch(self):
+        from cortex_tpu.server.batcher import SearchBatcher
+
+        async def scenario():
+            cx = self._cortex()
+            idx = CountingIndex(cx.index)
+            b = SearchBatcher(idx, cx.embedder, max_batch=64,
+                              max_wait_ms=20)
+            outs = await asyncio.gather(
+                *[b.search(f"topic {i % 4}", 9) for i in range(12)])
+            return cx, idx, outs
+        cx, idx, outs = asyncio.run(scenario())
+        assert idx.batch_calls == 1          # ONE device scan for all 12
+        assert idx.batch_sizes == [12]
+        # each caller got exactly its own query's hits
+        for i, hits in enumerate(outs):
+            solo = cx.index.search(cx.embedder.embed(f"topic {i % 4}"), 9)
+            assert [h[0] for h in hits] == [h[0] for h in solo]
+
+    def test_filter_groups_dispatch_separately_but_share_embed(self):
+        from cortex_tpu.server.batcher import SearchBatcher
+        from cortex_tpu.vector import VectorFilter
+
+        async def scenario():
+            cx = self._cortex()
+            idx = CountingIndex(cx.index)
+            class CountingWrap:
+                def __init__(self, inner):
+                    self.inner, self.calls = inner, 0
+
+                def embed_batch(self, texts):
+                    self.calls += 1
+                    return self.inner.embed_batch(texts)
+            emb = CountingWrap(cx.embedder)
+            b = SearchBatcher(idx, emb, max_batch=64, max_wait_ms=20)
+            flt = VectorFilter(kinds=["fact"])
+            outs = await asyncio.gather(
+                b.search("topic 1", 5),
+                b.search("topic 2", 8, flt),
+                b.search("topic 3", 3, flt),
+                b.search("topic 0", 5))
+            return idx, emb, outs
+        idx, emb, outs = asyncio.run(scenario())
+        assert emb.calls == 1                # one embed batch for all 4
+        assert idx.batch_calls == 2          # one scan per filter group
+        assert sorted(idx.batch_sizes) == [2, 2]
+        # per-request k respected within the shared (kmax) scan
+        assert len(outs[1]) == 8 and len(outs[2]) == 3
+
+    def test_batched_result_equals_direct_search(self):
+        """Through finish_search the batched path must produce exactly
+        what Cortex.search produces (scores and order)."""
+        from cortex_tpu.server.batcher import SearchBatcher
+
+        async def scenario():
+            cx = self._cortex()
+            b = SearchBatcher(cx.index, cx.embedder, max_batch=8,
+                              max_wait_ms=10)
+            qs = [f"fact number {i}" for i in range(6)]
+            raw = await asyncio.gather(
+                *[b.search(q, cx.overfetch_k(4)) for q in qs])
+            batched = [cx.finish_search(r, 4, record_access=False)
+                       for r in raw]
+            direct = [cx.search(q, 4, record_access=False) for q in qs]
+            return batched, direct
+        batched, direct = asyncio.run(scenario())
+        for got, want in zip(batched, direct):
+            assert [(n.id, pytest.approx(s, abs=1e-5)) for s, n in got] \
+                == [(n.id, s) for s, n in want]
+
+    def test_http_search_uses_batcher(self):
+        from aiohttp.test_utils import TestClient, TestServer
+        from cortex_tpu.server.http import create_app
+        from cortex_tpu.server.state import ServerState
+
+        async def scenario():
+            cx = self._cortex()
+            state = ServerState(cortex=cx)
+            state.enable_batched_search(max_batch=8, max_wait_ms=10)
+            client = TestClient(TestServer(create_app(state)))
+            await client.start_server()
+            try:
+                resps = await asyncio.gather(*[
+                    client.get(f"/search?q=topic+{i % 4}&limit=3")
+                    for i in range(8)])
+                assert all(r.status == 200 for r in resps)
+                bodies = [await r.json() for r in resps]
+                assert all(len(b["data"]) == 3 for b in bodies)
+                assert state.search_batcher.items == 8
+                assert state.search_batcher.batches <= 2
+                r = await client.get("/metrics")
+                assert "cortex_search_batch_items_total 8" in await r.text()
+            finally:
+                await state.search_batcher.close()
+                await client.close()
+        asyncio.run(scenario())
+
+    def test_index_failure_propagates_to_all_waiters(self):
+        from cortex_tpu.server.batcher import SearchBatcher
+
+        class Boom:
+            def search_batch(self, vectors, k, flt=None):
+                raise RuntimeError("scan failed")
+
+        async def scenario():
+            b = SearchBatcher(Boom(), HashingEmbedder(dim=16),
+                              max_batch=4, max_wait_ms=5)
+            with pytest.raises(RuntimeError, match="scan failed"):
+                await asyncio.gather(b.search("a", 3), b.search("b", 3))
+        asyncio.run(scenario())

@@ -375,7 +375,9 @@ EXAMPLE_CONFIG = """\
 [server]
 grpc_addr = "0.0.0.0:9090"
 http_addr = "0.0.0.0:9091"
-data_dir = "./data"
+# "." = this directory (the config sits inside the data dir it
+# describes, so `cortex serve` run here finds the same store init made)
+data_dir = "."
 
 [embedding]
 model = "hash"          # deterministic hashing embedder; or a model name
@@ -396,7 +398,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cortex", description="cortex_tpu — TPU-native graph memory "
         "engine for AI agents")
-    p.add_argument("--config", help="path to cortex.toml")
+    p.add_argument("--config", default="cortex.toml",
+                   help="path to cortex.toml (default: ./cortex.toml when "
+                        "present — cli/mod.rs:27-32 default_value)")
     p.add_argument("--data-dir", help="override data directory")
     p.add_argument("--server",
                    help="remote server base URL (http://host:9091)")

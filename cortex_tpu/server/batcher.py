@@ -62,6 +62,12 @@ class EmbedBatcher:
                         else RuntimeError("embed batch cancelled"))
             if not isinstance(e, Exception):
                 raise
+        finally:
+            # items that arrived WHILE this flush awaited saw a
+            # not-yet-done flusher task and scheduled nothing — without
+            # this re-arm they strand forever if no later request comes
+            if self._pending:
+                self._flusher = asyncio.create_task(self._delayed_flush())
 
     async def close(self) -> None:
         # let an in-flight flush finish (cancelling it would only force
@@ -71,7 +77,8 @@ class EmbedBatcher:
                 await self._flusher
             except Exception:  # noqa: BLE001
                 pass
-        await self._flush()
+        while self._pending:
+            await self._flush()
 
 
 def _filter_key(flt) -> tuple:
@@ -155,6 +162,11 @@ class SearchBatcher:
                         else RuntimeError("search batch cancelled"))
             if not isinstance(e, Exception):
                 raise
+        finally:
+            # re-arm for items that arrived while this flush awaited
+            # (they saw a not-yet-done flusher and scheduled nothing)
+            if self._pending:
+                self._flusher = asyncio.create_task(self._delayed_flush())
 
     async def close(self) -> None:
         if self._flusher is not None and not self._flusher.done():
@@ -162,4 +174,5 @@ class SearchBatcher:
                 await self._flusher
             except Exception:  # noqa: BLE001
                 pass
-        await self._flush()
+        while self._pending:
+            await self._flush()

@@ -9,6 +9,7 @@ supplies the method table for server and client alike.
 
 from __future__ import annotations
 
+import asyncio
 import json
 from concurrent import futures
 from typing import Optional
@@ -178,11 +179,24 @@ class CortexServiceImpl:
         from ..vector import VectorFilter
         flt = VectorFilter(kinds=list(req.kind_filter) or None) \
             if req.kind_filter else None
-        hits = self.cx.search(
-            req.query, limit=req.limit or 10, flt=flt,
-            decay=not req.skip_decay,
-            recency_bias=req.recency_bias
-            if req.HasField("recency_bias") else None)
+        limit = req.limit or 10
+        decay = not req.skip_decay
+        rb = (req.recency_bias if req.HasField("recency_bias") else None)
+        batcher = getattr(self.state, "search_batcher", None)
+        loop = getattr(self.state, "loop", None)
+        if batcher is not None and loop is not None and loop.is_running():
+            # gRPC handlers run on a thread pool; hop onto the server's
+            # event loop so concurrent gRPC and HTTP searches coalesce
+            # into the same shared device dispatches
+            raw = asyncio.run_coroutine_threadsafe(
+                batcher.search(req.query,
+                               self.cx.overfetch_k(limit, decay), flt),
+                loop).result()
+            hits = self.cx.finish_search(raw, limit, decay=decay,
+                                         recency_bias=rb)
+        else:
+            hits = self.cx.search(req.query, limit=limit, flt=flt,
+                                  decay=decay, recency_bias=rb)
         return pb.SearchResponse(hits=[
             pb.SearchHit(node=node_to_pb(n), score=s) for s, n in hits])
 

@@ -71,6 +71,7 @@ class Server:
         from ..api import open_embedded
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
+        self.state.loop = asyncio.get_running_loop()
         self.state.enable_batched_admission()
         if config.server.search_batching:
             self.state.enable_batched_search()

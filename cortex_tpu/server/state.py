@@ -18,6 +18,9 @@ class ServerState:
     auth_token: Optional[str] = None
     batcher: Optional[object] = None         # EmbedBatcher, set by serve boot
     search_batcher: Optional[object] = None  # SearchBatcher, set by serve boot
+    loop: Optional[object] = None            # serve's asyncio loop — lets
+    #                                          thread-pool gRPC handlers join
+    #                                          the shared search batches
 
     def __post_init__(self):
         self.cortex.add_hook(EventBusHook(self.bus))

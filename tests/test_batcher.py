@@ -234,3 +234,136 @@ class TestSearchBatcher:
             with pytest.raises(RuntimeError, match="scan failed"):
                 await asyncio.gather(b.search("a", 3), b.search("b", 3))
         asyncio.run(scenario())
+
+
+class TestGrpcSearchThroughBatcher:
+    def test_grpc_search_joins_shared_batches(self):
+        """A gRPC SimilaritySearch routed through a running event loop
+        coalesces with the HTTP batcher and returns exactly what the
+        direct path returns."""
+        import threading
+        import grpc as _grpc
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.server import cortex_pb2 as pb
+        from cortex_tpu.server.grpc_service import (GrpcClient,
+                                                    create_grpc_server)
+        from cortex_tpu.server.state import ServerState
+        from cortex_tpu.types import Node, Source
+
+        cx = Cortex.in_memory()
+        for i in range(12):
+            cx.store(Node.new("fact", f"Grpc batch fact {i}",
+                              f"Body long enough for checks {i}.",
+                              Source(agent="t")))
+        state = ServerState(cortex=cx)
+        state.enable_batched_search(max_batch=8, max_wait_ms=5)
+        idx = CountingIndex(cx.index)
+        state.search_batcher.index = idx
+
+        loop = __import__("asyncio").new_event_loop()
+        t = threading.Thread(target=loop.run_forever, daemon=True)
+        t.start()
+        state.loop = loop
+        server = create_grpc_server(state, addr="127.0.0.1:0")
+        port = server.add_insecure_port("127.0.0.1:0")
+        server.start()
+        client = GrpcClient(f"127.0.0.1:{port}")
+        try:
+            resp = client.SimilaritySearch(pb.SimilaritySearchRequest(
+                query="grpc batch fact", limit=3))
+            assert len(resp.hits) == 3
+            assert idx.batch_calls == 1          # went through the batcher
+            direct = cx.search("grpc batch fact", 3, record_access=False)
+            assert [h.node.title for h in resp.hits] \
+                == [n.title for _, n in direct]
+        finally:
+            client.close()
+            server.stop(0)
+            loop.call_soon_threadsafe(loop.stop)
+            t.join(timeout=5)
+
+    def test_grpc_search_falls_back_without_loop(self):
+        """No running loop (plain test rig): the direct path serves."""
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.server import cortex_pb2 as pb
+        from cortex_tpu.server.grpc_service import (GrpcClient,
+                                                    create_grpc_server)
+        from cortex_tpu.server.state import ServerState
+        from cortex_tpu.types import Node, Source
+
+        cx = Cortex.in_memory()
+        cx.store(Node.new("fact", "Fallback path fact title",
+                          "Body long enough for the gate checks.",
+                          Source(agent="t")))
+        state = ServerState(cortex=cx)
+        state.enable_batched_search()           # batcher set, but no loop
+        server = create_grpc_server(state, addr="127.0.0.1:0")
+        port = server.add_insecure_port("127.0.0.1:0")
+        server.start()
+        client = GrpcClient(f"127.0.0.1:{port}")
+        try:
+            resp = client.SimilaritySearch(pb.SimilaritySearchRequest(
+                query="fallback path", limit=1))
+            assert len(resp.hits) == 1
+        finally:
+            client.close()
+            server.stop(0)
+
+
+class TestFlushRearm:
+    """Regression: a request arriving WHILE a flush awaits the device
+    saw a not-yet-done flusher task and scheduled nothing — with no
+    later traffic it stranded forever (observed as wedged tail
+    requests under live gRPC/HTTP load)."""
+
+    def test_embed_arrival_during_flush_not_stranded(self):
+        import time as _t
+
+        class SlowEmbedder(HashingEmbedder):
+            def __init__(self):
+                super().__init__(dim=16)
+                self.calls = 0
+
+            def embed_batch(self, texts):
+                self.calls += 1
+                _t.sleep(0.08)          # keep the first flush in flight
+                return super().embed_batch(texts)
+
+        async def scenario():
+            emb = SlowEmbedder()
+            b = EmbedBatcher(emb, max_batch=64, max_wait_ms=1)
+            first = asyncio.create_task(b.embed("first request text"))
+            await asyncio.sleep(0.03)   # flush now awaiting the embedder
+            second = asyncio.create_task(b.embed("second request text"))
+            # NO further traffic — the second must still complete
+            outs = await asyncio.wait_for(
+                asyncio.gather(first, second), timeout=5)
+            return emb, outs
+        emb, outs = asyncio.run(scenario())
+        assert emb.calls == 2
+        assert len(outs) == 2
+
+    def test_search_arrival_during_flush_not_stranded(self):
+        import time as _t
+        from cortex_tpu.server.batcher import SearchBatcher
+
+        class SlowIndex:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def search_batch(self, vectors, k, flt=None):
+                _t.sleep(0.08)
+                return self.inner.search_batch(vectors, k, flt)
+
+        async def scenario():
+            cx = TestSearchBatcher._cortex(TestSearchBatcher())
+            b = SearchBatcher(SlowIndex(cx.index), cx.embedder,
+                              max_batch=64, max_wait_ms=1)
+            first = asyncio.create_task(b.search("topic 0", 5))
+            await asyncio.sleep(0.03)
+            second = asyncio.create_task(b.search("topic 1", 5))
+            outs = await asyncio.wait_for(
+                asyncio.gather(first, second), timeout=5)
+            return outs
+        outs = asyncio.run(scenario())
+        assert len(outs) == 2 and all(len(o) == 5 for o in outs)

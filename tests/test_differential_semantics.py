@@ -584,3 +584,128 @@ class TestConfigRuleDifferential:
             cond = RuleCondition.from_dict(d)
             cond.validate("r")
             assert cond.type == d["type"]
+
+
+# ---------------------------------------------------------------------------
+# prompt resolver (resolver.rs in-file tests, 27 cases)
+# ---------------------------------------------------------------------------
+
+from cortex_tpu.errors import PromptError
+from cortex_tpu.prompt import PromptContent, PromptResolver
+from cortex_tpu.storage import MemoryStorage
+
+
+def _pc(slug, sections=None, **kw):
+    return PromptContent(slug=slug, sections=sections or {"core": "x"}, **kw)
+
+
+class TestResolverDifferential:
+    """Mirrors of resolver.rs:415-1006 cases not already in
+    test_prompt.TestResolver."""
+
+    def setup_method(self):
+        self.store = MemoryStorage()
+        self.r = PromptResolver(self.store)
+
+    def test_different_branches_independent(self):
+        """resolver.rs create_prompt_different_branches_independent:
+        the same slug may exist on two branches; each has its own
+        HEAD and version chain."""
+        self.r.create_prompt(_pc("helper", {"a": "1"}), branch="main")
+        self.r.create_prompt(_pc("helper", {"b": "2"}), branch="exp")
+        self.r.create_version("helper", "main", _pc("helper", {"a": "3"}))
+        main = self.r.find_head("helper", "main")
+        exp = self.r.find_head("helper", "exp")
+        assert PromptContent.from_node(main).version == 2
+        assert PromptContent.from_node(exp).version == 1
+        assert PromptContent.from_node(exp).sections == {"b": "2"}
+
+    def test_find_head_missing_slug_and_branch_none(self):
+        """resolver.rs find_head_missing_{slug,branch}_returns_none."""
+        assert self.r.find_head("ghost", "main") is None
+        self.r.create_prompt(_pc("helper"))
+        assert self.r.find_head("helper", "nope") is None
+
+    def test_find_head_returns_newest_in_chain(self):
+        self.r.create_prompt(_pc("helper", {"v": "1"}))
+        self.r.create_version("helper", "main", _pc("helper", {"v": "2"}))
+        nid3 = self.r.create_version("helper", "main",
+                                     _pc("helper", {"v": "3"}))
+        head = self.r.find_head("helper", "main")
+        assert head.id == nid3
+        assert PromptContent.from_node(head).version == 3
+
+    def test_create_version_creates_supersedes_edge(self):
+        """resolver.rs create_version_creates_supersedes_edge: new
+        version -> old version via `supersedes`."""
+        v1 = self.r.create_prompt(_pc("helper"))
+        v2 = self.r.create_version("helper", "main", _pc("helper"))
+        rels = [(e.from_id, e.to_id, e.relation)
+                for e in self.store.edges_from(v2)]
+        assert (v2, v1, "supersedes") in rels
+
+    def test_create_version_missing_slug_fails(self):
+        with pytest.raises(PromptError):
+            self.r.create_version("ghost", "main", _pc("ghost"))
+
+    def test_branch_copies_head_and_creates_edge(self):
+        """resolver.rs create_branch_{copies_head_content,
+        creates_branched_from_edge}."""
+        self.r.create_prompt(_pc("helper", {"tone": "calm"}))
+        src = self.r.find_head("helper", "main")
+        bid = self.r.create_branch("helper", "main", "exp")
+        b = self.r.find_head("helper", "exp")
+        assert b.id == bid
+        bc = PromptContent.from_node(b)
+        assert bc.sections == {"tone": "calm"}
+        assert bc.branch == "exp" and bc.version == 1
+        rels = [(e.to_id, e.relation) for e in self.store.edges_from(bid)]
+        assert (src.id, "branched_from") in rels
+
+    def test_list_all_prompts_multiple_slugs_and_branches(self):
+        """resolver.rs list_all_prompts_multiple_slugs_and_branches:
+        one row per (slug, branch), each the HEAD version."""
+        self.r.create_prompt(_pc("alpha"))
+        self.r.create_version("alpha", "main", _pc("alpha"))
+        self.r.create_prompt(_pc("beta"))
+        self.r.create_branch("alpha", "main", "exp")
+        rows = {(p.slug, p.branch): p.version
+                for p in self.r.list_all_prompts()}
+        assert rows == {("alpha", "main"): 2, ("alpha", "exp"): 1,
+                        ("beta", "main"): 1}
+
+    def test_list_all_prompts_empty_db(self):
+        assert self.r.list_all_prompts() == []
+
+    def test_list_versions_sorted_and_head_marked(self):
+        """resolver.rs list_versions_{marks_only_head,sorted_ascending}."""
+        self.r.create_prompt(_pc("helper"))
+        self.r.create_version("helper", "main", _pc("helper"))
+        self.r.create_version("helper", "main", _pc("helper"))
+        infos = self.r.list_versions("helper", "main")
+        assert [i.version for i in infos] == [1, 2, 3]
+        assert [i.is_head for i in infos] == [False, False, True]
+
+    def test_list_versions_empty_for_missing_slug(self):
+        assert self.r.list_versions("ghost", "main") == []
+
+    def test_parse_content_round_trips(self):
+        """resolver.rs parse_content_round_trips via to_json/from_json."""
+        c = PromptContent(slug="helper", prompt_type="skill", branch="b",
+                          version=7, sections={"a": "1"},
+                          metadata={"m": 2},
+                          override_sections={"a": "2"},
+                          context_weights={"user_pleased": 0.5})
+        c2 = PromptContent.from_json(c.to_json())
+        assert c2 == c
+
+    def test_superseded_set(self):
+        """resolver.rs superseded_set_{empty_for_single_version,
+        excludes_head}."""
+        v1 = self.r.create_prompt(_pc("helper"))
+        nodes = [self.store.get_node(v1)]
+        assert self.r.build_superseded_set(nodes) == set()
+        v2 = self.r.create_version("helper", "main", _pc("helper"))
+        nodes = [self.store.get_node(v1), self.store.get_node(v2)]
+        sup = self.r.build_superseded_set(nodes)
+        assert v1 in sup and v2 not in sup

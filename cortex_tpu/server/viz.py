@@ -2,8 +2,9 @@
 
 Role parity: cortex-server/src/http/viz.rs (a 559-line const-HTML D3
 page). Fetches /graph/export and renders an interactive force layout
-with kind-colored nodes, weight-scaled links, drag/zoom, and a detail
-panel.
+with kind-colored nodes, weight-scaled links, drag/zoom, a detail
+panel, and the reference's control set: title search, kind filter,
+min-importance slider, label toggle, and SVG/JSON export.
 """
 
 VIZ_HTML = """<!DOCTYPE html>
@@ -19,6 +20,16 @@ VIZ_HTML = """<!DOCTYPE html>
            padding: 12px; display: none; max-height: 80vh; overflow: auto; }
   #legend { position: fixed; top: 10px; left: 10px; background: #151a25cc;
             border-radius: 8px; padding: 8px 12px; }
+  #controls { position: fixed; bottom: 10px; left: 10px; background: #151a25cc;
+              border-radius: 8px; padding: 10px 12px; display: flex;
+              flex-direction: column; gap: 6px; width: 220px; }
+  #controls input[type=text], #controls select {
+      background: #0b0e14; color: #cdd6f4; border: 1px solid #2a3144;
+      border-radius: 4px; padding: 4px 6px; width: 100%; box-sizing: border-box; }
+  #controls .row { display: flex; gap: 6px; align-items: center; }
+  #controls button { background: #2a3144; color: #cdd6f4; border: none;
+      border-radius: 4px; padding: 4px 10px; cursor: pointer; }
+  #controls button:hover { background: #3b4361; }
   .legend-item { display: flex; align-items: center; gap: 6px; margin: 2px 0; }
   .dot { width: 10px; height: 10px; border-radius: 50%; }
   svg { width: 100vw; height: 100vh; }
@@ -29,6 +40,17 @@ VIZ_HTML = """<!DOCTYPE html>
 </head>
 <body>
 <div id="legend"></div>
+<div id="controls">
+  <input type="text" id="q" placeholder="filter by title...">
+  <select id="kindsel"><option value="">all kinds</option></select>
+  <div class="row"><input type="range" id="minimp" min="0" max="1"
+       step="0.05" value="0" style="flex:1">
+       <span id="minimpval">0.0</span></div>
+  <div class="row"><label><input type="checkbox" id="labels" checked>
+       labels</label></div>
+  <div class="row"><button id="expsvg">SVG</button>
+       <button id="expjson">JSON</button></div>
+</div>
 <div id="panel"></div>
 <svg></svg>
 <script>
@@ -95,6 +117,40 @@ fetch("/graph/export").then(r => r.json()).then(({data}) => {
     node.attr("cx", d => d.x).attr("cy", d => d.y);
     label.attr("x", d => d.x + 8).attr("y", d => d.y + 3);
   });
+
+  // ---- controls: search / kind / importance filters, labels, export
+  const kindSel = document.getElementById("kindsel");
+  kinds.forEach(k => { const o = document.createElement("option");
+                       o.value = k; o.textContent = k; kindSel.append(o); });
+  function applyFilters() {
+    const q = document.getElementById("q").value.toLowerCase();
+    const kf = kindSel.value;
+    const mi = +document.getElementById("minimp").value;
+    document.getElementById("minimpval").textContent = mi.toFixed(1);
+    const visible = d => (!q || d.title.toLowerCase().includes(q)) &&
+                         (!kf || d.kind === kf) && d.importance >= mi;
+    node.attr("display", d => visible(d) ? null : "none");
+    label.attr("display", d =>
+      visible(d) && document.getElementById("labels").checked ? null : "none");
+    link.attr("display", d =>
+      visible(d.source) && visible(d.target) ? null : "none");
+  }
+  for (const id of ["q", "kindsel", "minimp", "labels"])
+    document.getElementById(id).addEventListener("input", applyFilters);
+  document.getElementById("expjson").onclick = () => {
+    const blob = new Blob([JSON.stringify(data, null, 2)],
+                          {type: "application/json"});
+    const a = Object.assign(document.createElement("a"),
+      {href: URL.createObjectURL(blob), download: "cortex-graph.json"});
+    a.click();
+  };
+  document.getElementById("expsvg").onclick = () => {
+    const src = new XMLSerializer().serializeToString(svg.node());
+    const blob = new Blob([src], {type: "image/svg+xml"});
+    const a = Object.assign(document.createElement("a"),
+      {href: URL.createObjectURL(blob), download: "cortex-graph.svg"});
+    a.click();
+  };
 });
 </script>
 </body>

@@ -63,19 +63,27 @@ class DeviceFetchTimeout(RuntimeError):
 
 
 def _fetch_array(x, timeout: float = None) -> np.ndarray:
-    """np.asarray with a liveness deadline (see FETCH_TIMEOUT_S)."""
+    """np.asarray with a liveness deadline (see FETCH_TIMEOUT_S).
+
+    Poll schedule: 0.2 ms steps for the first 50 ms (a warm serving
+    fetch is ready in ~2 ms — overshoot must stay negligible), then
+    5 ms steps to one second, then 50 ms until the deadline. The
+    watchdog exists to catch minute-scale wedges, not to add latency
+    to healthy fetches."""
     import time as _time
     if timeout is None:
         timeout = FETCH_TIMEOUT_S
-    if timeout > 0 and hasattr(x, "is_ready"):
-        deadline = _time.monotonic() + timeout
-        wait = 0.0005
+    if timeout > 0 and hasattr(x, "is_ready") and not x.is_ready():
+        start = _time.monotonic()
+        deadline = start + timeout
         while not x.is_ready():
-            if _time.monotonic() > deadline:
+            now = _time.monotonic()
+            if now > deadline:
                 raise DeviceFetchTimeout(
                     f"device fetch not ready after {timeout:.0f}s")
-            _time.sleep(wait)
-            wait = min(wait * 2, 0.25)
+            el = now - start
+            _time.sleep(0.0002 if el < 0.05 else
+                        0.005 if el < 1.0 else 0.05)
     return np.asarray(x)
 # the C++ re-rank parallelizes across queries (ctypes releases the
 # GIL); single-core it's a wash with numpy's BLAS path, so only prefer

@@ -709,3 +709,18 @@ class TestResolverDifferential:
         nodes = [self.store.get_node(v1), self.store.get_node(v2)]
         sup = self.r.build_superseded_set(nodes)
         assert v1 in sup and v2 not in sup
+
+
+class TestBriefingAutoDiscoveryExclude:
+    def test_auto_discovery_exclude_kinds(self):
+        """engine.rs test_auto_discovery_exclude_kinds: kinds listed in
+        config.exclude_kinds never spawn auto-discovered sections even
+        at high importance."""
+        from cortex_tpu.briefing import BriefingConfig
+        w = World(BriefingConfig(exclude_kinds=["scratch"]))
+        w.put(mknode("scratch", "Ephemeral scratch item", importance=0.9))
+        w.put(mknode("insight", "A kept insight entry", importance=0.9))
+        b = w.engine.generate("kai")
+        titles = [s.title for s in b.sections]
+        assert "Insights" in titles
+        assert not any("cratch" in t for t in titles), titles

@@ -65,10 +65,14 @@ class DecayEngine:
                 jnp.float32(self.config.importance_shield),
                 jnp.float32(self.config.delete_threshold),
                 jnp.float32(self.config.prune_threshold))
-            new_w = np.asarray(new_w)
-            delete = np.asarray(delete)
-            prune = np.asarray(prune)
-            changed = np.asarray(changed)
+            # watchdogged fetches: a lost remote-device response fails
+            # this sweep (the linker loop logs and retries next cycle)
+            # instead of hanging the background task forever
+            from ..vector.shard import _fetch_array
+            new_w = _fetch_array(new_w)
+            delete = _fetch_array(delete)
+            prune = _fetch_array(prune)
+            changed = _fetch_array(changed)
         else:
             new_w, delete, prune, changed = decay_sweep_host(
                 weights, days, max_imp, exempt,

@@ -245,4 +245,8 @@ def bert_encode(params: Dict, cfg: BertEncoderConfig,
                    jnp.asarray(attention_mask, jnp.int32),
                    heads=cfg.heads, eps=cfg.layernorm_eps,
                    pooling=cfg.pooling)
-    return np.asarray(out)
+    # watchdogged fetch: a lost remote-device response must fail the
+    # embed (callers retry / surface an error) rather than hang the
+    # admission path forever (vector.shard._fetch_array semantics)
+    from ..vector.shard import _fetch_array
+    return _fetch_array(out)

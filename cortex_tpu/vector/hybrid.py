@@ -62,9 +62,10 @@ class HybridSearch:
         emb = self.embedder.embed(query.query_text)
         flt = VectorFilter(kinds=query.kind_filter) \
             if query.kind_filter else None
-        hits = self.index.search(emb, max(query.limit * 3, 1), flt)
+        k = max(query.limit * 3, 1)
 
         if not query.anchors:
+            hits = self.index.search(emb, k, flt)
             out = []
             for nid, score in hits[:query.limit]:
                 node = self.storage.get_node(nid)
@@ -75,9 +76,18 @@ class HybridSearch:
                                         combined_score=score))
             return out
 
+        # overlap the two legs: dispatch the device scan WITHOUT
+        # fetching, run the anchor BFS on the host while the device
+        # works, then collect (JAX dispatch is async; the bench-modeled
+        # pipelined form, benches/hybrid_scale_bench.py)
+        fetch = None
+        if hasattr(self.index, "search_batch_async"):
+            fetch = self.index.search_batch_async(emb[None, :], k, flt)
         anchors = self.mirror.anchor_row_ids(query.anchors)
         depth_map = self.mirror.per_anchor_depths(
             query.anchors, query.max_anchor_depth)
+        hits = fetch()[0] if fetch is not None \
+            else self.index.search(emb, k, flt)
 
         results: List[HybridResult] = []
         w = query.vector_weight

@@ -102,6 +102,17 @@ async def main_async(args):
                                 params={"q": "warm", "limit": 5}) as r:
                 await r.json()          # absorb any residual compile
 
+            async def batch_stats():
+                async with sess.get(f"{base}/metrics") as r:
+                    text = await r.text()
+                out = {}
+                for line in text.splitlines():
+                    if line.startswith("cortex_search_batch"):
+                        k, v = line.split()
+                        out[k] = float(v)
+                return out
+            before = await batch_stats()
+
             counts = [0] * args.conc
             stop = time.perf_counter() + args.secs
 
@@ -117,11 +128,8 @@ async def main_async(args):
                     n += 1
                 counts[wid] = n
 
-            t0 = time.perf_counter()
-            await asyncio.gather(*[worker(i) for i in range(args.conc)])
-            dt = time.perf_counter() - t0
-
-            # concurrent gRPC burst joins the same shared batches
+            # gRPC burst runs CONCURRENTLY with the HTTP phase so both
+            # surfaces demonstrably coalesce into the same batches
             def grpc_burst():
                 from concurrent.futures import ThreadPoolExecutor
                 from cortex_tpu.server import cortex_pb2 as pb
@@ -137,18 +145,20 @@ async def main_async(args):
                     return sum(len(r.hits) for r in rs)
                 finally:
                     c.close()
-            grpc_hits = await asyncio.to_thread(grpc_burst)
 
-            async with sess.get(f"{base}/metrics") as r:
-                metrics = await r.text()
-            stats = {}
-            for line in metrics.splitlines():
-                if line.startswith("cortex_search_batch"):
-                    k, v = line.split()
-                    stats[k] = float(v)
+            t0 = time.perf_counter()
+            results = await asyncio.gather(
+                *[worker(i) for i in range(args.conc)],
+                asyncio.to_thread(grpc_burst))
+            dt = time.perf_counter() - t0
+            grpc_hits = results[-1]
+
+            after = await batch_stats()
             done = sum(counts)
-            batches = stats.get("cortex_search_batches_total", 0) or 1
-            items = stats.get("cortex_search_batch_items_total", 0)
+            batches = (after.get("cortex_search_batches_total", 0)
+                       - before.get("cortex_search_batches_total", 0)) or 1
+            items = (after.get("cortex_search_batch_items_total", 0)
+                     - before.get("cortex_search_batch_items_total", 0))
             print(json.dumps({
                 "metric": f"served search QPS through the composed server "
                           f"(HTTP, {args.conc}-way concurrent, read-side "

@@ -128,7 +128,17 @@ class CortexConfig:
     def load(path: str) -> "CortexConfig":
         with open(path, "rb") as f:
             raw = tomllib.load(f)
-        return CortexConfig.from_dict(raw)
+        cfg = CortexConfig.from_dict(raw)
+        # a relative data_dir means "relative to the config file", not
+        # to whatever cwd the process was launched from — otherwise
+        # `cortex --config some/dir/cortex.toml serve` silently creates
+        # a fresh empty store in the cwd instead of opening the one the
+        # config sits next to
+        if not os.path.isabs(cfg.server.data_dir):
+            cfg.server.data_dir = os.path.normpath(os.path.join(
+                os.path.dirname(os.path.abspath(path)),
+                cfg.server.data_dir))
+        return cfg
 
     @staticmethod
     def load_or_default(path: Optional[str]) -> "CortexConfig":

@@ -68,7 +68,7 @@ class DecayEngine:
             # watchdogged fetches: a lost remote-device response fails
             # this sweep (the linker loop logs and retries next cycle)
             # instead of hanging the background task forever
-            from ..vector.shard import _fetch_array
+            from ..vector import fetch_array as _fetch_array
             new_w = _fetch_array(new_w)
             delete = _fetch_array(delete)
             prune = _fetch_array(prune)

@@ -248,5 +248,5 @@ def bert_encode(params: Dict, cfg: BertEncoderConfig,
     # watchdogged fetch: a lost remote-device response must fail the
     # embed (callers retry / surface an error) rather than hang the
     # admission path forever (vector.shard._fetch_array semantics)
-    from ..vector.shard import _fetch_array
+    from ..vector import fetch_array as _fetch_array
     return _fetch_array(out)

@@ -70,15 +70,24 @@ class EmbedBatcher:
                 self._flusher = asyncio.create_task(self._delayed_flush())
 
     async def close(self) -> None:
-        # let an in-flight flush finish (cancelling it would only force
-        # the stranded-waiter path); then flush whatever is left
+        # let in-flight (possibly re-armed) flushes finish — cancelling
+        # one mid-batch would error its waiters — then drain leftovers;
+        # finally cancel an idle re-armed flusher so loop teardown
+        # doesn't log a destroyed-pending-task warning
+        for _ in range(16):
+            f = self._flusher
+            if f is not None and not f.done():
+                try:
+                    await f
+                except Exception:  # noqa: BLE001
+                    pass
+            if self._pending:
+                await self._flush()
+            f = self._flusher
+            if (f is None or f.done()) and not self._pending:
+                return
         if self._flusher is not None and not self._flusher.done():
-            try:
-                await self._flusher
-            except Exception:  # noqa: BLE001
-                pass
-        while self._pending:
-            await self._flush()
+            self._flusher.cancel()
 
 
 def _filter_key(flt) -> tuple:
@@ -169,10 +178,18 @@ class SearchBatcher:
                 self._flusher = asyncio.create_task(self._delayed_flush())
 
     async def close(self) -> None:
+        # same drain discipline as EmbedBatcher.close
+        for _ in range(16):
+            f = self._flusher
+            if f is not None and not f.done():
+                try:
+                    await f
+                except Exception:  # noqa: BLE001
+                    pass
+            if self._pending:
+                await self._flush()
+            f = self._flusher
+            if (f is None or f.done()) and not self._pending:
+                return
         if self._flusher is not None and not self._flusher.done():
-            try:
-                await self._flusher
-            except Exception:  # noqa: BLE001
-                pass
-        while self._pending:
-            await self._flush()
+            self._flusher.cancel()

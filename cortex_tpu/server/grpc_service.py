@@ -184,17 +184,25 @@ class CortexServiceImpl:
         rb = (req.recency_bias if req.HasField("recency_bias") else None)
         batcher = getattr(self.state, "search_batcher", None)
         loop = getattr(self.state, "loop", None)
+        hits = None
         if batcher is not None and loop is not None and loop.is_running():
             # gRPC handlers run on a thread pool; hop onto the server's
             # event loop so concurrent gRPC and HTTP searches coalesce
-            # into the same shared device dispatches
-            raw = asyncio.run_coroutine_threadsafe(
-                batcher.search(req.query,
-                               self.cx.overfetch_k(limit, decay), flt),
-                loop).result()
-            hits = self.cx.finish_search(raw, limit, decay=decay,
-                                         recency_bias=rb)
-        else:
+            # into the same shared device dispatches. Bounded wait: if
+            # the loop stops between the is_running() check and the
+            # coroutine executing (shutdown race), the future would
+            # never resolve and .result() would pin this worker thread
+            # forever — time out and serve via the direct path instead.
+            try:
+                raw = asyncio.run_coroutine_threadsafe(
+                    batcher.search(req.query,
+                                   self.cx.overfetch_k(limit, decay), flt),
+                    loop).result(timeout=120.0)
+                hits = self.cx.finish_search(raw, limit, decay=decay,
+                                             recency_bias=rb)
+            except TimeoutError:
+                hits = None
+        if hits is None:
             hits = self.cx.search(req.query, limit=limit, flt=flt,
                                   decay=decay, recency_bias=rb)
         return pb.SearchResponse(hits=[

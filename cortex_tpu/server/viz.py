@@ -145,7 +145,17 @@ fetch("/graph/export").then(r => r.json()).then(({data}) => {
     a.click();
   };
   document.getElementById("expsvg").onclick = () => {
-    const src = new XMLSerializer().serializeToString(svg.node());
+    // standalone file: explicit size/viewBox + inline styles (the page
+    // CSS that sizes/styles the live svg does not serialize with it)
+    const clone = svg.node().cloneNode(true);
+    clone.setAttribute("xmlns", "http://www.w3.org/2000/svg");
+    clone.setAttribute("width", innerWidth);
+    clone.setAttribute("height", innerHeight);
+    clone.setAttribute("viewBox", `0 0 ${innerWidth} ${innerHeight}`);
+    clone.insertAdjacentHTML("afterbegin",
+      `<style>text{fill:#cdd6f4;font:10px sans-serif}</style>
+       <rect width="100%" height="100%" fill="#0b0e14"/>`);
+    const src = new XMLSerializer().serializeToString(clone);
     const blob = new Blob([src], {type: "image/svg+xml"});
     const a = Object.assign(document.createElement("a"),
       {href: URL.createObjectURL(blob), download: "cortex-graph.svg"});

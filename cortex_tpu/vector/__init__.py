@@ -5,13 +5,14 @@ from .index import (BruteForceIndex, SearchHit, TpuFlatIndex, VectorFilter,
                     VectorIndex)
 from .scoring import (ScoreDecayConfig, apply_score_decay,
                       apply_score_decay_batch)
-from .shard import DeviceCorpus
+from .shard import (DeviceCorpus, DeviceFetchTimeout,
+                    _fetch_array as fetch_array)
 
 __all__ = [
     "SimilarityConfig",
     "EmbeddingService", "HashingEmbedder", "STEmbedder", "default_embedder",
     "embedding_input",
     "BruteForceIndex", "SearchHit", "TpuFlatIndex", "VectorFilter",
-    "VectorIndex", "DeviceCorpus",
+    "VectorIndex", "DeviceCorpus", "DeviceFetchTimeout", "fetch_array",
     "ScoreDecayConfig", "apply_score_decay", "apply_score_decay_batch",
 ]

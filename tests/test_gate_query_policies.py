@@ -611,3 +611,26 @@ class TestAuditAndHooks:
         e = Edge.new("a", "b", "uses", 0.5, EdgeProvenance.manual("t"))
         reg.notify_edge("created", e)
         assert seen == ["created"]
+
+    def test_relative_data_dir_resolves_against_config_file(self, tmp_path):
+        """A relative data_dir in a config FILE means relative to that
+        file, not the process cwd — `cortex --config some/dir/cortex.toml
+        serve` must open the store next to the config, not create a
+        fresh one in the cwd."""
+        from cortex_tpu.config import CortexConfig
+        sub = tmp_path / "deploy"
+        sub.mkdir()
+        p = sub / "cortex.toml"
+        p.write_text('[server]\ndata_dir = "."\n')
+        cfg = CortexConfig.load(str(p))
+        import os
+        assert os.path.isabs(cfg.server.data_dir)
+        assert cfg.server.data_dir == str(sub)
+        p2 = sub / "cortex2.toml"
+        p2.write_text('[server]\ndata_dir = "./data"\n')
+        cfg2 = CortexConfig.load(str(p2))
+        assert cfg2.server.data_dir == str(sub / "data")
+        # absolute dirs pass through untouched
+        p3 = sub / "cortex3.toml"
+        p3.write_text(f'[server]\ndata_dir = "{tmp_path}"\n')
+        assert CortexConfig.load(str(p3)).server.data_dir == str(tmp_path)

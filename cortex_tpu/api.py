@@ -100,8 +100,13 @@ class Cortex:
             storage_dtype=self.config.embedding.device_dtype)
 
     def _rebuild_index(self) -> None:
-        """Rebuild the device index from stored embeddings
-        (api.rs:54-69 / serve.rs:100-123)."""
+        """Load the index snapshot sidecar when it matches the store's
+        mutation sequence (skips decoding every stored embedding —
+        minutes at 1M nodes); otherwise rebuild from stored embeddings
+        (api.rs:54-69 / serve.rs:100-123 — the reference always takes
+        the slow path)."""
+        if self._try_load_index_snapshot():
+            return
         nodes = [n for n in self.storage.list_nodes(NodeFilter())
                  if n.embedding is not None
                  and len(n.embedding) == self.embedder.dimension]
@@ -113,7 +118,65 @@ class Cortex:
                 kinds=[n.kind for n in nodes],
                 agents=[n.source.agent for n in nodes])
 
+    def _index_snapshot_path(self) -> Optional[str]:
+        p = getattr(self.storage, "path", None)
+        if (not p or p == ":memory:"
+                or not self.config.embedding.snapshot_boot):
+            return None
+        return p + ".index.npz"
+
+    def _try_load_index_snapshot(self) -> bool:
+        import json as _json
+        import os as _os
+        path = self._index_snapshot_path()
+        if path is None or not _os.path.exists(path) \
+                or not _os.path.exists(path + ".meta"):
+            return False
+        seq = self.storage.index_seq()
+        if seq is None:
+            return False
+        try:
+            with open(path + ".meta") as f:
+                meta = _json.load(f)
+            if (meta.get("index_seq") != seq
+                    or meta.get("dim") != self.embedder.dimension):
+                return False
+            self.index.load(path)
+            return True
+        except Exception:  # noqa: BLE001 — any corruption -> full rebuild
+            return False
+
+    def save_index_snapshot(self) -> None:
+        """Write the snapshot sidecar + its validity marker. Called on
+        clean close (after admission has quiesced — the seq is captured
+        BEFORE the state read, so any write racing the save makes the
+        marker stale and boot falls back to a rebuild, never the other
+        way around)."""
+        import json as _json
+        import os as _os
+        path = self._index_snapshot_path()
+        if path is None:
+            return
+        seq = self.storage.index_seq()
+        if seq is None:
+            return
+        if _os.path.exists(path + ".meta"):
+            try:
+                with open(path + ".meta") as f:
+                    if _json.load(f).get("index_seq") == seq:
+                        return          # unchanged since last snapshot
+            except Exception:  # noqa: BLE001
+                pass
+        try:
+            self.index.save(path)
+            with open(path + ".meta", "w") as f:
+                _json.dump({"index_seq": seq,
+                            "dim": self.embedder.dimension}, f)
+        except Exception:  # noqa: BLE001 — snapshot is an optimization
+            pass
+
     def close(self) -> None:
+        self.save_index_snapshot()
         self.storage.close()
 
     # ------------------------------------------------------------ mutation

@@ -52,6 +52,10 @@ class EmbeddingConfig:
     # device index storage: "float32" (exact snapshots) or "bfloat16"
     # (half the HBM/transfer; MXU accumulates fp32 either way)
     device_dtype: str = "float32"
+    # boot from an index snapshot sidecar (cortex.db.index.npz) when its
+    # recorded mutation sequence matches the store — skips decoding
+    # every stored embedding at open; stale/absent snapshots rebuild
+    snapshot_boot: bool = True
     # serving search path: "auto" (int8 scan + exact host re-rank on
     # TPU at scale, exact elsewhere), "exact" (recall 1.0 by
     # construction), "approx" (bf16 PartialReduce + exact merge), or
@@ -169,7 +173,8 @@ class CortexConfig:
             dimension=int(e.get("dimension", 384)),
             device_dtype=e.get("device_dtype", "float32"),
             search_path=e.get("search_path", "auto"),
-            sharded=bool(e.get("sharded", False)))
+            sharded=bool(e.get("sharded", False)),
+            snapshot_boot=bool(e.get("snapshot_boot", True)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(

@@ -134,6 +134,13 @@ class Storage(abc.ABC):
     @abc.abstractmethod
     def list_distinct_kinds(self) -> List[str]: ...
 
+    def index_seq(self) -> Optional[int]:
+        """Monotonic counter of index-relevant node mutations, or None
+        when the backend can't provide one (callers must then rebuild
+        the vector index from stored embeddings instead of trusting a
+        snapshot)."""
+        return None
+
     # -- edges ------------------------------------------------------------
     @abc.abstractmethod
     def put_edge(self, edge: Edge, *, actor: str = "system") -> None:

@@ -24,12 +24,14 @@ class MemoryStorage(Storage):
         self._edges_to: Dict[str, List[str]] = {}
         self._meta: Dict[str, str] = {}
         self._audit: List[AuditEntry] = []
+        self._index_seq = 0
 
     # ----------------------------------------------------------------- nodes
     def put_node(self, node: Node, *, actor: str = "system") -> None:
         node.validate()
         action = "node_updated" if node.id in self._nodes else "node_created"
         self._nodes[node.id] = node
+        self._index_seq += 1
         self._audit.append(AuditEntry(ts=time.time(), action=action,
                                       target_id=node.id, actor=actor))
 
@@ -55,6 +57,7 @@ class MemoryStorage(Storage):
             return False
         n.deleted = True
         n.updated_at = time.time()
+        self._index_seq += 1
         self._audit.append(AuditEntry(ts=time.time(), action="node_deleted",
                                       target_id=node_id, actor=actor))
         return True
@@ -63,6 +66,7 @@ class MemoryStorage(Storage):
         if node_id not in self._nodes:
             return False
         del self._nodes[node_id]
+        self._index_seq += 1
         for eid in list(self._edges_from.pop(node_id, [])):
             self._remove_edge_record(eid)
         for eid in list(self._edges_to.pop(node_id, [])):
@@ -84,6 +88,9 @@ class MemoryStorage(Storage):
     def count_nodes(self, f: Optional[NodeFilter] = None) -> int:
         f = f or NodeFilter()
         return sum(1 for n in self._nodes.values() if f.matches(n))
+
+    def index_seq(self) -> Optional[int]:
+        return self._index_seq
 
     def list_distinct_kinds(self) -> List[str]:
         return sorted({n.kind for n in self._nodes.values() if not n.deleted})

@@ -96,6 +96,26 @@ CREATE TABLE IF NOT EXISTS meta (
     key TEXT PRIMARY KEY,
     value TEXT NOT NULL
 );
+
+-- index_seq: trigger-maintained counter of index-RELEVANT node
+-- mutations (embedding / kind / liveness / agent — the fields the
+-- device corpus mirrors). Schema-level, so no code path can forget to
+-- bump it; access recording (access_count/last_accessed_at-only
+-- updates) deliberately does NOT fire it. Lets boot trust an index
+-- snapshot sidecar instead of decoding every stored embedding.
+CREATE TRIGGER IF NOT EXISTS nodes_idxseq_ins AFTER INSERT ON nodes BEGIN
+    INSERT INTO meta(key, value) VALUES ('index_seq', '1')
+    ON CONFLICT(key) DO UPDATE SET value = CAST(value AS INTEGER) + 1;
+END;
+CREATE TRIGGER IF NOT EXISTS nodes_idxseq_upd AFTER UPDATE OF
+    embedding, kind, deleted, source_agent ON nodes BEGIN
+    INSERT INTO meta(key, value) VALUES ('index_seq', '1')
+    ON CONFLICT(key) DO UPDATE SET value = CAST(value AS INTEGER) + 1;
+END;
+CREATE TRIGGER IF NOT EXISTS nodes_idxseq_del AFTER DELETE ON nodes BEGIN
+    INSERT INTO meta(key, value) VALUES ('index_seq', '1')
+    ON CONFLICT(key) DO UPDATE SET value = CAST(value AS INTEGER) + 1;
+END;
 """
 
 
@@ -495,6 +515,14 @@ class SqliteStorage(Storage):
                 self._db.rollback()
                 raise
         return count
+
+    def index_seq(self) -> Optional[int]:
+        """Monotonic counter of index-relevant node mutations (see the
+        nodes_idxseq_* triggers). Used to validate index snapshots."""
+        with self._lock:
+            row = self._db.execute(
+                "SELECT value FROM meta WHERE key='index_seq'").fetchone()
+        return int(row[0]) if row else 0
 
     # -------------------------------------------------------------- metadata
     def put_metadata(self, key: str, value: str) -> None:

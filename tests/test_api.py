@@ -185,3 +185,90 @@ class TestEndToEnd:
         cx.store(n)
         swept, purged = cx.run_retention()
         assert swept == 1
+
+
+class TestSnapshotBoot:
+    """Index snapshot sidecar: clean close writes cortex.db.index.npz +
+    a mutation-sequence marker; the next open loads it instead of
+    decoding every stored embedding, and any store mutation since the
+    snapshot invalidates it (trigger-maintained index_seq)."""
+
+    def _open(self, tmp_path):
+        from cortex_tpu.api import Cortex
+        return Cortex.open(str(tmp_path / "cortex.db"))
+
+    def _store(self, cx, i):
+        from cortex_tpu.types import Node, Source
+        n = Node.new("fact", f"Snapshot boot fact {i}",
+                     f"Body long enough for the checks, entry {i}.",
+                     Source(agent="t"))
+        cx.store(n)
+        return n.id
+
+    def test_snapshot_round_trip_skips_rebuild(self, tmp_path, monkeypatch):
+        import os
+        cx = self._open(tmp_path)
+        ids = [self._store(cx, i) for i in range(5)]
+        cx.close()
+        assert os.path.exists(str(tmp_path / "cortex.db.index.npz"))
+
+        from cortex_tpu.vector.index import TpuFlatIndex
+        calls = []
+        orig = TpuFlatIndex.insert_batch
+        monkeypatch.setattr(TpuFlatIndex, "insert_batch",
+                            lambda self, *a, **k: (calls.append(1),
+                                                   orig(self, *a, **k))[1])
+        cx2 = self._open(tmp_path)
+        assert calls == []                 # snapshot path, no rebuild
+        assert len(cx2.index) == 5
+        hits = cx2.search("snapshot boot fact", limit=5,
+                          record_access=False)
+        assert {n.id for _, n in hits} == set(ids)
+        cx2.close()
+
+    def test_mutation_after_snapshot_invalidates(self, tmp_path):
+        cx = self._open(tmp_path)
+        self._store(cx, 0)
+        dim = cx.embedder.dimension
+        cx.close()
+        # mutate the STORE behind the snapshot's back (raw storage —
+        # e.g. another process, a restore, a repair)
+        import numpy as np
+        from cortex_tpu.storage import SqliteStorage
+        from cortex_tpu.types import Node, Source
+        s = SqliteStorage(str(tmp_path / "cortex.db"))
+        n = Node.new("fact", "Added behind the snapshot",
+                     "Body long enough for the checks here.",
+                     Source(agent="t"))
+        n.embedding = list(np.full(dim, 0.1, np.float32))
+        s.put_node(n)
+        s.close()
+        cx2 = self._open(tmp_path)
+        # the raw put bumped index_seq -> the stale snapshot (1 node)
+        # was NOT trusted and the rebuild indexed both nodes
+        assert len(cx2.index) == 2
+        assert n.id in cx2.index
+        cx2.close()
+
+    def test_delete_invalidates_snapshot(self, tmp_path):
+        cx = self._open(tmp_path)
+        ids = [self._store(cx, i) for i in range(3)]
+        cx.close()
+        from cortex_tpu.storage import SqliteStorage
+        s = SqliteStorage(str(tmp_path / "cortex.db"))
+        s.hard_delete_node(ids[0])
+        s.close()
+        cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 2          # rebuilt, not the stale 3
+        assert ids[0] not in cx2.index
+        cx2.close()
+
+    def test_access_recording_does_not_invalidate(self, tmp_path):
+        """record_access touches access fields only — the trigger must
+        not fire, so the snapshot stays valid across read traffic."""
+        cx = self._open(tmp_path)
+        nid = self._store(cx, 0)
+        seq0 = cx.storage.index_seq()
+        assert cx.storage.record_access(nid)
+        assert cx.storage.index_seq() == seq0
+        cx.close()

@@ -121,7 +121,11 @@ class Cortex:
     def _index_snapshot_path(self) -> Optional[str]:
         p = getattr(self.storage, "path", None)
         if (not p or p == ":memory:"
-                or not self.config.embedding.snapshot_boot):
+                or not self.config.embedding.snapshot_boot
+                # never write a PLAINTEXT embedding sidecar next to an
+                # encrypted-at-rest database — it would outlive the
+                # re-encrypted working copy and leak content
+                or self.config.security.encryption_at_rest):
             return None
         return p + ".index.npz"
 

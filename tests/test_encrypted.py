@@ -112,3 +112,27 @@ class TestGuardCycle:
         other = derive_key(generate_key())
         with pytest.raises(Exception):
             EncryptedDbGuard(enc, other)
+
+
+class TestNoPlaintextSnapshotWhenEncrypted:
+    def test_encrypted_close_writes_no_index_sidecar(self, tmp_path,
+                                                     monkeypatch):
+        """Encryption at rest must never leave a plaintext embedding
+        snapshot next to the encrypted database."""
+        import os
+        monkeypatch.setenv("CORTEX_ENCRYPTION_KEY",
+                           __import__("base64").b64encode(b"k" * 32).decode())
+        from cortex_tpu.api import open_embedded
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.types import Node, Source
+        cfg = CortexConfig()
+        cfg.server.data_dir = str(tmp_path)
+        cfg.security.encryption_at_rest = True
+        cx, guard = open_embedded(cfg)
+        cx.store(Node.new("fact", "Encrypted snapshot check",
+                          "Body long enough for the gate checks.",
+                          Source(agent="t")))
+        cx.close()
+        guard.close()
+        leaked = [f for f in os.listdir(tmp_path) if "index" in f]
+        assert leaked == [], leaked

@@ -72,6 +72,12 @@ class Cortex:
         # conflict gate before either is stored
         import threading
         self.admission_lock = threading.Lock()
+        # held across every store-write + index-mutation pair AND by
+        # the snapshot capture, so a snapshot can never record a
+        # mutation sequence whose index update hasn't landed yet
+        # (the mid-serve checkpoint would otherwise validate a
+        # snapshot that is missing that node)
+        self._persist_lock = threading.Lock()
 
     # ------------------------------------------------------------------ boot
     @staticmethod
@@ -151,32 +157,42 @@ class Cortex:
             return False
 
     def save_index_snapshot(self) -> None:
-        """Write the snapshot sidecar + its validity marker. Called on
-        clean close (after admission has quiesced — the seq is captured
-        BEFORE the state read, so any write racing the save makes the
-        marker stale and boot falls back to a rebuild, never the other
-        way around)."""
+        """Write the snapshot sidecar + its validity marker. Safe both
+        at clean close and as a live checkpoint: seq capture and the
+        index state read happen under the persist lock, so the marker
+        can never record a mutation whose index update hasn't landed
+        (a racing write completes either before both or after both —
+        the after case makes the marker stale, and stale means
+        rebuild, never a silently incomplete index)."""
         import json as _json
         import os as _os
         path = self._index_snapshot_path()
         if path is None:
             return
-        seq = self.storage.index_seq()
-        if seq is None:
-            return
-        if _os.path.exists(path + ".meta"):
+        with self._persist_lock:
+            seq = self.storage.index_seq()
+            if seq is None:
+                return
+            if _os.path.exists(path + ".meta"):
+                try:
+                    with open(path + ".meta") as f:
+                        if _json.load(f).get("index_seq") == seq:
+                            return      # unchanged since last snapshot
+                except Exception:  # noqa: BLE001
+                    pass
             try:
-                with open(path + ".meta") as f:
-                    if _json.load(f).get("index_seq") == seq:
-                        return          # unchanged since last snapshot
-            except Exception:  # noqa: BLE001
-                pass
+                # fast consistent copy under the lock; the slow
+                # compress+write happens after release so writes don't
+                # stall for the checkpoint duration
+                st = self.index.snapshot_state()
+            except Exception:  # noqa: BLE001 — snapshot is an optimization
+                return
         try:
-            self.index.save(path)
+            self.index.write_snapshot(path, st)
             with open(path + ".meta", "w") as f:
                 _json.dump({"index_seq": seq,
                             "dim": self.embedder.dimension}, f)
-        except Exception:  # noqa: BLE001 — snapshot is an optimization
+        except Exception:  # noqa: BLE001
             pass
 
     def close(self) -> None:
@@ -229,10 +245,13 @@ class Cortex:
 
     def _persist(self, node: Node, actor: str) -> bool:
         """Store + index + version bump (no hooks). Returns is_update."""
-        is_update = self.storage.get_node(node.id) is not None
-        self.storage.put_node(node, actor=actor)
-        self.index.insert(node.id, np.asarray(node.embedding, np.float32),
-                          kind=node.kind, source_agent=node.source.agent)
+        with self._persist_lock:
+            is_update = self.storage.get_node(node.id) is not None
+            self.storage.put_node(node, actor=actor)
+            self.index.insert(node.id,
+                              np.asarray(node.embedding, np.float32),
+                              kind=node.kind,
+                              source_agent=node.source.agent)
         self._on_write()
         return is_update
 
@@ -249,12 +268,14 @@ class Cortex:
             embs = self.embedder.embed_nodes(missing)
             for j, n in enumerate(missing):
                 n.embedding = embs[j].tolist()
-        self.storage.put_nodes_batch(nodes, actor=actor)
-        self.index.insert_batch(
-            [n.id for n in nodes],
-            np.stack([np.asarray(n.embedding, np.float32) for n in nodes]),
-            kinds=[n.kind for n in nodes],
-            agents=[n.source.agent for n in nodes])
+        with self._persist_lock:
+            self.storage.put_nodes_batch(nodes, actor=actor)
+            self.index.insert_batch(
+                [n.id for n in nodes],
+                np.stack([np.asarray(n.embedding, np.float32)
+                          for n in nodes]),
+                kinds=[n.kind for n in nodes],
+                agents=[n.source.agent for n in nodes])
         self._on_write()
         for n in nodes:
             self.hooks.notify_node("created", n)
@@ -264,9 +285,12 @@ class Cortex:
         """Re-embed on update (grpc service.rs:170+ behavior)."""
         node.embedding = self.embedder.embed_node(node).tolist()
         node.updated_at = time.time()
-        self.storage.put_node(node, actor=actor)
-        self.index.insert(node.id, np.asarray(node.embedding, np.float32),
-                          kind=node.kind, source_agent=node.source.agent)
+        with self._persist_lock:
+            self.storage.put_node(node, actor=actor)
+            self.index.insert(node.id,
+                              np.asarray(node.embedding, np.float32),
+                              kind=node.kind,
+                              source_agent=node.source.agent)
         self._on_write()
         self.hooks.notify_node("updated", node)
 
@@ -275,10 +299,13 @@ class Cortex:
         node = self.storage.get_node(node_id)
         if node is None:
             return False
-        ok = (self.storage.hard_delete_node(node_id, actor=actor) if hard
-              else self.storage.delete_node(node_id, actor=actor))
+        with self._persist_lock:
+            ok = (self.storage.hard_delete_node(node_id, actor=actor)
+                  if hard else
+                  self.storage.delete_node(node_id, actor=actor))
+            if ok:
+                self.index.remove(node_id)
         if ok:
-            self.index.remove(node_id)
             self._on_write()
             self.hooks.notify_node("deleted", node)
         return ok

@@ -247,6 +247,14 @@ class Server:
                         await asyncio.to_thread(
                             self.guard.checkpoint,
                             self.cortex.storage.snapshot)
+                else:
+                    # index snapshot checkpoint: a crash then boots from
+                    # the last checkpoint instead of a full rebuild
+                    # (no-op when nothing changed since the last save;
+                    # disabled entirely in encrypted mode — plaintext)
+                    with span("index.snapshot"):
+                        await asyncio.to_thread(
+                            self.cortex.save_index_snapshot)
             except Exception:
                 log.exception("auto-linker cycle failed (continuing)")
 

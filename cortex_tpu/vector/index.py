@@ -168,8 +168,14 @@ class TpuFlatIndex(VectorIndex):
     def rebuild(self) -> None:
         self._corpus.compact()
 
-    def save(self, path: str) -> None:
-        st = self._corpus.state()
+    def snapshot_state(self):
+        """Consistent host copy of the index contents — fast (array
+        copies, no compression), so callers can capture it under a
+        lock and serialize outside."""
+        return self._corpus.state()
+
+    def write_snapshot(self, path: str, st) -> None:
+        """Serialize a previously captured snapshot_state() to disk."""
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
                     exist_ok=True)
         np.savez_compressed(
@@ -180,6 +186,9 @@ class TpuFlatIndex(VectorIndex):
                 "kinds": list(st["kinds"]),
                 "agents": list(st["agents"]),
             }))
+
+    def save(self, path: str) -> None:
+        self.write_snapshot(path, self.snapshot_state())
 
     def load(self, path: str) -> None:
         z = np.load(path, allow_pickle=False)

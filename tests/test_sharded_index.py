@@ -200,3 +200,57 @@ class TestShardedParity:
         ids, vecs = seed(idx, n=40)
         hit = idx.search_batch(vecs[3:4], 1)[0][0]
         assert hit[0] == ids[3]
+
+
+class TestShardedComposedStack:
+    """The FULL engine composed over the sharded index (config
+    embedding.sharded on the virtual 8-device mesh): admission, gate
+    conflict check, search, hybrid, and the snapshot round trip all go
+    through ShardedFlatIndex."""
+
+    def _cortex(self, tmp_path=None):
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.parallel import ShardedFlatIndex
+        cfg = CortexConfig()
+        cfg.embedding.sharded = True
+        cx = (Cortex.open(str(tmp_path / "cortex.db"), cfg)
+              if tmp_path is not None else Cortex.in_memory(cfg))
+        assert isinstance(cx.index, ShardedFlatIndex)
+        assert len(cx.index.mesh.devices.flatten()) == 8
+        return cx
+
+    def _node(self, i):
+        from cortex_tpu.types import Node, Source
+        return Node.new("fact", f"Sharded stack fact {i} topic {i % 3}",
+                        f"Body long enough for the checks, entry {i}.",
+                        Source(agent="t"))
+
+    def test_store_search_hybrid_on_mesh(self):
+        cx = self._cortex()
+        ids = [cx.store(self._node(i)) for i in range(12)]
+        hits = cx.search("sharded stack topic 1", limit=4,
+                         record_access=False)
+        assert len(hits) == 4
+        assert all(n.id in ids for _, n in hits)
+        res = cx.search_hybrid("sharded stack topic", anchors=[ids[0]],
+                               limit=4)
+        assert res and res[0].combined_score > 0
+        # gate conflict check runs against the sharded index
+        from cortex_tpu.errors import GateRejection as GateRejectionError
+        import pytest as _pytest
+        dup = self._node(0)
+        with _pytest.raises(GateRejectionError):
+            cx.store(dup, gate=True)
+        cx.close()
+
+    def test_snapshot_round_trip_sharded(self, tmp_path):
+        cx = self._cortex(tmp_path)
+        ids = [cx.store(self._node(i)) for i in range(6)]
+        cx.close()                      # snapshot via inherited save()
+        cx2 = self._cortex(tmp_path)
+        assert len(cx2.index) == 6
+        hits = cx2.search("sharded stack fact", limit=6,
+                          record_access=False)
+        assert {n.id for _, n in hits} == set(ids)
+        cx2.close()

@@ -78,6 +78,10 @@ class Cortex:
         # (the mid-serve checkpoint would otherwise validate a
         # snapshot that is missing that node)
         self._persist_lock = threading.Lock()
+        # serializes whole snapshot saves: a checkpoint racing the
+        # close-time save could otherwise pair the newest marker with
+        # an older npz
+        self._snapshot_lock = threading.Lock()
 
     # ------------------------------------------------------------------ boot
     @staticmethod
@@ -169,31 +173,39 @@ class Cortex:
         path = self._index_snapshot_path()
         if path is None:
             return
-        with self._persist_lock:
-            seq = self.storage.index_seq()
-            if seq is None:
-                return
-            if _os.path.exists(path + ".meta"):
+        with self._snapshot_lock:       # one save at a time, start to end
+            with self._persist_lock:
+                seq = self.storage.index_seq()
+                if seq is None:
+                    return
+                if _os.path.exists(path + ".meta"):
+                    try:
+                        with open(path + ".meta") as f:
+                            if _json.load(f).get("index_seq") == seq:
+                                return  # unchanged since last snapshot
+                    except Exception:  # noqa: BLE001
+                        pass
                 try:
-                    with open(path + ".meta") as f:
-                        if _json.load(f).get("index_seq") == seq:
-                            return      # unchanged since last snapshot
-                except Exception:  # noqa: BLE001
-                    pass
+                    # fast consistent copy under the lock; the slow
+                    # compress+write happens after release so writes
+                    # don't stall for the checkpoint duration
+                    st = self.index.snapshot_state()
+                except Exception:  # noqa: BLE001 — an optimization only
+                    return
             try:
-                # fast consistent copy under the lock; the slow
-                # compress+write happens after release so writes don't
-                # stall for the checkpoint duration
-                st = self.index.snapshot_state()
-            except Exception:  # noqa: BLE001 — snapshot is an optimization
-                return
-        try:
-            self.index.write_snapshot(path, st)
-            with open(path + ".meta", "w") as f:
-                _json.dump({"index_seq": seq,
-                            "dim": self.embedder.dimension}, f)
-        except Exception:  # noqa: BLE001
-            pass
+                # atomic publication: tmp + rename for both files, npz
+                # before marker — a crash mid-save leaves either the
+                # previous consistent pair or a marker-less npz (boot
+                # then rebuilds), never a marker pointing at torn data
+                self.index.write_snapshot(path + ".tmp.npz", st)
+                _os.replace(path + ".tmp.npz", path)
+                tmp_meta = path + ".meta.tmp"
+                with open(tmp_meta, "w") as f:
+                    _json.dump({"index_seq": seq,
+                                "dim": self.embedder.dimension}, f)
+                _os.replace(tmp_meta, path + ".meta")
+            except Exception:  # noqa: BLE001
+                pass
 
     def close(self) -> None:
         self.save_index_snapshot()
@@ -442,8 +454,28 @@ class Cortex:
         return m
 
     def run_retention(self) -> Tuple[int, int]:
-        swept = self.retention.sweep(self.storage)
-        purged = self.retention.purge_expired(self.storage)
+        """Retention deletions pair the store write with the index
+        removal under the persist lock — previously the sweep bypassed
+        the live index, so swept nodes kept answering searches (and
+        blocking the gate's conflict check) until the next restart, and
+        a snapshot checkpoint would have made that divergence survive
+        restarts too."""
+        def soft(nid: str) -> bool:
+            with self._persist_lock:
+                ok = self.storage.delete_node(nid, actor="retention")
+                if ok:
+                    self.index.remove(nid)
+            return ok
+
+        def hard(nid: str) -> bool:
+            with self._persist_lock:
+                ok = self.storage.hard_delete_node(nid, actor="retention")
+                if ok:
+                    self.index.remove(nid)
+            return ok
+
+        swept = self.retention.sweep(self.storage, deleter=soft)
+        purged = self.retention.purge_expired(self.storage, deleter=hard)
         if swept or purged:
             self._on_write()
         return swept, purged
@@ -460,9 +492,14 @@ class Cortex:
             embs = self.embedder.embed_nodes(nodes)
             for j, n in enumerate(nodes):
                 n.embedding = embs[j].tolist()
-            self.storage.put_nodes_batch(nodes)
-            self.index = self._make_index()
-            self._rebuild_index()
+            # persist lock across the store write AND the index swap: a
+            # snapshot checkpoint between them would certify the
+            # old-embedding index at the new mutation sequence, and the
+            # seq-equality early-return would then pin it forever
+            with self._persist_lock:
+                self.storage.put_nodes_batch(nodes)
+                self.index = self._make_index()
+                self._rebuild_index()
             self.hybrid.index = self.index
             self.briefing_engine.index = self.index
             self.linker.index = self.index

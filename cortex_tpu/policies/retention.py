@@ -103,8 +103,15 @@ class RetentionEngine:
             storage.delete_edge(e.id)
 
     # ----------------------------------------------------------------- sweep
-    def sweep(self, storage: Storage, now: float | None = None) -> int:
+    def sweep(self, storage: Storage, now: float | None = None,
+              deleter=None) -> int:
+        """deleter(node_id) -> bool replaces the raw storage soft
+        delete so callers can keep companion state (the vector
+        index) in step with each deletion; defaults to
+        storage.delete_node."""
         now = time.time() if now is None else now
+        if deleter is None:
+            deleter = storage.delete_node
         deleted = 0
 
         for kind, kr in self.config.by_kind.items():
@@ -115,7 +122,7 @@ class RetentionEngine:
                     kinds=[kind], created_before=cutoff)):
                 if self._should_delete(node, kr, storage, now):
                     self._cleanup_outbound(node.id, storage)
-                    storage.delete_node(node.id)
+                    deleter(node.id)
                     deleted += 1
 
         if self.config.default_ttl_days > 0:
@@ -126,7 +133,7 @@ class RetentionEngine:
                     continue
                 if self._should_delete(node, default_kr, storage, now):
                     self._cleanup_outbound(node.id, storage)
-                    storage.delete_node(node.id)
+                    deleter(node.id)
                     deleted += 1
 
         if self.config.max_nodes is not None:
@@ -136,19 +143,21 @@ class RetentionEngine:
                 for nid in self._eviction_candidates(
                         storage, excess, self.config.max_nodes.strategy):
                     self._cleanup_outbound(nid, storage)
-                    storage.delete_node(nid)
+                    deleter(nid)
                     deleted += 1
         return deleted
 
     def purge_expired(self, storage: Storage,
-                      now: float | None = None) -> int:
+                      now: float | None = None, deleter=None) -> int:
         now = time.time() if now is None else now
+        if deleter is None:
+            deleter = storage.hard_delete_node
         grace = self.config.grace_days or 30.0
         cutoff = now - grace * 86400
         purged = 0
         for node in storage.list_nodes(NodeFilter(deleted_only=True)):
             if node.updated_at < cutoff:
-                storage.hard_delete_node(node.id)
+                deleter(node.id)
                 purged += 1
         return purged
 

@@ -200,8 +200,8 @@ class CortexServiceImpl:
                     loop).result(timeout=120.0)
                 hits = self.cx.finish_search(raw, limit, decay=decay,
                                              recency_bias=rb)
-            except TimeoutError:
-                hits = None
+            except futures.TimeoutError:   # alias of TimeoutError on
+                hits = None                # 3.11+, distinct on 3.10
         if hits is None:
             hits = self.cx.search(req.query, limit=limit, flt=flt,
                                   decay=decay, recency_bias=rb)

@@ -634,3 +634,38 @@ class TestAuditAndHooks:
         p3 = sub / "cortex3.toml"
         p3.write_text(f'[server]\ndata_dir = "{tmp_path}"\n')
         assert CortexConfig.load(str(p3)).server.data_dir == str(tmp_path)
+
+
+class TestRetentionIndexConsistency:
+    def test_swept_nodes_leave_the_live_index(self):
+        """Regression (review finding): the retention sweep deleted
+        from storage only — swept nodes kept answering searches and
+        blocking the gate's conflict check until restart, and a
+        snapshot checkpoint would have persisted the divergence."""
+        import time as _t
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.types import Node, Source
+        cfg = CortexConfig()
+        from cortex_tpu.policies.retention import (KindRetention,
+                                                   RetentionConfig)
+        cfg.retention = RetentionConfig(
+            by_kind={"observation": KindRetention(ttl_days=30)})
+        cx = Cortex.in_memory(cfg)
+        old = Node.new("observation", "Stale observation entry",
+                       "Body long enough for the checks here.",
+                       Source(agent="t"), 0.1)
+        old.created_at = _t.time() - 100 * 86400
+        old.last_accessed_at = _t.time() - 100 * 86400
+        cx.store(old)
+        keep = Node.new("fact", "A kept fact entry",
+                        "Body long enough for the checks too.",
+                        Source(agent="t"))
+        cx.store(keep)
+        assert old.id in cx.index
+        swept, _ = cx.run_retention()
+        assert swept == 1
+        assert old.id not in cx.index          # index in step with store
+        hits = cx.search("stale observation entry", limit=10,
+                         record_access=False)
+        assert old.id not in {n.id for _, n in hits}

@@ -515,10 +515,14 @@ def create_app(state: ServerState) -> web.Application:
         if agent is None:
             return json_err("agent not found", 404)
         limit = int(request.query.get("limit", 20))
+        ctx_filter = _parse_context_filter(request.query.get("context"))
         obs = [cx.get_node(e.to_id)
                for e in cx.storage.edges_from(agent.id)
                if e.relation == "performed"]
         obs = [o for o in obs if o is not None]
+        if ctx_filter is not None:
+            obs = [o for o in obs if _matches_context_filter(
+                o, ctx_filter[0], ctx_filter[1])]
         obs.sort(key=lambda n: -n.created_at)
         out = []
         for o in obs[:limit]:
@@ -558,6 +562,10 @@ def create_app(state: ServerState) -> web.Application:
                            "agent": name,
                            "prompt_slug": body.get("variant_slug"),
                            "observation_type": "performance",
+                           # context signals under which the variant
+                           # performed — queryable later via
+                           # ?context=key:value (selection.rs:772,799)
+                           "context": body.get("context"),
                            "metrics": {
                                "correction_count": corrections,
                                "sentiment_score": sentiment,
@@ -687,9 +695,34 @@ def create_app(state: ServerState) -> web.Application:
         cx._on_write()
         return json_ok({"node_id": nid}, status=201)
 
-    def _collect_performance(slug: str,
-                             version: Optional[int]) -> Dict[str, Any]:
+    def _parse_context_filter(s: Optional[str]):
+        """`?context=task_type:coding` -> ("task_type", "coding");
+        absent/malformed (no colon, empty key or value) -> None
+        (selection.rs:799-812)."""
+        if not s or ":" not in s:
+            return None
+        key, val = s.split(":", 1)
+        key, val = key.strip(), val.strip()
+        return (key, val) if key and val else None
+
+    def _matches_context_filter(obs: Node, key: str, value: str) -> bool:
+        """Check body JSON `context.<key>` string equality; unreadable
+        body or missing key = no match (selection.rs:815-825)."""
+        try:
+            body = json.loads(obs.body)
+        except (json.JSONDecodeError, TypeError):
+            return False
+        if not isinstance(body, dict):
+            return False
+        ctx = body.get("context")
+        return isinstance(ctx, dict) and ctx.get(key) == value
+
+    def _collect_performance(slug: str, version: Optional[int],
+                             context: Optional[str] = None
+                             ) -> Dict[str, Any]:
         """Aggregate observation metrics over observed_with edges."""
+        ctx_filter = _parse_context_filter(context)
+        included = 0
         scores, sentiments, corrections = [], [], []
         outcomes: Dict[str, int] = {}
         seen_obs: set = set()
@@ -708,6 +741,10 @@ def create_app(state: ServerState) -> web.Application:
                 if o.id in seen_obs:    # both relations point at the variant
                     continue
                 seen_obs.add(o.id)
+                if ctx_filter is not None and not _matches_context_filter(
+                        o, ctx_filter[0], ctx_filter[1]):
+                    continue
+                included += 1
                 md = o.metadata
                 if "observation_score" in md:
                     scores.append(float(md["observation_score"]))
@@ -718,9 +755,10 @@ def create_app(state: ServerState) -> web.Application:
                 oc = md.get("task_outcome")
                 if oc:
                     outcomes[oc] = outcomes.get(oc, 0) + 1
-        n_obs = len(seen_obs)
+        n_obs = included          # post-context-filter count
         return {
             "slug": slug, "version": version, "observations": n_obs,
+            "context_filter": context,
             "avg_observation_score": sum(scores) / n_obs if n_obs else None,
             "avg_sentiment": (sum(sentiments) / len(sentiments)
                               if sentiments else None),
@@ -730,13 +768,15 @@ def create_app(state: ServerState) -> web.Application:
         }
 
     async def prompt_performance(request):
-        return json_ok(_collect_performance(request.match_info["slug"],
-                                            None))
+        return json_ok(_collect_performance(
+            request.match_info["slug"], None,
+            context=request.query.get("context")))
 
     async def version_performance(request):
         return json_ok(_collect_performance(
             request.match_info["slug"],
-            int(request.match_info["version"])))
+            int(request.match_info["version"]),
+            context=request.query.get("context")))
 
     # ------------------------------------------------------------ rollback
     async def deploy_prompt(request):

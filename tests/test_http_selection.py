@@ -138,3 +138,68 @@ class TestObserve:
                       if e.relation == "uses"][0]
             assert w_down < w_up         # and back down on bad obs
         scenario(s)
+
+
+class TestContextFilter:
+    """Mirrors selection.rs:1076-1140 context-filter cases: recording
+    context on observations and filtering variant-history/performance
+    by ?context=key:value."""
+
+    async def _setup(self, client, cx):
+        agent, pid = bind_variant(cx, "ctx-agent", "ctx-prompt")
+        for task, sent in (("coding", 0.9), ("writing", 0.3)):
+            r = await client.post("/agents/ctx-agent/observe", json={
+                "variant_id": pid,
+                "sentiment_score": sent,
+                "task_outcome": "success",
+                "context": {"task_type": task}})
+            assert r.status == 200, await r.text()
+        return pid
+
+    def test_history_filters_by_context(self):
+        async def s(client, cx):
+            await self._setup(client, cx)
+            r = await client.get("/agents/ctx-agent/variant-history")
+            assert len((await r.json())["data"]) == 2
+            r = await client.get("/agents/ctx-agent/variant-history",
+                                 params={"context": "task_type:coding"})
+            rows = (await r.json())["data"]
+            assert len(rows) == 1
+            assert rows[0]["sentiment_score"] == pytest.approx(0.9)
+            r = await client.get("/agents/ctx-agent/variant-history",
+                                 params={"context": "task_type:reviewing"})
+            assert (await r.json())["data"] == []
+            # missing key on the observation = no match
+            r = await client.get("/agents/ctx-agent/variant-history",
+                                 params={"context": "energy:high"})
+            assert (await r.json())["data"] == []
+        scenario(s)
+
+    def test_malformed_filters_ignored(self):
+        """selection.rs parse cases: no colon / empty key / empty value
+        -> no filter (full history); extra colons split once."""
+        async def s(client, cx):
+            await self._setup(client, cx)
+            for bad in ("nocolon", ":coding", "task_type:", " : "):
+                r = await client.get(
+                    "/agents/ctx-agent/variant-history",
+                    params={"context": bad})
+                assert len((await r.json())["data"]) == 2, bad
+            # "a:b:c" parses as key=a, value="b:c" -> matches nothing
+            r = await client.get("/agents/ctx-agent/variant-history",
+                                 params={"context": "task_type:coding:x"})
+            assert (await r.json())["data"] == []
+        scenario(s)
+
+    def test_performance_filters_by_context(self):
+        async def s(client, cx):
+            await self._setup(client, cx)
+            r = await client.get("/prompts/ctx-prompt/performance")
+            full = (await r.json())["data"]
+            r = await client.get("/prompts/ctx-prompt/performance",
+                                 params={"context": "task_type:coding"})
+            coding = (await r.json())["data"]
+            assert full["observations"] == 2
+            assert coding["observations"] == 1
+            assert coding["avg_sentiment"] == pytest.approx(0.9)
+        scenario(s)

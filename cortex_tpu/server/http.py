@@ -535,6 +535,8 @@ def create_app(state: ServerState) -> web.Application:
                 "observation_score": md.get("observation_score"),
                 "sentiment_score": md.get("sentiment_score"),
                 "task_outcome": md.get("task_outcome"),
+                "token_cost": md.get("token_cost"),
+                "response_time_ms": md.get("response_time_ms"),
                 "created_at": o.created_at})
         return json_ok(out)
 
@@ -581,6 +583,11 @@ def create_app(state: ServerState) -> web.Application:
             "correction_count": corrections,
             "task_outcome": outcome,
             "observation_score": obs_score})
+        # optional cost/latency metrics (selection.rs:316,448-452)
+        if body.get("token_cost") is not None:
+            obs.metadata["token_cost"] = int(body["token_cost"])
+        if body.get("response_time_ms") is not None:
+            obs.metadata["response_time_ms"] = int(body["response_time_ms"])
         if body.get("context_signals"):
             obs.metadata["context_signals"] = body["context_signals"]
         await asyncio.to_thread(cx.store, obs)   # embed off the event loop
@@ -723,6 +730,8 @@ def create_app(state: ServerState) -> web.Application:
         """Aggregate observation metrics over observed_with edges."""
         ctx_filter = _parse_context_filter(context)
         included = 0
+        token_costs: List[int] = []
+        response_times: List[int] = []
         scores, sentiments, corrections = [], [], []
         outcomes: Dict[str, int] = {}
         seen_obs: set = set()
@@ -755,6 +764,12 @@ def create_app(state: ServerState) -> web.Application:
                 oc = md.get("task_outcome")
                 if oc:
                     outcomes[oc] = outcomes.get(oc, 0) + 1
+                # averaged over the observations that carry them only
+                # (selection.rs aggregate: token_cost_partial)
+                if md.get("token_cost") is not None:
+                    token_costs.append(int(md["token_cost"]))
+                if md.get("response_time_ms") is not None:
+                    response_times.append(int(md["response_time_ms"]))
         n_obs = included          # post-context-filter count
         return {
             "slug": slug, "version": version, "observations": n_obs,
@@ -764,6 +779,11 @@ def create_app(state: ServerState) -> web.Application:
                               if sentiments else None),
             "avg_corrections": (sum(corrections) / len(corrections)
                                 if corrections else None),
+            "avg_token_cost": (sum(token_costs) / len(token_costs)
+                               if token_costs else None),
+            "avg_response_time_ms": (
+                sum(response_times) / len(response_times)
+                if response_times else None),
             "outcomes": outcomes,
         }
 

@@ -203,3 +203,33 @@ class TestContextFilter:
             assert coding["observations"] == 1
             assert coding["avg_sentiment"] == pytest.approx(0.9)
         scenario(s)
+
+
+class TestCostMetrics:
+    def test_token_cost_partial_aggregation(self):
+        """selection.rs aggregate_observations_token_cost_partial:
+        avg_token_cost / avg_response_time_ms average over only the
+        observations that carry them."""
+        async def s(client, cx):
+            _, pid = bind_variant(cx, "cost-agent", "cost-prompt")
+            payloads = [
+                {"variant_id": pid, "sentiment_score": 0.8,
+                 "task_outcome": "success", "token_cost": 100,
+                 "response_time_ms": 250},
+                {"variant_id": pid, "sentiment_score": 0.6,
+                 "task_outcome": "success", "token_cost": 300},
+                {"variant_id": pid, "sentiment_score": 0.4,
+                 "task_outcome": "partial"},
+            ]
+            for p in payloads:
+                r = await client.post("/agents/cost-agent/observe", json=p)
+                assert r.status == 200, await r.text()
+            r = await client.get("/prompts/cost-prompt/performance")
+            d = (await r.json())["data"]
+            assert d["observations"] == 3
+            assert d["avg_token_cost"] == pytest.approx(200.0)    # (100+300)/2
+            assert d["avg_response_time_ms"] == pytest.approx(250.0)
+            r = await client.get("/agents/cost-agent/variant-history")
+            rows = (await r.json())["data"]
+            assert {row.get("token_cost") for row in rows} == {100, 300, None}
+        scenario(s)

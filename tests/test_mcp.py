@@ -186,3 +186,29 @@ class TestResources:
         srv, _ = server
         resp = rpc(srv, "resources/read", {"uri": "cortex://nope"})
         assert "error" in resp
+
+
+class TestReferenceEdgeCases:
+    """Remaining mcp/mod.rs in-file cases: store without required
+    fields, stats/briefing on an empty graph."""
+
+    def test_store_missing_title_is_error(self, server):
+        srv, _ = server
+        err, text = call_tool(srv, "cortex_store", {"kind": "fact"})
+        assert err
+        assert "title" in text.lower() or "required" in text.lower() \
+            or "missing" in text.lower()
+
+    def test_stats_empty_graph(self, server):
+        srv, _ = server
+        resp = rpc(srv, "resources/read", {"uri": "cortex://stats"})
+        stats = json.loads(resp["result"]["contents"][0]["text"])
+        assert stats["node_count"] == 0 and stats["edge_count"] == 0
+
+    def test_briefing_empty_graph(self, server):
+        """No agent node, nothing stored: the briefing must still
+        return (global fallback), not error."""
+        srv, _ = server
+        err, text = call_tool(srv, "cortex_briefing", {"agent_id": "ghost"})
+        assert not err
+        assert isinstance(text, str) and len(text) > 0

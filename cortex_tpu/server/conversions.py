@@ -81,3 +81,17 @@ def paths_to_pb(paths: List[Path]) -> pb.PathsResponse:
     return pb.PathsResponse(paths=[
         pb.Path(nodes=p.nodes, edges=p.edges, total_weight=p.total_weight,
                 length=p.length) for p in paths])
+
+
+def parse_direction(s: str) -> str:
+    """Lenient direction parsing (conversions.rs:83-90): known values
+    case-insensitively, anything else — including empty — is `both`."""
+    v = (s or "").lower()
+    return v if v in ("outgoing", "incoming", "both") else "both"
+
+
+def parse_strategy(s: str) -> str:
+    """Lenient strategy parsing (conversions.rs:93-100): unknown or
+    empty falls back to `bfs`, never an error."""
+    v = (s or "").lower()
+    return v if v in ("bfs", "dfs", "weighted") else "bfs"

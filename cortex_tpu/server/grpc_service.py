@@ -23,7 +23,8 @@ from ..storage.base import NodeFilter
 from ..query import parse_and_compile
 from ..types import Edge, Node, Source
 from . import cortex_pb2 as pb
-from .conversions import (edge_to_pb, node_to_pb, paths_to_pb,
+from .conversions import (edge_to_pb, node_to_pb, parse_direction,
+                          parse_strategy, paths_to_pb,
                           provenance_from_pb, subgraph_to_pb)
 from .state import ServerState
 
@@ -149,13 +150,13 @@ class CortexServiceImpl:
         sub = self.cx.traverse(TraversalRequest(
             start=list(req.start),
             max_depth=req.max_depth if req.HasField("max_depth") else None,
-            direction=req.direction or "outgoing",
+            direction=parse_direction(req.direction),
             relation_filter=list(req.relation_filter) or None,
             kind_filter=list(req.kind_filter) or None,
             min_weight=req.min_weight
             if req.HasField("min_weight") else None,
             limit=req.limit if req.HasField("limit") else None,
-            strategy=req.strategy or "bfs",
+            strategy=parse_strategy(req.strategy),
             include_start=req.include_start))
         return subgraph_to_pb(sub)
 

@@ -142,3 +142,45 @@ class TestContainers:
 
     def test_empty_paths(self):
         assert len(paths_to_pb([]).paths) == 0
+
+
+class TestGrpcParsingEdgeCases:
+    """Mirrors conversions.rs parse tests not covered by the roundtrip
+    suite: enum-ish string parsing through the live gRPC service."""
+
+    def test_invalid_kind_rejected(self, ):
+        import grpc
+        import pytest as _pytest
+        from test_grpc import rig as _unused  # noqa: F401 (fixture file)
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.server import cortex_pb2 as pb
+        from cortex_tpu.server.grpc_service import (GrpcClient,
+                                                    create_grpc_server)
+        from cortex_tpu.server.state import ServerState
+        cx = Cortex.in_memory()
+        state = ServerState(cortex=cx)
+        server = create_grpc_server(state, addr="127.0.0.1:0")
+        port = server.add_insecure_port("127.0.0.1:0")
+        server.start()
+        client = GrpcClient(f"127.0.0.1:{port}")
+        try:
+            with _pytest.raises(grpc.RpcError):
+                client.CreateNode(pb.CreateNodeRequest(
+                    kind="Not A Valid Kind!",
+                    title="Invalid kind should be rejected",
+                    body="Body long enough for the checks here.",
+                    skip_gate=True))
+            # unknown direction falls back to BOTH; unknown strategy to
+            # BFS (conversions.rs parse_direction/parse_strategy
+            # defaults) — the traversal must succeed, not error
+            nid = client.CreateNode(pb.CreateNodeRequest(
+                kind="fact", title="Default direction works here",
+                body="Body long enough for the checks too.",
+                skip_gate=True)).node.id
+            sub = client.Traverse(pb.TraverseRequest(
+                start=[nid], max_depth=1, direction="sideways",
+                strategy="quantum", include_start=True))
+            assert len(sub.nodes) == 1
+        finally:
+            client.close()
+            server.stop(0)

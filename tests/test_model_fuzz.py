@@ -64,3 +64,68 @@ def run_fuzz(seed: int, ops: int = 200) -> None:
 @pytest.mark.parametrize("seed", [7, 99, 2026])
 def test_model_fuzz(seed):
     run_fuzz(seed)
+
+
+def run_graph_fuzz(seed: int, ops: int = 150) -> None:
+    """Random edge create/delete + node delete against an oracle
+    adjacency; the engine's neighbors/reachable must agree exactly
+    (exercises cache invalidation under churn)."""
+    from cortex_tpu.graph import BOTH, GraphEngine, OUTGOING
+    from cortex_tpu.storage import MemoryStorage
+    from cortex_tpu.types import Edge, EdgeProvenance
+
+    rng = random.Random(seed)
+    s = MemoryStorage()
+    g = GraphEngine(s)
+    nodes = []
+    for i in range(12):
+        n = Node.new("fact", f"Graph fuzz node number {i}",
+                     "Body long enough for validation checks.",
+                     Source(agent="t"))
+        s.put_node(n)
+        nodes.append(n.id)
+    out = {nid: set() for nid in nodes}      # oracle adjacency
+    edges = {}                               # (from, to) -> edge_id
+
+    def oracle_reachable(a, b, max_hops):
+        seen, frontier = {a}, [a]
+        for _ in range(max_hops):
+            nxt = []
+            for u in frontier:
+                for v in out.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        return b in seen
+
+    for step in range(ops):
+        r = rng.random()
+        a, b = rng.sample(nodes, 2)
+        if r < 0.55:
+            if (a, b) not in edges:
+                e = Edge.new(a, b, "related_to", 0.8,
+                             EdgeProvenance.manual("t"))
+                s.put_edge(e)
+                g.invalidate()
+                edges[(a, b)] = e.id
+                out[a].add(b)
+        elif r < 0.75 and edges:
+            key = rng.choice(list(edges))
+            s.delete_edge(edges.pop(key))
+            g.invalidate()
+            out[key[0]].discard(key[1])
+        else:
+            got = set(g.neighbors(a, OUTGOING))
+            assert got == out[a], f"step {step}: {got} != {out[a]}"
+            hops = rng.randint(1, 4)
+            assert g.reachable(a, b, max_depth=hops) \
+                == oracle_reachable(a, b, hops), (step, a, b, hops)
+
+    for nid in nodes:
+        assert set(g.neighbors(nid, OUTGOING)) == out[nid]
+
+
+@pytest.mark.parametrize("seed", [11, 400, 9090])
+def test_graph_fuzz(seed):
+    run_graph_fuzz(seed)

@@ -129,3 +129,52 @@ def run_graph_fuzz(seed: int, ops: int = 150) -> None:
 @pytest.mark.parametrize("seed", [11, 400, 9090])
 def test_graph_fuzz(seed):
     run_graph_fuzz(seed)
+
+
+def run_dsl_fuzz(seed: int, queries: int = 60) -> None:
+    """Random compilable DSL queries vs a hand-written predicate over
+    the same corpus — compile + storage filtering must agree exactly."""
+    from cortex_tpu.query.dsl import parse_and_compile
+    from cortex_tpu.storage import MemoryStorage
+
+    rng = random.Random(seed)
+    s = MemoryStorage()
+    kinds = ["fact", "event", "decision", "pattern"]
+    agents = ["kai", "mia", "rex"]
+    tags = ["alpha", "beta", "gamma"]
+    corpus = []
+    for i in range(40):
+        n = Node.new(rng.choice(kinds), f"Dsl fuzz node number {i}",
+                     "Body long enough for validation checks.",
+                     Source(agent=rng.choice(agents)),
+                     round(rng.random(), 2))
+        n.tags = rng.sample(tags, rng.randint(0, 2))
+        s.put_node(n)
+        corpus.append(n)
+
+    for _ in range(queries):
+        clauses, preds = [], []
+        kind = rng.choice(kinds)
+        clauses.append(f"kind:{kind}")
+        preds.append(lambda n, k=kind: n.kind == k)
+        if rng.random() < 0.5:
+            ag = rng.choice(agents)
+            clauses.append(f"agent:{ag}")
+            preds.append(lambda n, a=ag: n.source.agent == a)
+        if rng.random() < 0.5:
+            thr = round(rng.random(), 2)
+            clauses.append(f"importance>={thr}")
+            preds.append(lambda n, t=thr: n.importance >= t)
+        if rng.random() < 0.4:
+            tg = rng.choice(tags)
+            clauses.append(f"tags:{tg}")
+            preds.append(lambda n, t=tg: t in n.tags)
+        q = " AND ".join(clauses)
+        got = {n.id for n in s.list_nodes(parse_and_compile(q))}
+        want = {n.id for n in corpus if all(p(n) for p in preds)}
+        assert got == want, (q, got ^ want)
+
+
+@pytest.mark.parametrize("seed", [5, 77, 1234])
+def test_dsl_fuzz(seed):
+    run_dsl_fuzz(seed)

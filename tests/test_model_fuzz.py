@@ -178,3 +178,45 @@ def run_dsl_fuzz(seed: int, queries: int = 60) -> None:
 @pytest.mark.parametrize("seed", [5, 77, 1234])
 def test_dsl_fuzz(seed):
     run_dsl_fuzz(seed)
+
+
+def run_decay_fuzz(seed: int) -> None:
+    """Device decay_sweep vs the host implementation vs a scalar
+    oracle on random inputs — all three must agree bitwise-closely."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cortex_tpu.ops.decay import decay_sweep, decay_sweep_host
+
+    rng = np.random.default_rng(seed)
+    n = 257                      # odd size: no tiling alignment luck
+    w = rng.uniform(0, 1, n).astype(np.float32)
+    days = rng.uniform(0, 400, n).astype(np.float32)
+    imp = rng.uniform(0, 1, n).astype(np.float32)
+    ex = rng.random(n) < 0.3
+    rate, shield, delete_t, prune_t = 0.01, 0.8, 0.05, 0.1
+
+    hw, hd, hp, hc = decay_sweep_host(w, days, imp, ex, rate, shield,
+                                      delete_t, prune_t)
+    dw, dd, dp, dc = decay_sweep(
+        jnp.asarray(w), jnp.asarray(days), jnp.asarray(imp),
+        jnp.asarray(ex), jnp.float32(rate), jnp.float32(shield),
+        jnp.float32(delete_t), jnp.float32(prune_t))
+    np.testing.assert_allclose(np.asarray(dw), hw, rtol=1e-5, atol=1e-6)
+    assert (np.asarray(dd) == hd).all()
+    assert (np.asarray(dp) == hp).all()
+    assert (np.asarray(dc) == hc).all()
+
+    # scalar oracle spot checks (decay.rs:21-101 semantics)
+    for i in rng.integers(0, n, 24):
+        if ex[i]:
+            assert hw[i] == w[i] and not hd[i]
+        else:
+            eff = rate * (1.0 - imp[i] * shield)
+            expect = w[i] * np.exp(-eff * days[i])
+            assert abs(hw[i] - expect) < 1e-4
+            assert bool(hd[i]) == (expect < delete_t)
+
+
+@pytest.mark.parametrize("seed", [3, 42, 777])
+def test_decay_fuzz(seed):
+    run_decay_fuzz(seed)

@@ -220,3 +220,51 @@ def run_decay_fuzz(seed: int) -> None:
 @pytest.mark.parametrize("seed", [3, 42, 777])
 def test_decay_fuzz(seed):
     run_decay_fuzz(seed)
+
+
+def run_filter_fuzz(seed: int, queries: int = 30) -> None:
+    """Random kind/agent/exclusion filter combos through the REAL
+    device corpus vs a numpy oracle — the returned top-k must exactly
+    match brute force over the allowed subset (no filter leakage, no
+    silent truncation, including above the fixed-shape mask limits)."""
+    import numpy as np
+    from cortex_tpu.vector.index import TpuFlatIndex, VectorFilter
+
+    rng = np.random.default_rng(seed)
+    n, d, k = 300, 32, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    kinds = [f"kind{i % 23}" for i in range(n)]     # >16 distinct kinds
+    agents = [f"agent{i % 5}" for i in range(n)]
+    ids = [f"n{i}" for i in range(n)]
+    idx = TpuFlatIndex(dim=d)
+    idx.insert_batch(ids, vecs, kinds=kinds, agents=agents)
+
+    for _ in range(queries):
+        q = rng.normal(size=d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        f_kinds = (list(rng.choice(sorted(set(kinds)),
+                                   rng.integers(1, 20), replace=False))
+                   if rng.random() < 0.7 else None)
+        f_agent = (f"agent{rng.integers(0, 5)}"
+                   if rng.random() < 0.4 else None)
+        n_excl = int(rng.integers(0, 90))           # can exceed 64
+        f_excl = list(rng.choice(ids, n_excl, replace=False))
+        flt = VectorFilter(kinds=f_kinds, source_agent=f_agent,
+                           exclude_ids=f_excl)
+        hits = idx.search(q, k, flt)
+
+        allowed = [i for i in range(n)
+                   if (f_kinds is None or kinds[i] in f_kinds)
+                   and (f_agent is None or agents[i] == f_agent)
+                   and ids[i] not in set(f_excl)]
+        scores = vecs[allowed] @ q if allowed else np.zeros(0)
+        want = [ids[allowed[j]]
+                for j in np.argsort(-scores)[:k]]
+        got = [h[0] for h in hits if h[0] is not None]
+        assert got == want, (f_kinds, f_agent, n_excl, got, want)
+
+
+@pytest.mark.parametrize("seed", [13, 500])
+def test_filter_fuzz(seed):
+    run_filter_fuzz(seed)

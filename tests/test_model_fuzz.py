@@ -268,3 +268,65 @@ def run_filter_fuzz(seed: int, queries: int = 30) -> None:
 @pytest.mark.parametrize("seed", [13, 500])
 def test_filter_fuzz(seed):
     run_filter_fuzz(seed)
+
+
+def run_linker_fuzz(seed: int, n_nodes: int = 60) -> None:
+    """Auto-linker cycles over random corpora must uphold the structural
+    invariants whatever the content: no self-edges, no duplicate
+    (from, to, relation) triples, per-node auto-edge cap respected,
+    every auto edge carries a non-manual provenance and a weight in
+    [0, 1], and a second cycle with no new nodes creates nothing."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_linker import build_linker
+
+    from cortex_tpu.types import Node, Source
+
+    rng = random.Random(seed)
+    words = ["kubernetes", "postgres", "deploy", "cache", "alert",
+             "pipeline", "rollback", "quota", "shard", "vector"]
+    linker, s, idx, emb = build_linker()
+    for i in range(n_nodes):
+        title = " ".join(rng.sample(words, rng.randint(2, 4))).capitalize()
+        n = Node.new(rng.choice(["fact", "event", "observation"]),
+                     f"{title} number {i}",
+                     " ".join(rng.sample(words, 5)) + " body text.",
+                     Source(agent=f"a{rng.randint(0, 2)}",
+                            session=f"s{rng.randint(0, 3)}"))
+        n.tags = rng.sample(words, rng.randint(0, 3))
+        s.put_node(n)
+
+    # drain: the per-cycle edge cap (2000) can split the backlog
+    # across cycles (auto_linker.rs:283-304 behavior)
+    processed = 0
+    for _ in range(20):
+        m = linker.run_cycle()
+        assert m.cycle_edges_created <= linker.config.max_edges_per_cycle
+        processed += m.cycle_nodes_processed
+        if m.cycle_nodes_processed == 0:
+            break
+    edges = s.all_edges()
+    assert processed == n_nodes
+    seen_triples = set()
+    per_node_auto = {}
+    for e in edges:
+        assert e.from_id != e.to_id, "self-edge"
+        t = (e.from_id, e.to_id, e.relation)
+        assert t not in seen_triples, f"duplicate {t}"
+        seen_triples.add(t)
+        assert 0.0 <= e.weight <= 1.0
+        assert not e.provenance.is_manual
+        per_node_auto[e.from_id] = per_node_auto.get(e.from_id, 0) + 1
+    cap = linker.config.max_edges_per_node
+    assert all(c <= cap for c in per_node_auto.values()), \
+        max(per_node_auto.values())
+
+    m2 = linker.run_cycle()
+    assert m2.cycle_nodes_processed == 0
+    assert m2.cycle_edges_created == 0
+    assert len(s.all_edges()) == len(edges)      # drained: stable
+
+
+@pytest.mark.parametrize("seed", [6, 606])
+def test_linker_fuzz(seed):
+    run_linker_fuzz(seed)

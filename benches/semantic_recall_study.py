@@ -207,8 +207,14 @@ def measure_corpus(name, corpus_dev, host_corpus, queries, dprimes,
     results.append(("quant-int8-uncentered+rerank",
                     recall_of(got, ref), None))
 
-    # approx bf16 path
-    cb = corpus_dev.astype(jnp.bfloat16)
+    # approx bf16 path — CENTERED, as the shipped DeviceCorpus stores
+    # bf16 (ranking by q·(x−μ) is per-query rank-invariant; the engine
+    # adds q·μ back on the host). Measured on the bert-text corpus:
+    # centered 0.97 vs uncentered 0.70 — centering spends the bf16
+    # mantissa on the discriminating residual exactly as it does for
+    # int8.
+    mu_b = jnp.mean(corpus_dev, axis=0)
+    cb = (corpus_dev - mu_b[None, :]).astype(jnp.bfloat16)
     _, rows = cosine_topk_approx(cb, q_dev, K)
     results.append(("approx-bf16", recall_of(np.asarray(rows), ref), None))
 

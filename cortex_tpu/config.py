@@ -37,6 +37,10 @@ class ServerConfig:
     warmup: bool = True     # pre-compile hot device programs at boot
     # coalesce concurrent GET /search into shared device dispatches
     search_batching: bool = True
+    # persistent XLA compilation cache: restarts skip recompiling the
+    # serving programs (measured 1.5s -> 0.2s per program across
+    # processes). Relative paths resolve under data_dir; "" disables.
+    compilation_cache_dir: str = ".jax-cache"
 
 
 @dataclass
@@ -163,7 +167,9 @@ class CortexConfig:
             data_dir=s.get("data_dir", "./data"),
             nats_url=s.get("nats_url"),
             warmup=bool(s.get("warmup", True)),
-            search_batching=bool(s.get("search_batching", True)))
+            search_batching=bool(s.get("search_batching", True)),
+            compilation_cache_dir=s.get("compilation_cache_dir",
+                                        ".jax-cache"))
         sc = raw.get("schema", {})
         cfg.schema = SchemaConfig(kinds=list(sc.get("kinds", [])),
                                   relations=list(sc.get("relations", [])))

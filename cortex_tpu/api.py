@@ -545,6 +545,28 @@ class Cortex:
         return Cortex._make("agent", title, body, importance)
 
 
+def configure_compilation_cache(config: CortexConfig) -> None:
+    """Enable jax's persistent compilation cache per
+    [server] compilation_cache_dir (relative paths resolve under
+    data_dir; "" disables). An operator-set JAX_COMPILATION_CACHE_DIR
+    env var takes precedence — the standard JAX mechanism (e.g. a
+    shared multi-host cache volume) must not be silently overridden
+    by the cortex default. Safe to call repeatedly; must run before
+    the first device compile to matter."""
+    import os
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    cache_dir = config.server.compilation_cache_dir
+    if not cache_dir:
+        return
+    if not os.path.isabs(cache_dir):
+        cache_dir = os.path.join(config.server.data_dir, cache_dir)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def open_embedded(config: CortexConfig):
     """Open the engine on config's data dir, honoring
     security.encryption_at_rest the same way the server does
@@ -553,6 +575,8 @@ def open_embedded(config: CortexConfig):
     must close BOTH (cortex first)."""
     import os
     from .storage.encrypted import EncryptedDbGuard, derive_key
+
+    configure_compilation_cache(config)
 
     os.makedirs(config.server.data_dir, exist_ok=True)
     db_path = os.path.join(config.server.data_dir, "cortex.db")

@@ -68,27 +68,6 @@ class Server:
         config = self.config
         config.validate()
 
-        if config.server.compilation_cache_dir:
-            # persistent XLA compilation cache BEFORE any device work:
-            # where the backend supports executable serialization, a
-            # restarted server loads its compiled serving programs from
-            # disk instead of recompiling (which also shrinks the
-            # cold-compile window a flaky remote-device transport can
-            # wedge in). Backends that can't serialize simply skip the
-            # write — measured on the tunneled TPU, restarts still warm
-            # in ~7s vs a 280s cold boot because the terminal keeps its
-            # own cross-process program cache; on a standard TPU host
-            # this directory is what provides that.
-            cache_dir = config.server.compilation_cache_dir
-            if not os.path.isabs(cache_dir):
-                cache_dir = os.path.join(config.server.data_dir, cache_dir)
-            import jax
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-
         from ..api import open_embedded
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)

@@ -276,11 +276,7 @@ def run_linker_fuzz(seed: int, n_nodes: int = 60) -> None:
     (from, to, relation) triples, per-node auto-edge cap respected,
     every auto edge carries a non-manual provenance and a weight in
     [0, 1], and a second cycle with no new nodes creates nothing."""
-    import sys
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_linker import build_linker
-
-    from cortex_tpu.types import Node, Source
 
     rng = random.Random(seed)
     words = ["kubernetes", "postgres", "deploy", "cache", "alert",
@@ -299,9 +295,14 @@ def run_linker_fuzz(seed: int, n_nodes: int = 60) -> None:
     # drain: the per-cycle edge cap (2000) can split the backlog
     # across cycles (auto_linker.rs:283-304 behavior)
     processed = 0
+    # per-cycle cap check: the engine enforces the cap BETWEEN nodes,
+    # so a cycle may overshoot by at most one node's worth of edges
+    # (auto_linker.py checks len(proposed) >= cap before each node)
+    slack = linker.config.max_edges_per_node
     for _ in range(20):
         m = linker.run_cycle()
-        assert m.cycle_edges_created <= linker.config.max_edges_per_cycle
+        assert m.cycle_edges_created \
+            <= linker.config.max_edges_per_cycle + slack
         processed += m.cycle_nodes_processed
         if m.cycle_nodes_processed == 0:
             break

@@ -43,6 +43,15 @@ class Cortex:
     def __init__(self, storage: Storage, config: Optional[CortexConfig] = None):
         self.config = config or CortexConfig()
         self.storage = storage
+        # held across every store-write + index-mutation pair AND by
+        # the snapshot capture, so a snapshot can never record a
+        # mutation sequence whose index update hasn't landed yet
+        # (the mid-serve checkpoint would otherwise validate a
+        # snapshot that is missing that node); created before any
+        # component that shares it (the auto-linker and dedup scanner
+        # mutate store+index from their own cycle thread)
+        import threading
+        self._persist_lock = threading.Lock()
         self.embedder = default_embedder(self.config.embedding.model,
                                          self.config.embedding.dimension)
         self.index = self._make_index()
@@ -57,7 +66,8 @@ class Cortex:
             storage, self.graph, self.index, self.embedder, self.hybrid,
             self.graph_version, self.config.briefing)
         self.linker = AutoLinker(storage, self.index, self.embedder,
-                                 self.config.auto_linker)
+                                 self.config.auto_linker,
+                                 persist_lock=self._persist_lock)
         self.retention = RetentionEngine(self.config.retention,
                                          self.config.score_decay)
         self.audit = AuditLog(storage)
@@ -72,12 +82,6 @@ class Cortex:
         # conflict gate before either is stored
         import threading
         self.admission_lock = threading.Lock()
-        # held across every store-write + index-mutation pair AND by
-        # the snapshot capture, so a snapshot can never record a
-        # mutation sequence whose index update hasn't landed yet
-        # (the mid-serve checkpoint would otherwise validate a
-        # snapshot that is missing that node)
-        self._persist_lock = threading.Lock()
         # serializes whole snapshot saves: a checkpoint racing the
         # close-time save could otherwise pair the newest marker with
         # an older npz
@@ -160,14 +164,20 @@ class Cortex:
         except Exception:  # noqa: BLE001 — any corruption -> full rebuild
             return False
 
-    def save_index_snapshot(self) -> None:
+    def save_index_snapshot(self, *, min_delta: int = 0) -> None:
         """Write the snapshot sidecar + its validity marker. Safe both
         at clean close and as a live checkpoint: seq capture and the
         index state read happen under the persist lock, so the marker
         can never record a mutation whose index update hasn't landed
         (a racing write completes either before both or after both —
         the after case makes the marker stale, and stale means
-        rebuild, never a silently incomplete index)."""
+        rebuild, never a silently incomplete index).
+
+        min_delta: skip the save unless at least this many index
+        mutations accumulated since the last snapshot — live
+        checkpoints pass embedding.snapshot_min_delta so a single
+        mutation doesn't recopy and rewrite a million-row corpus
+        every linker cycle; close() passes 0 (always save changes)."""
         import json as _json
         import os as _os
         path = self._index_snapshot_path()
@@ -181,8 +191,12 @@ class Cortex:
                 if _os.path.exists(path + ".meta"):
                     try:
                         with open(path + ".meta") as f:
-                            if _json.load(f).get("index_seq") == seq:
-                                return  # unchanged since last snapshot
+                            saved = _json.load(f).get("index_seq")
+                        if saved == seq:
+                            return  # unchanged since last snapshot
+                        if (isinstance(saved, int)
+                                and seq - saved < min_delta):
+                            return  # too few changes for a live checkpoint
                     except Exception:  # noqa: BLE001
                         pass
                 try:

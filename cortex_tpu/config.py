@@ -60,6 +60,11 @@ class EmbeddingConfig:
     # recorded mutation sequence matches the store — skips decoding
     # every stored embedding at open; stale/absent snapshots rebuild
     snapshot_boot: bool = True
+    # live checkpoints (linker-cycle cadence) only fire once this many
+    # index mutations accumulated since the last saved snapshot — a
+    # 1M-row corpus copy + npz rewrite per single-node cycle is pure
+    # waste; clean close always snapshots regardless (ADVICE r2 #2)
+    snapshot_min_delta: int = 64
     # serving search path: "auto" (int8 scan + exact host re-rank on
     # TPU at scale, exact elsewhere), "exact" (recall 1.0 by
     # construction), "approx" (bf16 PartialReduce + exact merge), or
@@ -180,7 +185,8 @@ class CortexConfig:
             device_dtype=e.get("device_dtype", "float32"),
             search_path=e.get("search_path", "auto"),
             sharded=bool(e.get("sharded", False)),
-            snapshot_boot=bool(e.get("snapshot_boot", True)))
+            snapshot_boot=bool(e.get("snapshot_boot", True)),
+            snapshot_min_delta=int(e.get("snapshot_min_delta", 64)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(

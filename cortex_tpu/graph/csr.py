@@ -121,6 +121,17 @@ class DeviceGraphMirror:
     #: the graph.
     HOST_FRONTIER_BUDGET = 200_000
 
+    #: engine-wide hop ceiling. The device relaxation unrolls a fixed
+    #: 8-iteration fori_loop (_bfs_hops), so the host fast path clamps
+    #: to the SAME ceiling — otherwise hybrid graph scores would depend
+    #: on which path the frontier-size heuristic picked for a given
+    #: corpus (ADVICE r2 #5). Residual divergence that remains by
+    #: construction: the device table truncates hub nodes at max_deg
+    #: neighbors (self.truncated_nodes counts them), so for frontiers
+    #: big enough to route to the device, hub fan-out beyond max_deg is
+    #: approximated; the host path is exact below the budget.
+    HOP_CAP = 8
+
     def _in_graph(self, node_id: str) -> bool:
         return bool(self._cache.outgoing(node_id)
                     or self._cache.incoming(node_id))
@@ -160,6 +171,7 @@ class DeviceGraphMirror:
         frontiers that cover a large fraction of the graph. Returns
         {node_id: [A] int32 depths} (entries omitted when unreachable
         from every anchor)."""
+        max_hops = min(max_hops, self.HOP_CAP)
         known = [a for a in anchor_ids if self._in_graph(a)]
         per: List[Optional[Dict[str, int]]] = [
             self._host_bfs(a, max_hops, self.HOST_FRONTIER_BUDGET)
@@ -228,6 +240,7 @@ class DeviceGraphMirror:
         """Min depth from any anchor for every reachable node (<= max_hops).
         Host frontier BFS first; device relaxation only for frontiers
         that cover a large fraction of the graph."""
+        max_hops = min(max_hops, self.HOP_CAP)
         host = self._host_multi_bfs(anchor_ids, max_hops,
                                     self.HOST_FRONTIER_BUDGET)
         if host is not None:
@@ -271,6 +284,7 @@ class DeviceGraphMirror:
         out = np.zeros((b, m), np.float32)
         if m == 0:
             return out
+        max_hops = min(max_hops, self.HOP_CAP)
         host = self._host_multi_bfs(anchor_ids, max_hops,
                                     self.HOST_FRONTIER_BUDGET)
         if host is not None:

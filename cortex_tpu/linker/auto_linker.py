@@ -24,6 +24,7 @@ pairs. Embedding backfill is batched likewise.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -55,10 +56,17 @@ _EMBED_BATCH = 512
 class AutoLinker:
     def __init__(self, storage: Storage, index: VectorIndex,
                  embedder: EmbeddingService,
-                 config: Optional[AutoLinkerConfig] = None):
+                 config: Optional[AutoLinkerConfig] = None,
+                 persist_lock: Optional[threading.Lock] = None):
         self.storage = storage
         self.index = index
         self.embedder = embedder
+        # pairs every store-write with its index mutation atomically
+        # w.r.t. Cortex.save_index_snapshot's capture — without it a
+        # mid-cycle checkpoint could certify an index missing a node
+        # whose index_seq bump it records, and the seq-equality
+        # early-return would then pin the incomplete snapshot
+        self.persist_lock = persist_lock or threading.Lock()
         self.config = config or AutoLinkerConfig()
         self.config.validate()
         self.metrics = LinkerMetrics()
@@ -125,7 +133,9 @@ class AutoLinker:
         return nodes
 
     def _ensure_embeddings(self, nodes: List[Node]) -> None:
-        """Batch-embed any nodes lacking embeddings; persist + index."""
+        """Batch-embed any nodes lacking embeddings; persist + index.
+        Embedding compute runs outside the persist lock; the store
+        writes + the index insert are one atomic pair under it."""
         missing = [n for n in nodes if n.embedding is None]
         for start in range(0, len(missing), _EMBED_BATCH):
             chunk = missing[start:start + _EMBED_BATCH]
@@ -133,15 +143,19 @@ class AutoLinker:
                 [embedding_input(n) for n in chunk])
             for j, n in enumerate(chunk):
                 n.embedding = embs[j].tolist()
-                self.storage.put_node(n)
         to_index = [n for n in nodes if n.id not in self.index]
-        if to_index:
-            self.index.insert_batch(
-                [n.id for n in to_index],
-                np.stack([np.asarray(n.embedding, np.float32)
-                          for n in to_index]),
-                kinds=[n.kind for n in to_index],
-                agents=[n.source.agent for n in to_index])
+        if not missing and not to_index:
+            return
+        with self.persist_lock:
+            for n in missing:
+                self.storage.put_node(n)
+            if to_index:
+                self.index.insert_batch(
+                    [n.id for n in to_index],
+                    np.stack([np.asarray(n.embedding, np.float32)
+                              for n in to_index]),
+                    kinds=[n.kind for n in to_index],
+                    agents=[n.source.agent for n in to_index])
 
     # ---------------------------------------------------------------- rules
     def _apply_link_rules(self, node: Node, neighbor: Node, score: float,
@@ -268,7 +282,8 @@ class AutoLinker:
 
         if dedup_due:
             scanner = DedupScanner(self.storage, self.index,
-                                   self.config.similarity)
+                                   self.config.similarity,
+                                   persist_lock=self.persist_lock)
             result = scanner.scan()
             self.metrics.add_duplicates_found(len(result.duplicates))
             for pair in result.duplicates:

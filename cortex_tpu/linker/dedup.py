@@ -16,6 +16,7 @@ top-k (chunked [B,d] x [d,N] matmuls), then thresholded on host.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -52,10 +53,14 @@ class DedupResult:
 
 class DedupScanner:
     def __init__(self, storage: Storage, index: VectorIndex,
-                 config: SimilarityConfig):
+                 config: SimilarityConfig,
+                 persist_lock: Optional[threading.Lock] = None):
         self.storage = storage
         self.index = index
         self.config = config
+        # keeps the tombstone write + index removal atomic w.r.t. a
+        # concurrent index-snapshot capture (see AutoLinker.persist_lock)
+        self.persist_lock = persist_lock or threading.Lock()
 
     # ------------------------------------------------------------------ scan
     def scan(self) -> DedupResult:
@@ -147,5 +152,6 @@ class DedupScanner:
                 except (DuplicateEdge, InvalidEdge):
                     pass
             self.storage.delete_edge(e.id)
-        self.storage.delete_node(retire)
-        self.index.remove(retire)
+        with self.persist_lock:
+            self.storage.delete_node(retire)
+            self.index.remove(retire)

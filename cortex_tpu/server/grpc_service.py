@@ -203,6 +203,10 @@ class CortexServiceImpl:
                                              recency_bias=rb)
             except futures.TimeoutError:   # alias of TimeoutError on
                 hits = None                # 3.11+, distinct on 3.10
+            except RuntimeError:
+                # "batcher is closed": a request racing shutdown —
+                # the direct path below still works (ADVICE r2 #3)
+                hits = None
         if hits is None:
             hits = self.cx.search(req.query, limit=limit, flt=flt,
                                   decay=decay, recency_bias=rb)

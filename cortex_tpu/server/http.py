@@ -583,11 +583,14 @@ def create_app(state: ServerState) -> web.Application:
             "correction_count": corrections,
             "task_outcome": outcome,
             "observation_score": obs_score})
-        # optional cost/latency metrics (selection.rs:316,448-452)
-        if body.get("token_cost") is not None:
-            obs.metadata["token_cost"] = int(body["token_cost"])
-        if body.get("response_time_ms") is not None:
-            obs.metadata["response_time_ms"] = int(body["response_time_ms"])
+        # optional cost/latency metrics (selection.rs:316,448-452);
+        # malformed values are a client error, not a 500 (ADVICE r2 #4)
+        for key in ("token_cost", "response_time_ms"):
+            if body.get(key) is not None:
+                try:
+                    obs.metadata[key] = int(body[key])
+                except (ValueError, TypeError):
+                    return json_err(f"{key} must be an integer", 400)
         if body.get("context_signals"):
             obs.metadata["context_signals"] = body["context_signals"]
         await asyncio.to_thread(cx.store, obs)   # embed off the event loop

@@ -62,6 +62,14 @@ class Server:
         self.tasks: List[asyncio.Task] = []
         self.http_port: Optional[int] = None
         self.grpc_port: Optional[int] = None
+        # dedicated executor for linker/retention cycles: cancelling
+        # the loop task abandons the await but NOT the worker thread,
+        # so stop() joins this executor before cortex.close() — a
+        # close-time snapshot must never race an in-flight cycle's
+        # store+index writes (ADVICE r2 #1)
+        from concurrent.futures import ThreadPoolExecutor
+        self._cycle_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="linker-cycle")
 
     # ----------------------------------------------------------------- boot
     async def start(self) -> None:
@@ -229,22 +237,27 @@ class Server:
         sweep/purge (serve.rs:194-235). Errors log-and-continue."""
         from ..utils import span
         interval = self.config.auto_linker.interval_secs
+        loop = asyncio.get_running_loop()
+
+        def in_cycle_thread(fn, *args):
+            return loop.run_in_executor(self._cycle_executor, fn, *args)
+
         while True:
             await asyncio.sleep(interval)
             try:
                 with span("linker.cycle", level=logging.INFO):
-                    m = await asyncio.to_thread(
+                    m = await in_cycle_thread(
                         self.cortex.run_linker_cycle)
                 self.state.metrics.mirror_linker(m)
                 self.state.metrics.mirror_storage(self.cortex.stats())
                 with span("retention.sweep"):
-                    await asyncio.to_thread(self.cortex.run_retention)
+                    await in_cycle_thread(self.cortex.run_retention)
                 if self.guard is not None:
                     # bound the crash window: re-encrypt a consistent
                     # snapshot so the at-rest copy never lags a clean
                     # shutdown by more than one linker interval
                     with span("encryption.checkpoint"):
-                        await asyncio.to_thread(
+                        await in_cycle_thread(
                             self.guard.checkpoint,
                             self.cortex.storage.snapshot)
                 else:
@@ -253,8 +266,10 @@ class Server:
                     # (no-op when nothing changed since the last save;
                     # disabled entirely in encrypted mode — plaintext)
                     with span("index.snapshot"):
-                        await asyncio.to_thread(
-                            self.cortex.save_index_snapshot)
+                        await in_cycle_thread(
+                            lambda: self.cortex.save_index_snapshot(
+                                min_delta=self.config.embedding
+                                .snapshot_min_delta))
             except Exception:
                 log.exception("auto-linker cycle failed (continuing)")
 
@@ -374,6 +389,10 @@ class Server:
             with contextlib.suppress(asyncio.CancelledError):
                 await t
         self.tasks.clear()
+        # join any in-flight linker/retention cycle thread: task
+        # cancellation abandons the await, not the thread, and the
+        # close-time snapshot below must observe a quiesced engine
+        await asyncio.to_thread(self._cycle_executor.shutdown, True)
         if self.grpc_server is not None:
             # stop() returns a threading.Event; WAIT for it — otherwise
             # in-flight handlers on the gRPC thread pool keep running

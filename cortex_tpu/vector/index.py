@@ -178,7 +178,10 @@ class TpuFlatIndex(VectorIndex):
         """Serialize a previously captured snapshot_state() to disk."""
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
                     exist_ok=True)
-        np.savez_compressed(
+        # uncompressed: unit-norm fp32 embeddings are incompressible
+        # noise to deflate, and the checkpoint cadence makes write
+        # latency matter more than ~5% file size (ADVICE r2 #2)
+        np.savez(
             path, vectors=st["vectors"],
             meta=json.dumps({
                 "dim": self.dim,

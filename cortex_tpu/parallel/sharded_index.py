@@ -306,7 +306,7 @@ class ShardedCorpus(DeviceCorpus):
         path = self._choose_path(k_bucket)
         if path == "quant":
             cand = self._cand_count(k_bucket)
-            over = max(256, 2 * cand)
+            over = max(512, 2 * cand)
             if host_bias is not None:
                 bias = jax.device_put(
                     jnp.asarray(host_bias),

@@ -39,8 +39,8 @@ import numpy as np
 from ..errors import IndexError_
 from ..native import rerank_topk_native
 from ..ops.similarity import (NEG_INF, cosine_topk_approx,
-                              cosine_topk_quant, cosine_topk_xla,
-                              quantize_rows_centered)
+                              cosine_topk_quant, cosine_topk_quant_exact,
+                              cosine_topk_xla, quantize_rows_centered)
 
 MIN_CAP = 1024
 # Watchdog for device result fetches: through a network-tunneled TPU a
@@ -113,6 +113,13 @@ def _scatter_update(emb, live, kind_code, agent_code, rows, vecs, lv, kc, ac):
     return emb, live, kind_code, agent_code
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_update_masks(live, kind_code, agent_code, rows, lv, kc, ac):
+    """Mask-only scatter for quant-only residency (no device emb)."""
+    return (live.at[rows].set(lv), kind_code.at[rows].set(kc),
+            agent_code.at[rows].set(ac))
+
+
 @jax.jit
 def _build_bias(live, kind_code, agent_code, allowed_kinds, allowed_agent,
                 exclude_rows):
@@ -173,6 +180,26 @@ def _fused_search_hostbias(emb, bias, q, *, k: int, path: str, over: int):
 def _fused_search_quant_hostbias(emb_i8, rinv, bias, q,
                                  *, cand: int, over: int):
     return cosine_topk_quant(emb_i8, rinv, q, cand, bias, over=over)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "over"))
+def _fused_search_quant_exact(emb_i8, rinv, emb_f32, live, kind_code,
+                              agent_code, ak, aa, ex, q,
+                              *, k: int, cand: int, over: int):
+    """int8 candidate scan + device exact fp32 re-rank + final top-k in
+    ONE dispatch (mask build included). Replaces the r2 host re-rank
+    when the fp32 corpus is device-resident — see
+    ops.similarity.cosine_topk_quant_exact."""
+    bias = _build_bias(live, kind_code, agent_code, ak, aa, ex)
+    return cosine_topk_quant_exact(emb_i8, rinv, emb_f32, q, k, cand,
+                                   bias, over=over)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "over"))
+def _fused_search_quant_exact_hostbias(emb_i8, rinv, emb_f32, bias, q,
+                                       *, k: int, cand: int, over: int):
+    return cosine_topk_quant_exact(emb_i8, rinv, emb_f32, q, k, cand,
+                                   bias, over=over)
 
 
 class Interner:
@@ -241,6 +268,15 @@ class DeviceCorpus:
             self._on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:  # noqa: BLE001
             self._on_tpu = False
+        # HBM budget for corpus residency (GB). Above ~4M x 768 the fp32
+        # corpus no longer fits beside the int8 shadow on a 16GB chip;
+        # sync() then keeps ONLY the int8 shadow + filter masks device-
+        # resident (quant-only residency) and search re-ranks on the
+        # host mirror. The reference's vector ceiling is 1M
+        # (ARCHITECTURE.md:314); this is what takes us to 10M+.
+        self._hbm_budget = float(os.environ.get(
+            "CORTEX_HBM_BUDGET_GB", "12")) * (1 << 30)
+        self._emb_resident = True
 
     # ------------------------------------------------------------- mutation
     def __len__(self) -> int:
@@ -250,10 +286,21 @@ class DeviceCorpus:
     def __contains__(self, node_id: str) -> bool:
         return node_id in self._row_of
 
+    #: above this row count the capacity ladder grows 1.25x per step
+    #: instead of doubling: a 10M-row corpus under doubling would land
+    #: at 16.7M rows of padding (13GB int8 alone), blowing the HBM
+    #: budget for rows that don't exist. Each distinct capacity costs
+    #: one XLA compile either way; 1.25x adds a handful of steps.
+    GENTLE_GROWTH_ROWS = 4 << 20
+
     def _grow(self, need: int) -> None:
         new_cap = max(MIN_CAP, self._cap)
         while new_cap < need:
-            new_cap *= 2
+            if new_cap >= self.GENTLE_GROWTH_ROWS:
+                # multiple of 8 keeps row blocks sublane-aligned
+                new_cap = ((new_cap + new_cap // 4) + 7) // 8 * 8
+            else:
+                new_cap *= 2
         if new_cap == self._cap:
             return
         pad = new_cap - self._cap
@@ -377,6 +424,17 @@ class DeviceCorpus:
         return (self._search_path == "quant"
                 or (self._search_path == "auto" and self._on_tpu))
 
+    def _emb_fits(self) -> bool:
+        """Whether the full-precision corpus fits on device beside the
+        int8 shadow under the HBM budget. False -> quant-only residency
+        (int8 + masks on device; exact re-rank on the host mirror)."""
+        if not self._quant_enabled():
+            return True           # nothing else to keep; let it OOM loudly
+        esize = 2 if self._storage_dtype == jnp.bfloat16 else 4
+        emb_bytes = self._cap * self.dim * esize
+        quant_bytes = self._cap * self.dim
+        return emb_bytes + quant_bytes <= self._hbm_budget
+
     def _sync_quant(self, rows: Optional[np.ndarray]) -> None:
         """Refresh the int8 shadow (values + per-row dequant factors)
         from the fp32 host mirror. rows=None -> full re-upload.
@@ -401,6 +459,19 @@ class DeviceCorpus:
             self._dev_q = (i8.at[jnp.asarray(rows)].set(jnp.asarray(q)),
                            ri.at[jnp.asarray(rows)].set(jnp.asarray(rinv)))
 
+    def _upload_full(self, quant: bool) -> None:
+        self._emb_resident = self._emb_fits()
+        emb = (jnp.asarray(self._emb_for_device())
+               if self._emb_resident else None)
+        if not self._emb_resident:
+            log.info("corpus %d x %d exceeds the HBM budget with the "
+                     "int8 shadow: quant-only residency (host exact "
+                     "re-rank)", self._cap, self.dim)
+        self._dev = (emb, jnp.asarray(self._live_h),
+                     jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
+        if quant:
+            self._sync_quant(None)
+
     def sync(self) -> None:
         """Push host diffs to device. Cheap when clean."""
         with self._lock:
@@ -409,32 +480,29 @@ class DeviceCorpus:
             quant = self._quant_enabled()
             if (self._dev is None or self._full_resync
                     or (quant and self._dev_q is None)):
-                self._dev = (
-                    jnp.asarray(self._emb_for_device()),
-                    jnp.asarray(self._live_h),
-                    jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
-                if quant:
-                    self._sync_quant(None)
+                self._upload_full(quant)
                 self._full_resync = False
                 self._dirty.clear()
                 return
             if not self._dirty:
                 return
             if len(self._dirty) > max(4096, self._cap // 8):
-                self._dev = (
-                    jnp.asarray(self._emb_for_device()),
-                    jnp.asarray(self._live_h),
-                    jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
-                if quant:
-                    self._sync_quant(None)
+                self._upload_full(quant)
             else:
                 rows = np.fromiter(self._dirty, np.int32)
-                self._dev = _scatter_update(
-                    *self._dev, jnp.asarray(rows),
-                    jnp.asarray(self._emb_for_device(rows)),
-                    jnp.asarray(self._live_h[rows]),
-                    jnp.asarray(self._kind_h[rows]),
-                    jnp.asarray(self._agent_h[rows]))
+                if self._dev[0] is not None:
+                    self._dev = _scatter_update(
+                        *self._dev, jnp.asarray(rows),
+                        jnp.asarray(self._emb_for_device(rows)),
+                        jnp.asarray(self._live_h[rows]),
+                        jnp.asarray(self._kind_h[rows]),
+                        jnp.asarray(self._agent_h[rows]))
+                else:
+                    self._dev = (None, *_scatter_update_masks(
+                        *self._dev[1:], jnp.asarray(rows),
+                        jnp.asarray(self._live_h[rows]),
+                        jnp.asarray(self._kind_h[rows]),
+                        jnp.asarray(self._agent_h[rows])))
                 if quant:
                     self._sync_quant(rows)
             self._dirty.clear()
@@ -508,6 +576,11 @@ class DeviceCorpus:
         as the all-device near-exact path; exact XLA elsewhere. The
         `exact` setting forces recall-1.0-by-construction results
         (ADVICE r1 #5)."""
+        if not self._emb_resident:
+            # quant-only residency: the full-precision corpus never
+            # made it to the device, so the int8 scan (+ host exact
+            # re-rank) is the only runnable path
+            return "quant"
         if self._search_path == "exact":
             return "xla"
         if self._search_path in ("approx", "quant"):
@@ -518,9 +591,15 @@ class DeviceCorpus:
 
     def _cand_count(self, k_bucket: int) -> int:
         """Candidate over-provisioning for the quant path: int8 noise
-        (sigma ~3e-4) must move a true top-k row past k+16 others to
-        escape the candidate set — several sigma beyond observed gaps."""
-        return min(self._cap, max(2 * k_bucket, k_bucket + 16, 32))
+        (sigma ~3e-4) must move a true top-k row past the candidate
+        boundary to escape the set. r3 raised the floor 32 -> 64 (with
+        over 256 -> 512 in _dispatch_search): at batch 512 the old
+        config's ~5e-4/query candidate-miss rate shows up as measured
+        recall 0.9994-0.9996; 64/512 measures 1.0000 (miss class
+        ~1e-4, dominated by approx_max_k bin collisions, which the
+        larger reduction output thins). Cost: ~13% QPS at batch 64,
+        +13% at 512 — recall headroom is worth more than either."""
+        return min(self._cap, max(2 * k_bucket, k_bucket + 16, 64))
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
                          host_bias: Optional[np.ndarray] = None):
@@ -533,7 +612,23 @@ class DeviceCorpus:
         hb = jnp.asarray(host_bias) if host_bias is not None else None
         if path == "quant":
             cand = self._cand_count(k_bucket)
-            over = max(256, 2 * cand)
+            over = max(512, 2 * cand)
+            if (self._storage_dtype == jnp.float32
+                    and self._dev[0] is not None):
+                # fp32 corpus is device-resident: fuse the exact
+                # re-rank into the scan dispatch (r3; the host re-rank
+                # below remains for bf16 and quant-only residency,
+                # where no exact device copy exists)
+                if hb is not None:
+                    v, i = _fused_search_quant_exact_hostbias(
+                        self._dev_q[0], self._dev_q[1], self._dev[0],
+                        hb, q, k=k_bucket, cand=cand, over=over)
+                else:
+                    v, i = _fused_search_quant_exact(
+                        self._dev_q[0], self._dev_q[1], self._dev[0],
+                        self._dev[1], self._dev[2], self._dev[3],
+                        ak, aa, ex, q, k=k_bucket, cand=cand, over=over)
+                return v, i, False
             if hb is not None:
                 v, i = _fused_search_quant_hostbias(
                     self._dev_q[0], self._dev_q[1], hb, q,

@@ -384,6 +384,34 @@ class TestQuantSearchPath:
         assert hits[0][0] == "n7"
         assert abs(hits[0][1] - 1.0) < 1e-5
 
+    def test_quant_only_residency_matches_bruteforce(self, monkeypatch):
+        """When the full-precision corpus exceeds the HBM budget the
+        engine keeps only the int8 shadow + masks on device and re-ranks
+        on the host mirror (the 10M-row residency mode). Results must
+        stay exact; the path choice must be forced to quant."""
+        monkeypatch.setenv("CORTEX_HBM_BUDGET_GB", "0.00001")
+        tpu, bf, vecs = self._pair(n=400)
+        q = rand_vecs(4, seed=21)
+        got = tpu.search_batch(q, 10)
+        corpus = tpu._corpus
+        assert corpus._emb_resident is False
+        assert corpus._dev[0] is None           # no full-precision copy
+        assert corpus._dev_q is not None        # int8 shadow present
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            np.testing.assert_allclose([s for _, s in g],
+                                       [s for _, s in w], atol=1e-5)
+        # incremental writes keep working without the emb array
+        extra = rand_vecs(20, seed=33)
+        tpu.insert_batch([f"x{i}" for i in range(20)], extra)
+        for i in range(20):
+            bf.insert(f"x{i}", extra[i])
+        got = tpu.search_batch(q, 10)
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
     def test_remove_then_search(self):
         tpu, bf, vecs = self._pair(n=64)
         tpu.remove("n5")

@@ -39,20 +39,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if "--cpu" in sys.argv:      # must precede backend init; the JAX_PLATFORMS
+    import jax               # env var is overridden in some images
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 
 from cortex_tpu.ops.similarity import NEG_INF, normalize_rows
 
-CHUNK = 1_000_000
+CHUNK = int(os.environ.get("SCALE10M_CHUNK", 1_000_000))
 D = 768
 K = 10
 CAND, OVER = 64, 512          # engine quant-path defaults
-ROUNDS = 30
+ROUNDS = int(os.environ.get("SCALE10M_ROUNDS", 30))
 
 
 def emit(metric, value, unit, vs=None):
-    row = {"metric": metric, "value": round(float(value), 2), "unit": unit}
+    # 4 decimals: a recall of 0.9998 must not round to a claimed 1.0
+    row = {"metric": metric, "value": round(float(value), 4), "unit": unit}
     if vs is not None:
         row["vs_baseline"] = round(float(vs), 2)
     print(json.dumps(row), flush=True)
@@ -136,7 +141,7 @@ def exact_oracle_and_candidate_scores(keys, queries, cand_rows):
         for c, key in enumerate(keys):
             s = _chunk_exact(key, qs)           # [bb, CHUNK] on device
             v, i = jax.lax.top_k(s, K)
-            v, i = np.asarray(v), np.asarray(i) + c * CHUNK
+            v, i = _fetch(v), _fetch(i) + c * CHUNK
             allv = np.concatenate([run_v_s, v], axis=1)
             alli = np.concatenate([run_i_s, i], axis=1)
             sel = np.argsort(-allv, axis=1)[:, :K]
@@ -146,7 +151,7 @@ def exact_oracle_and_candidate_scores(keys, queries, cand_rows):
             local = cand_rows[q0:q0 + step] - c * CHUNK
             in_chunk = (local >= 0) & (local < CHUNK)
             safe = np.where(in_chunk, local, 0).astype(np.int32)
-            picked = np.asarray(jnp.take_along_axis(
+            picked = _fetch(jnp.take_along_axis(
                 s, jnp.asarray(safe), axis=1))
             cand_scores[q0:q0 + step] = np.where(
                 in_chunk, picked, cand_scores[q0:q0 + step])
@@ -155,15 +160,36 @@ def exact_oracle_and_candidate_scores(keys, queries, cand_rows):
     return run_i, cand_scores
 
 
+def _fetch(x, timeout=180.0):
+    """np.asarray with a wedge watchdog: through the tunneled TPU a
+    cold fetch can lose its response and block forever (the engine's
+    DeviceCorpus has the same guard). Raises on deadline."""
+    deadline = time.monotonic() + timeout
+    while hasattr(x, "is_ready") and not x.is_ready():
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"device fetch wedged (> {timeout:.0f}s)")
+        time.sleep(0.05)
+    return np.asarray(x)
+
+
+def _fetch_retry(make, timeout=180.0, attempts=3):
+    for a in range(attempts):
+        try:
+            return _fetch(make(), timeout)
+        except TimeoutError:
+            print(f"# fetch wedged (attempt {a + 1}); re-dispatching",
+                  file=sys.stderr)
+    raise TimeoutError("device fetch wedged on every attempt")
+
+
 def timed_scan(corpus_i8, rinv, queries):
     run = lambda: quant_scan(corpus_i8, rinv, queries, CAND, OVER)
-    out = run()
-    np.asarray(out[1])
+    _fetch_retry(lambda: run()[1])        # compile + settle, wedge-guarded
     t0 = time.perf_counter()
     for _ in range(ROUNDS - 1):
         run()
     out = run()
-    i_np = np.asarray(out[1])
+    i_np = _fetch(out[1])
     dt = time.perf_counter() - t0
     return ROUNDS * queries.shape[0] / dt, i_np
 
@@ -172,6 +198,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--skip-host-leg", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
     n = args.rows
 

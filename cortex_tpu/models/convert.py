@@ -83,7 +83,18 @@ def convert(model_dir_or_name: str, out_npz: str,
         layernorm_eps=hf_cfg.layer_norm_eps,
         pooling=pooling or default_pooling(model_dir_or_name))
     params = convert_hf_state_dict(model.state_dict(), cfg)
-    save_npz(out_npz, params, cfg)
+    # embed the WordPiece vocab so the npz is a COMPLETE embedder —
+    # serving constructs offline from this single file, no HF tokenizer
+    # at runtime (VERDICT r2 #3; models/tokenizer.py)
+    vocab, lower = None, True
+    try:
+        from .tokenizer import WordPieceTokenizer
+        tok = WordPieceTokenizer.from_model_dir(src)
+        vocab, lower = tok.vocab_list, tok.do_lower_case
+    except Exception as e:  # noqa: BLE001
+        print(f"warning: vocab not embedded ({e}); runtime will need "
+              f"an explicit tokenizer", file=sys.stderr)
+    save_npz(out_npz, params, cfg, vocab=vocab, do_lower_case=lower)
     return src, cfg
 
 

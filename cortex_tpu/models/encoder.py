@@ -127,13 +127,21 @@ def convert_hf_state_dict(state_dict, cfg: BertEncoderConfig) -> Dict:
     return p
 
 
-def save_npz(path: str, params: Dict, cfg: BertEncoderConfig) -> None:
+def save_npz(path: str, params: Dict, cfg: BertEncoderConfig,
+             vocab=None, do_lower_case: bool = True) -> None:
+    """Serialize the encoder pytree (+ optionally the WordPiece vocab,
+    making the npz a COMPLETE offline embedder — tokenizer included,
+    see models.tokenizer)."""
     flat = {
         "_cfg": np.array([cfg.vocab_size, cfg.hidden, cfg.layers,
                           cfg.heads, cfg.intermediate, cfg.max_position,
                           cfg.type_vocab], np.int64),
         "_pooling": np.array([0 if cfg.pooling == "cls" else 1], np.int64),
     }
+    if vocab is not None:
+        flat["_vocab"] = np.array(list(vocab), dtype=np.str_)
+        flat["_tok_lower"] = np.array([1 if do_lower_case else 0],
+                                      np.int64)
     for k, v in params.items():
         if k == "layers":
             for i, lyr in enumerate(v):
@@ -162,6 +170,18 @@ def load_npz(path: str):
         else:
             params[k] = z[k]
     return params, cfg
+
+
+def load_npz_tokenizer(path: str):
+    """WordPieceTokenizer from the npz's embedded vocab, or None when
+    the checkpoint predates vocab embedding."""
+    z = np.load(path)
+    if "_vocab" not in z.files:
+        return None
+    from .tokenizer import WordPieceTokenizer
+    lower = bool(z["_tok_lower"][0]) if "_tok_lower" in z.files else True
+    return WordPieceTokenizer([str(t) for t in z["_vocab"]],
+                              do_lower_case=lower)
 
 
 # ---------------------------------------------------------------------------

@@ -184,52 +184,13 @@ class Server:
                  config.server.data_dir)
 
     def _warmup(self) -> None:
-        """Pre-compile the hot device programs (index insert/scatter,
-        filtered + unfiltered search) on a throwaway corpus BEFORE the
-        ports open — first-compile latency belongs to boot, not to the
-        first user request (XLA compiles cache by shape process-wide).
-        The reference's preflight (redb_storage.rs:126-158) fails fast
-        at boot for the same reason."""
-        import numpy as _np
-        import time as _time
-        from ..vector import VectorFilter
-        t0 = _time.monotonic()
-        dim = self.cortex.embedder.dimension
-        # same index class/config as the serving index (a sharded
-        # deployment must warm the shard_map kernel, not the
-        # single-device one)
-        scratch = self.cortex._make_index()
-        rng = _np.random.default_rng(0)
-        vecs = rng.normal(size=(8, dim)).astype(_np.float32)
-        scratch.insert_batch([f"w{i}" for i in range(8)], vecs,
-                             kinds=["fact"] * 8, agents=["warm"] * 8)
-        log.info("warmup: scratch corpus built")
-        scratch.search_batch(vecs[:1], 10)                    # plain (k=16)
-        scratch.search_batch(vecs[:1], 5)                     # gate's k (8)
-        scratch.search_batch(vecs[:1], 10,
-                             VectorFilter(kinds=["fact"]))    # filtered
-        scratch.insert("w9", vecs[0], kind="fact", source_agent="warm")
-        scratch.search_batch(vecs[:1], 10)                    # scatter
-        log.info("warmup: scratch searches compiled")
-        # warm the REAL index's programs too: XLA caches by shape, and
-        # the serving corpus capacity differs from the scratch corpus,
-        # so the compiles above don't cover it. The search batcher
-        # coalesces concurrent requests into power-of-two batch buckets
-        # — compile each bucket now so no production request ever waits
-        # on (or wedges in, see shard.DeviceFetchTimeout) a cold
-        # compile. Searches are read-only.
-        if len(self.cortex.index) > 0:
-            over = self.cortex.overfetch_k(10)    # the default /search k
-            bmax = 64
-            qs = rng.normal(size=(bmax, dim)).astype(_np.float32)
-            b = 1
-            while b <= bmax:
-                self.cortex.index.search_batch(qs[:b], over)
-                log.info("warmup: serving bucket B=%d compiled", b)
-                b *= 2
-            self.cortex.index.search_batch(qs[:1], 10)        # no-decay k
-        self.cortex.embedder.embed("warmup text")
-        log.info("device warmup done in %.1fs", _time.monotonic() - t0)
+        """Pre-compile the hot device programs on a throwaway corpus
+        BEFORE the ports open — first-compile latency belongs to boot,
+        not to the first user request. The body is shared with
+        library-mode warmup (Cortex._warmup_body); the reference's
+        preflight (redb_storage.rs:126-158) fails fast at boot for the
+        same reason."""
+        self.cortex._warmup_body(log.info)
 
     # ----------------------------------------------------------- background
     async def _linker_loop(self) -> None:

@@ -184,29 +184,56 @@ class JaxEncoderEmbedder(EmbeddingService):
 
     def __init__(self, weights_npz: str, tokenizer=None,
                  name: Optional[str] = None):
-        from ..models.encoder import device_params, load_npz
+        from ..models.encoder import (device_params, load_npz,
+                                      load_npz_tokenizer)
         params, self._cfg = load_npz(weights_npz)
         self._params = device_params(params)   # one-time device upload
         self._name = name or f"flax:{weights_npz}"
         if callable(tokenizer):
             self._tok = tokenizer
         elif tokenizer is not None:
-            try:
-                from transformers import AutoTokenizer
-                hf = AutoTokenizer.from_pretrained(tokenizer,
-                                                   local_files_only=True)
-            except Exception as e:  # noqa: BLE001
-                raise EmbeddingError(
-                    f"cannot load tokenizer {tokenizer}: {e}") from e
-
-            def _hf_tok(texts):
-                enc = hf(list(texts), padding=True, truncation=True,
-                         max_length=self._cfg.max_position,
-                         return_tensors="np")
-                return enc["input_ids"], enc["attention_mask"]
-            self._tok = _hf_tok
+            # explicit tokenizer dir/name: prefer the in-repo WordPiece
+            # (pure Python, offline); fall back to HF for non-BERT
+            # tokenizer formats
+            self._tok = self._load_dir_tokenizer(tokenizer)
         else:
-            raise EmbeddingError("JaxEncoderEmbedder needs a tokenizer")
+            # zero-dependency path: the converted npz embeds its vocab
+            # (models/convert.py) and the in-repo WordPiece serves it
+            wp = load_npz_tokenizer(weights_npz)
+            if wp is None:
+                raise EmbeddingError(
+                    f"{weights_npz} has no embedded vocab (pre-r3 "
+                    "conversion?) — re-run cortex_tpu.models.convert or "
+                    "pass tokenizer= explicitly")
+            self._tok = self._wrap_wordpiece(wp)
+
+    def _wrap_wordpiece(self, wp):
+        def _tok(texts):
+            return wp.encode_batch(list(texts),
+                                   max_length=self._cfg.max_position)
+        return _tok
+
+    def _load_dir_tokenizer(self, tokenizer):
+        import os
+        if (os.path.isdir(tokenizer)
+                and os.path.exists(os.path.join(tokenizer, "vocab.txt"))):
+            from ..models.tokenizer import WordPieceTokenizer
+            return self._wrap_wordpiece(
+                WordPieceTokenizer.from_model_dir(tokenizer))
+        try:
+            from transformers import AutoTokenizer
+            hf = AutoTokenizer.from_pretrained(tokenizer,
+                                               local_files_only=True)
+        except Exception as e:  # noqa: BLE001
+            raise EmbeddingError(
+                f"cannot load tokenizer {tokenizer}: {e}") from e
+
+        def _hf_tok(texts):
+            enc = hf(list(texts), padding=True, truncation=True,
+                     max_length=self._cfg.max_position,
+                     return_tensors="np")
+            return enc["input_ids"], enc["attention_mask"]
+        return _hf_tok
 
     @property
     def dimension(self) -> int:

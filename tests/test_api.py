@@ -272,3 +272,64 @@ class TestSnapshotBoot:
         assert cx.storage.record_access(nid)
         assert cx.storage.index_seq() == seq0
         cx.close()
+
+
+class TestLibraryWarmup:
+    """Library-mode cold-start hardening (VERDICT r2 #5): Cortex.open
+    gets the same optional warmup + compile-deadline + progress logging
+    the server has."""
+
+    def test_warmup_completes_and_reports_progress(self):
+        cx = Cortex.in_memory()
+        cx.store(Cortex.fact("a warm fact to give the index content"))
+        lines = []
+        ok = cx.warmup(deadline_s=120.0, progress=lines.append)
+        assert ok is True
+        assert any("scratch corpus built" in l for l in lines)
+        assert any("device warmup done" in l for l in lines)
+        # real-index buckets warmed because the index is non-empty
+        assert any("serving bucket B=1" in l for l in lines)
+
+    def test_warmup_deadline_fails_loudly_not_forever(self, monkeypatch,
+                                                      caplog):
+        """A wedged/slow compile must not hang open() silently: the
+        deadline expires, a warning lands, and the engine still works
+        (cold)."""
+        import logging
+        import time as _time
+
+        def slow_body(self, progress):
+            _time.sleep(30)
+
+        monkeypatch.setattr(Cortex, "_warmup_body", slow_body)
+        cx = Cortex.in_memory()
+        t0 = _time.monotonic()
+        with caplog.at_level(logging.WARNING, logger="cortex.api"):
+            ok = cx.warmup(deadline_s=0.3)
+        assert ok is False
+        assert _time.monotonic() - t0 < 5
+        assert any("deadline" in r.message for r in caplog.records)
+        # serving continues cold
+        cx.store(Cortex.fact("stored after the warmup deadline expired"))
+        assert cx.search("warmup deadline", limit=1)
+
+    def test_open_with_warmup_flag(self, tmp_path):
+        cx = Cortex.open(str(tmp_path / "c.db"), warmup=True)
+        try:
+            cx.store(Cortex.fact("fact stored through a warmed engine"))
+            assert cx.search("warmed engine", limit=1)
+        finally:
+            cx.close()
+
+    def test_warmup_failure_degrades_to_cold(self, monkeypatch, caplog):
+        import logging
+
+        def broken_body(self, progress):
+            raise RuntimeError("simulated compile failure")
+
+        monkeypatch.setattr(Cortex, "_warmup_body", broken_body)
+        cx = Cortex.in_memory()
+        with caplog.at_level(logging.WARNING, logger="cortex.api"):
+            ok = cx.warmup(deadline_s=10.0)
+        assert ok is False
+        assert any("continuing cold" in r.message for r in caplog.records)

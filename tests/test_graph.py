@@ -401,6 +401,20 @@ class TestDeviceMirror:
         b = mirror.batch_graph_scores([nodes[0].id], 2, cands)
         np.testing.assert_allclose(a, b)
 
+    def test_device_frontier_overflow_falls_back_to_relaxation(
+            self, engine, monkeypatch):
+        """A frontier bigger than the device walk's cap must flag
+        overflow and take the full min-plus relaxation — depths stay
+        exact either way (r3 100M-edge tier)."""
+        g, s = engine
+        nodes, _ = build_chain(s, 8)
+        mirror = DeviceGraphMirror(g.cache)
+        # mid-chain anchor: each hop discovers 2 new nodes > cap of 1
+        want = mirror.depths_from([nodes[3].id], 4)
+        monkeypatch.setattr(DeviceGraphMirror, "HOST_FRONTIER_BUDGET", 0)
+        monkeypatch.setattr(DeviceGraphMirror, "DEVICE_FRONTIER_CAP", 1)
+        assert mirror.depths_from([nodes[3].id], 4) == want
+
     def test_version_rebuild(self, engine):
         g, s = engine
         nodes, _ = build_chain(s, 2)

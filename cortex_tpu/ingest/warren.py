@@ -4,10 +4,11 @@ Parity: crates/warren-adapter/src/types.rs:7-60+ (`WarrenEvent` tagged
 enum: stage.advanced, item.completed, evidence.submitted,
 gate.approved/rejected, interaction.created, task.picked, ...) and the
 NATS consumer (warren-adapter/src/nats.rs, cortex-server/src/nats/
-ingest.rs). NATS transport is environment-gated here (no NATS client in
-the image); the event schema + node conversion are fully implemented so
-any transport (webhook, stdin JSONL with `type` fields, tests) can feed
-warren events.
+ingest.rs). The NATS transport runs through the official `nats-py`
+client when installed, falling back to the in-repo core-protocol
+client (ingest/nats_client.py) otherwise; any other transport
+(webhook, stdin JSONL with `type` fields, tests) can feed warren
+events through the same conversion.
 """
 
 from __future__ import annotations

@@ -318,11 +318,14 @@ class Server:
 
     async def _nats_loop(self, url: str) -> None:
         try:
-            import nats  # type: ignore  # not in this image; gated
+            import nats  # type: ignore  # official client when present
         except ImportError:
-            log.warning("NATS client library not installed; continuing "
-                        "without the warren consumer (url=%s)", url)
-            return
+            # zero-dependency fallback: the in-repo core-protocol
+            # client (ingest/nats_client.py) — the transport runs
+            # either way
+            from ..ingest import nats_client as nats
+            log.info("nats-py not installed; using the built-in core-"
+                     "protocol NATS client (url=%s)", url)
         from ..ingest import WarrenEvent, warren_event_to_node
         try:
             nc = await nats.connect(url)
@@ -330,17 +333,23 @@ class Server:
             log.warning("NATS connect failed (%s); continuing without "
                         "consumer", e)
             return
-        sub = await nc.subscribe("warren.>")
-        async for msg in sub.messages:
-            try:
-                import json as _json
-                ev = WarrenEvent.from_json(_json.loads(msg.data))
-                node = warren_event_to_node(ev)
-                if node is not None:
-                    await asyncio.to_thread(self.cortex.store, node,
-                                            actor="warren")
-            except Exception:
-                log.exception("warren event failed (continuing)")
+        try:
+            sub = await nc.subscribe("warren.>")
+            async for msg in sub.messages:
+                try:
+                    import json as _json
+                    ev = WarrenEvent.from_json(_json.loads(msg.data))
+                    node = warren_event_to_node(ev)
+                    if node is not None:
+                        await asyncio.to_thread(self.cortex.store, node,
+                                                actor="warren")
+                except Exception:
+                    log.exception("warren event failed (continuing)")
+        finally:
+            # close on cancellation too, or the broker sees a zombie
+            # connection for the rest of the process lifetime
+            with contextlib.suppress(Exception):
+                await asyncio.shield(asyncio.wait_for(nc.close(), 5.0))
 
     # ------------------------------------------------------------- shutdown
     async def stop(self) -> None:

@@ -48,17 +48,25 @@ def main():
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     idx.search_batch(queries[:B], K)          # warm compile
-    # pipelined stream: dispatch every batch back-to-back (device
-    # execution is in-order), then drain — a synchronous
-    # dispatch+fetch loop would measure the transport round-trip per
-    # batch, not the engine (through a network-tunneled TPU that RTT
-    # is ~100x the scan itself)
+    # pipelined stream, per-batch drain: dispatch every batch
+    # back-to-back (device execution is in-order), then fetch each
+    # batch's result — each fetch pays a host<->device round trip,
+    # which dominates through a network-tunneled TPU (RTT ~100x the
+    # scan itself)
     t0 = time.perf_counter()
     pending = [idx.search_batch_async(queries[s:s + B], K)
                for s in range(0, NQ, B)]
-    got = []
+    per_batch = []
     for f in pending:
-        got.extend(f())
+        per_batch.extend(f())
+    per_batch_s = time.perf_counter() - t0
+
+    # single-drain stream (r3): all chunks dispatched, results
+    # concatenated ON DEVICE, one fetch — transport cost is one RTT
+    # for the whole stream, so this reflects engine capability
+    idx.search_stream(queries, K)   # warm the stream-chunk compile
+    t0 = time.perf_counter()
+    got = idx.search_stream(queries, K)
     stream_s = time.perf_counter() - t0
 
     # recall vs the fp32 oracle on a query subsample (oracle is host
@@ -74,11 +82,12 @@ def main():
     recall = hits / (len(list(sample)) * K)
 
     print(json.dumps({
-        "metric": f"query stream @ {n}x{d} (1,000 queries, batch {B}, "
-                  f"top-{K}, serving path)",
+        "metric": f"query stream @ {n}x{d} (1,000 queries, top-{K}, "
+                  f"serving path, single drain)",
         "value": round(NQ / stream_s, 1),
         "unit": "queries/sec",
         "recall_at_10_vs_fp32_oracle": round(recall, 4),
+        "per_batch_drain_qps": round(NQ / per_batch_s, 1),
         "index_build_secs": round(build_s, 2),
         "vs_baseline": round(NQ / stream_s / 100.0, 1)}), flush=True)
 

@@ -159,6 +159,28 @@ class TpuFlatIndex(VectorIndex):
                     for b in range(b_count)]
         return done
 
+    def search_stream(self, vectors: np.ndarray, k: int,
+                      flt: Optional[VectorFilter] = None,
+                      batch: int = 512) -> List[List[SearchHit]]:
+        """Bulk search over a query stream with ONE device drain.
+
+        Same results as search_batch over the concatenated stream, but
+        all chunks are dispatched back-to-back, concatenated on device,
+        and fetched once — per-chunk fetches each pay a host<->device
+        round trip, which dominates streams on remote/tunneled devices
+        (BASELINE config #2). Use for offline/bulk scoring; serving
+        uses search_batch_async per wave."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2:
+            raise IndexError_("search_stream expects [NQ, d]")
+        flt = flt or VectorFilter()
+        scores, ids = self._corpus.topk_stream(
+            vectors, k, batch=batch, kinds=flt.kinds,
+            agent=flt.source_agent, exclude_ids=flt.exclude_ids)
+        return [[(nid, float(scores[b, j]))
+                 for j, nid in enumerate(ids[b]) if nid is not None]
+                for b in range(vectors.shape[0])]
+
     def __len__(self) -> int:
         return len(self._corpus)
 

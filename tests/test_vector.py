@@ -117,6 +117,38 @@ class TestIndexParity:
         hits = tpu.search(vecs[75], 1)
         assert hits[0][0] == "n75"
 
+    def test_search_stream_matches_search_batch(self, filled):
+        """Single-drain stream == per-batch results, chunk-boundary
+        and tail-padding cases included (batch=16 over 37 queries)."""
+        tpu, _, _ = filled
+        q = rand_vecs(37, seed=21)
+        want = tpu.search_batch(q, 10)
+        got = tpu.search_stream(q, 10, batch=16)
+        assert len(got) == 37
+        for w, g in zip(want, got):
+            assert [i for i, _ in w] == [i for i, _ in g]
+            np.testing.assert_allclose([s for _, s in w],
+                                       [s for _, s in g], atol=1e-5)
+
+    def test_search_stream_filters(self, filled):
+        tpu, bf, _ = filled
+        q = rand_vecs(5, seed=22)
+        flt = VectorFilter(kinds=["fact"], exclude_ids=["n0", "n2"])
+        got = tpu.search_stream(q, 8, flt, batch=4)
+        for b in range(5):
+            want = bf.search(q[b], 8, flt)
+            assert [i for i, _ in got[b]] == [i for i, _ in want]
+
+    def test_search_stream_empty_and_single(self):
+        tpu = TpuFlatIndex(8)
+        assert tpu.search_stream(np.zeros((0, 8), np.float32), 5) == []
+        got = tpu.search_stream(np.ones((3, 8), np.float32), 5)
+        assert got == [[], [], []]
+        tpu.insert("only", np.ones(8, np.float32))
+        got = tpu.search_stream(np.ones((2, 8), np.float32), 5)
+        assert [i for i, _ in got[0]] == ["only"]
+        assert [i for i, _ in got[1]] == ["only"]
+
     def test_save_load(self, filled, tmp_path):
         tpu, _, vecs = filled
         p = str(tmp_path / "idx.npz")
@@ -308,6 +340,19 @@ class TestQuantSearchPath:
         want = bf.search_batch(q, 8, flt)
         for g, w in zip(got, want):
             assert [i for i, _ in g] == [i for i, _ in w]
+
+    def test_search_stream_quant_matches_bruteforce(self):
+        """Single-drain stream through the quant path (int8 candidates
+        + exact re-rank applied to the CONCATENATED result) stays
+        exact, tail padding included."""
+        tpu, bf, vecs = self._pair()
+        q = rand_vecs(21, seed=13)
+        got = tpu.search_stream(q, 10, batch=8)
+        want = bf.search_batch(q, 10)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            np.testing.assert_allclose([s for _, s in g],
+                                       [s for _, s in w], atol=1e-5)
 
     def test_anisotropic_corpus_matches_bruteforce(self):
         """Real-encoder geometry: all vectors share a dominant common

@@ -62,9 +62,19 @@ def seed(cortex, rows: int):
     ids = []
     batch = []
     kinds = ("fact", "event", "observation", "decision")
+    # spread provenance like a real corpus: 40 agents, created_at over
+    # the last 30 days. A single agent + one shared timestamp makes
+    # the same_agent and temporal_proximity structural rules fire for
+    # EVERY similarity candidate (50-edge fans on every scanned node —
+    # the linker then measures that pathology, not steady state)
+    now = time.time()
+    span = 30 * 86400.0
     for i in range(rows):
         n = Node.new(kinds[i % 4], f"seed node {i} about topic {i % 997}",
-                     f"body of seed node {i}", Source(agent="seed"))
+                     f"body of seed node {i}",
+                     Source(agent=f"agent-{i % 40}"))
+        n.created_at = n.updated_at = n.last_accessed_at = \
+            now - span + (i / max(1, rows)) * span
         ids.append(n.id)
         batch.append(n)
         if len(batch) == 20_000:
@@ -79,12 +89,24 @@ def seed(cortex, rows: int):
     t0 = time.perf_counter()
     step = 100_000
     for s in range(0, rows, step):
-        vecs = rng.standard_normal((min(step, rows - s), dim)
-                                   ).astype(np.float32)
+        m = min(step, rows - s)
+        # clustered embeddings (~8-member clusters, cos ~0.89 within —
+        # above the 0.8 link threshold, below the 0.92 dedup-merge
+        # threshold — ~0 across): the similarity structure of real
+        # corpora. IID
+        # gaussian rows at 1M are pathological for the linker — EVERY
+        # scanned node clears the similarity threshold against ~50
+        # neighbors ("generic content" fans), so a cycle spends its
+        # time writing thousands of edges no real corpus produces,
+        # and the measured window times the pathology, not the system
+        centers = rng.standard_normal(((m + 7) // 8, dim)
+                                      ).astype(np.float32)
+        vecs = (np.repeat(centers, 8, axis=0)[:m]
+                + 0.35 * rng.standard_normal((m, dim)).astype(np.float32))
         cortex.index.insert_batch(
             ids[s:s + step], vecs,
             kinds=[kinds[(s + j) % 4] for j in range(len(vecs))],
-            agents=["seed"] * len(vecs))
+            agents=[f"agent-{(s + j) % 40}" for j in range(len(vecs))])
     # force the device sync + first search compile now (boot cost,
     # reported separately)
     cortex.index.search_batch(rng.standard_normal((1, dim)

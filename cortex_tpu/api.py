@@ -149,6 +149,21 @@ class Cortex:
                 progress(f"warmup: serving bucket B={b} compiled")
                 b *= 2
             self.index.search_batch(qs[:1], 10)               # no-decay k
+            # the auto-linker's candidate scan runs at its own batch
+            # bucket (max_nodes_per_cycle) and k (scan_k) — left cold,
+            # its FIRST cycle compiles that program while holding the
+            # corpus lock, stalling every concurrent search for the
+            # full compile (~40 s on a tunneled device; observed live
+            # at 1M scale as a p50 == window-length serving outage)
+            lb = 1
+            lcap = min(128, max(1, self.config.auto_linker
+                                .max_nodes_per_cycle))
+            while lb < lcap:
+                lb *= 2
+            lq = rng.normal(size=(lb, dim)).astype(np.float32)
+            self.index.search_batch(lq, self.config.auto_linker
+                                    .candidate_k)
+            progress(f"warmup: linker scan bucket B={lb} compiled")
         self.embedder.embed("warmup text")
         progress(f"device warmup done in {_time.monotonic() - t0:.1f}s")
 

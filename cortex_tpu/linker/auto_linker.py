@@ -204,6 +204,13 @@ class AutoLinker:
             # network-attached TPU this also overlaps the round trips
             chunk = 128
             if (len(batch) > chunk
+                    and hasattr(self.index, "search_stream")):
+                # single-drain stream: chunks dispatch back-to-back,
+                # results concatenate on device, ONE fetch — per-chunk
+                # draining pays a host<->device RTT per chunk
+                all_hits = self.index.search_stream(
+                    queries, self.config.candidate_k, batch=chunk)
+            elif (len(batch) > chunk
                     and hasattr(self.index, "search_batch_async")):
                 finishers = [self.index.search_batch_async(
                     queries[s:s + chunk], self.config.candidate_k)

@@ -291,19 +291,23 @@ class ShardedCorpus(DeviceCorpus):
                     self._sync_quant_sharded(rows)
                 self._dirty.clear()
 
-    def _choose_path(self, k_bucket: int) -> str:
-        path = super()._choose_path(k_bucket)
+    def _choose_path(self, k_bucket: int, emb_resident=None) -> str:
+        path = super()._choose_path(k_bucket, emb_resident=emb_resident)
         # no sharded approx kernel; exact merge already near its cost
         return "xla" if path == "approx" else path
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
-                         host_bias=None):
+                         host_bias=None, dev=None, dev_q=None):
         """Override the single-device dispatch with the shard_map
         kernels (per-shard mask+scan+top-k, ICI exact merge). The
         base class's topk/topk_async flow — locking, k-bucketing,
         generation-checked row->id mapping, exact fp32 re-rank of
-        quant candidates — is shared."""
-        path = self._choose_path(k_bucket)
+        quant candidates — is shared, including the dispatch-outside-
+        the-lock protocol (dev/dev_q are lock-captured snapshots)."""
+        dev = self._dev if dev is None else dev
+        dev_q = self._dev_q if dev_q is None else dev_q
+        path = self._choose_path(k_bucket,
+                                 emb_resident=dev[0] is not None)
         if path == "quant":
             cand = self._cand_count(k_bucket)
             over = max(512, 2 * cand)
@@ -312,24 +316,24 @@ class ShardedCorpus(DeviceCorpus):
                     jnp.asarray(host_bias),
                     NamedSharding(self.mesh, P(SHARD_AXIS)))
                 v, i = _sharded_quant_hostbias_topk(
-                    self.mesh, self._dev_q[0], self._dev_q[1], bias, q,
+                    self.mesh, dev_q[0], dev_q[1], bias, q,
                     cand=cand, over=over)
             else:
                 v, i = _sharded_quant_topk(
-                    self.mesh, self._dev_q[0], self._dev_q[1],
-                    self._dev[1], self._dev[2], self._dev[3], ak, aa,
+                    self.mesh, dev_q[0], dev_q[1],
+                    dev[1], dev[2], dev[3], ak, aa,
                     ex, q, cand=cand, over=over)
             return v, i, True
         if host_bias is not None:      # overflow filters: exact host bias
             bias = jax.device_put(
                 jnp.asarray(host_bias),
                 NamedSharding(self.mesh, P(SHARD_AXIS)))
-            v, i = _sharded_hostbias_topk(self.mesh, self._dev[0], bias,
+            v, i = _sharded_hostbias_topk(self.mesh, dev[0], bias,
                                           q, k=k_bucket)
             return v, i, False
         v, i = _sharded_filtered_topk(
-            self.mesh, self._dev[0], self._dev[1], self._dev[2],
-            self._dev[3], ak, aa, ex, q, k=k_bucket)
+            self.mesh, dev[0], dev[1], dev[2],
+            dev[3], ak, aa, ex, q, k=k_bucket)
         return v, i, False
 
 

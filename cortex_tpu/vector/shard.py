@@ -104,6 +104,20 @@ def _norm_rows(x: np.ndarray) -> np.ndarray:
     return (x / np.maximum(n, 1e-12)).astype(np.float32)
 
 
+def _donated_buffer_race(e: Exception) -> bool:
+    """True when an exception is the dispatch-on-donated-buffer race:
+    searches capture device-array handles under the corpus lock but
+    dispatch OUTSIDE it (cold XLA compiles take ~tens of seconds on a
+    tunneled device), so a concurrent sync() can run a donating scatter
+    (_scatter_update and friends, donate_argnums) between capture and
+    enqueue — the runtime then rejects the stale handle loudly rather
+    than reading the aliased buffer. Callers recapture fresh handles
+    and re-dispatch; the final fallback dispatches while HOLDING the
+    lock, which excludes sync() entirely, so retries are bounded."""
+    m = str(e).lower()
+    return "delet" in m or "donat" in m or "invalid buffer" in m
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _scatter_update(emb, live, kind_code, agent_code, rows, vecs, lv, kc, ac):
     emb = emb.at[rows].set(vecs)
@@ -570,13 +584,16 @@ class DeviceCorpus:
             k_bucket *= 2
         return kk, min(k_bucket, self._cap)
 
-    def _choose_path(self, k_bucket: int) -> str:
+    def _choose_path(self, k_bucket: int,
+                     emb_resident: Optional[bool] = None) -> str:
         """Serving-path policy (measured, BASELINE.md): int8 scan +
         exact host re-rank at scale on TPU; bf16/fp32 approx+exact-merge
         as the all-device near-exact path; exact XLA elsewhere. The
         `exact` setting forces recall-1.0-by-construction results
         (ADVICE r1 #5)."""
-        if not self._emb_resident:
+        if emb_resident is None:
+            emb_resident = self._emb_resident
+        if not emb_resident:
             # quant-only residency: the full-precision corpus never
             # made it to the device, so the int8 scan (+ host exact
             # re-rank) is the only runnable path
@@ -602,41 +619,53 @@ class DeviceCorpus:
         return min(self._cap, max(2 * k_bucket, k_bucket + 16, 64))
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
-                         host_bias: Optional[np.ndarray] = None):
+                         host_bias: Optional[np.ndarray] = None,
+                         dev=None, dev_q=None):
         """Issue the fused mask+scan+top-k (one device dispatch).
         Subclasses override for other device layouts (ShardedCorpus).
         Returns (values, rows, needs_rescore). host_bias (exact [cap]
         mask) replaces the fixed-shape filter codes when filter lists
-        overflow the device encoding."""
-        path = self._choose_path(k_bucket)
+        overflow the device encoding.
+
+        dev/dev_q: device-array snapshots captured under the corpus
+        lock. Callers pass them so this call — which BLOCKS for an XLA
+        compile when the (batch, k, path) program is cold (~tens of
+        seconds on a tunneled device) — can run OUTSIDE the lock
+        without racing a concurrent re-upload swap. The arrays are
+        immutable; a raced row reassignment is caught by the
+        generation check in _finish_topk."""
+        dev = self._dev if dev is None else dev
+        dev_q = self._dev_q if dev_q is None else dev_q
+        path = self._choose_path(k_bucket,
+                                 emb_resident=dev[0] is not None)
         hb = jnp.asarray(host_bias) if host_bias is not None else None
         if path == "quant":
             cand = self._cand_count(k_bucket)
             over = max(512, 2 * cand)
             if (self._storage_dtype == jnp.float32
-                    and self._dev[0] is not None):
+                    and dev[0] is not None):
                 # fp32 corpus is device-resident: fuse the exact
                 # re-rank into the scan dispatch (r3; the host re-rank
                 # below remains for bf16 and quant-only residency,
                 # where no exact device copy exists)
                 if hb is not None:
                     v, i = _fused_search_quant_exact_hostbias(
-                        self._dev_q[0], self._dev_q[1], self._dev[0],
+                        dev_q[0], dev_q[1], dev[0],
                         hb, q, k=k_bucket, cand=cand, over=over)
                 else:
                     v, i = _fused_search_quant_exact(
-                        self._dev_q[0], self._dev_q[1], self._dev[0],
-                        self._dev[1], self._dev[2], self._dev[3],
+                        dev_q[0], dev_q[1], dev[0],
+                        dev[1], dev[2], dev[3],
                         ak, aa, ex, q, k=k_bucket, cand=cand, over=over)
                 return v, i, False
             if hb is not None:
                 v, i = _fused_search_quant_hostbias(
-                    self._dev_q[0], self._dev_q[1], hb, q,
+                    dev_q[0], dev_q[1], hb, q,
                     cand=cand, over=over)
             else:
                 v, i = _fused_search_quant(
-                    self._dev_q[0], self._dev_q[1], self._dev[1],
-                    self._dev[2], self._dev[3], ak, aa, ex, q,
+                    dev_q[0], dev_q[1], dev[1],
+                    dev[2], dev[3], ak, aa, ex, q,
                     cand=cand, over=over)
             return v, i, True
         if path == "approx" and self._cap >= 4096:
@@ -644,11 +673,11 @@ class DeviceCorpus:
         else:
             path, over = "xla", 0
         if hb is not None:
-            v, i = _fused_search_hostbias(self._dev[0], hb, q,
+            v, i = _fused_search_hostbias(dev[0], hb, q,
                                           k=k_bucket, path=path, over=over)
         else:
-            v, i = _fused_search(self._dev[0], self._dev[1], self._dev[2],
-                                 self._dev[3], ak, aa, ex, q,
+            v, i = _fused_search(dev[0], dev[1], dev[2],
+                                 dev[3], ak, aa, ex, q,
                                  k=k_bucket, path=path, over=over)
         return v, i, False
 
@@ -746,29 +775,56 @@ class DeviceCorpus:
             ak, aa, ex, hb = self._filter_codes(kinds, agent, exclude_ids)
             kk, k_bucket = self._k_bucket(k)
             gen = self._generation
+            dev, dev_q = self._dev, self._dev_q
+        # dispatch OUTSIDE the lock: a cold (batch, k, path) program
+        # blocks here for its XLA compile (~tens of seconds on a
+        # tunneled device) — holding the lock across it would stall
+        # every concurrent search/insert (observed live: the linker's
+        # first at-scale cycle turned into a p50 == window-length
+        # serving outage). The captured arrays are immutable; a raced
+        # row reassignment is caught by the generation check at fetch
+        # time, and a raced donating sync() is rejected loudly by the
+        # runtime (stale handle) and re-dispatched below.
+        try:
             v, i, resc = self._dispatch_search(q, ak, aa, ex, k_bucket,
-                                               host_bias=hb)
+                                               host_bias=hb,
+                                               dev=dev, dev_q=dev_q)
+        except Exception as e:            # noqa: BLE001 — filtered below
+            if not _donated_buffer_race(e):
+                raise
+            v = i = None
+            resc = False
 
         def attempt():
-            """One dispatch+fetch; None when a row-reassignment raced."""
+            """One dispatch+fetch; None when a row-reassignment or a
+            donating sync() raced."""
             with self._lock:
                 self.sync()
                 a_ak, a_aa, a_ex, a_hb = self._filter_codes(kinds, agent,
                                                             exclude_ids)
                 a_gen = self._generation
+                a_dev, a_dev_q = self._dev, self._dev_q
+            try:
                 av, ai, a_resc = self._dispatch_search(
-                    q, a_ak, a_aa, a_ex, k_bucket, host_bias=a_hb)
+                    q, a_ak, a_aa, a_ex, k_bucket, host_bias=a_hb,
+                    dev=a_dev, dev_q=a_dev_q)
+            except Exception as e:        # noqa: BLE001 — filtered below
+                if not _donated_buffer_race(e):
+                    raise
+                return None
             return self._finish_topk(av, ai, k, kk, a_gen,
                                      q_np=q_np, rescore=a_resc)
 
         def finish_full():
-            try:
-                out = self._finish_topk(v, i, k, kk, gen,
-                                        q_np=q_np, rescore=resc)
-            except DeviceFetchTimeout:
-                log.warning("device fetch wedged (>%.0fs); re-dispatching",
-                            FETCH_TIMEOUT_S)
-                out = None          # lost dispatch: re-issue below
+            out = None
+            if v is not None:
+                try:
+                    out = self._finish_topk(v, i, k, kk, gen,
+                                            q_np=q_np, rescore=resc)
+                except DeviceFetchTimeout:
+                    log.warning("device fetch wedged (>%.0fs); "
+                                "re-dispatching", FETCH_TIMEOUT_S)
+                    out = None      # lost dispatch: re-issue below
             if out is not None:
                 return out
             # row reassignment raced the fetch (rare) or the fetch
@@ -845,17 +901,26 @@ class DeviceCorpus:
                                                     exclude_ids)
                 kk, k_bucket = self._k_bucket(k)
                 gen = self._generation
-                vs, rs, resc = [], [], False
+                dev, dev_q = self._dev, self._dev_q
+            # dispatch outside the lock (cold-compile head-of-line
+            # blocking — see topk_async)
+            vs, rs, resc = [], [], False
+            try:
                 for c in range(n_chunks):
                     qc = jnp.asarray(
                         q_np[c * b_bucket:(c + 1) * b_bucket])
                     v, i, resc = self._dispatch_search(
-                        qc, ak, aa, ex, k_bucket, host_bias=hb)
+                        qc, ak, aa, ex, k_bucket, host_bias=hb,
+                        dev=dev, dev_q=dev_q)
                     vs.append(v)
                     rs.append(i)
-                # device-side concat: still async, nothing fetched yet
-                v_all = jnp.concatenate(vs, axis=0)
-                i_all = jnp.concatenate(rs, axis=0)
+            except Exception as e:        # noqa: BLE001 — filtered below
+                if not _donated_buffer_race(e):
+                    raise
+                return None               # raced a donating sync(): retry
+            # device-side concat: still async, nothing fetched yet
+            v_all = jnp.concatenate(vs, axis=0)
+            i_all = jnp.concatenate(rs, axis=0)
             return self._finish_topk(v_all, i_all, k, kk, gen,
                                      q_np=q_np, rescore=resc)
 

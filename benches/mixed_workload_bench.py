@@ -134,6 +134,15 @@ async def main_async(args):
     await srv.start()
     try:
         await asyncio.to_thread(seed, srv.cortex, args.rows)
+        # warm the serving programs AT THE SEEDED CAPACITY (boot
+        # warmup ran on an empty index, so its bucket compiles don't
+        # cover the 1M-cap programs; without this the measurement
+        # window times XLA compiles — observed: p50 = 40 s = one
+        # tunnel compile, 1 QPS)
+        t0 = time.perf_counter()
+        await asyncio.to_thread(srv.cortex.warmup)
+        emit("mixed-load warmup at capacity (one-time)",
+             time.perf_counter() - t0, "seconds")
         base = f"http://{cfg.server.http_addr}"
         lat = []
         searches = 0

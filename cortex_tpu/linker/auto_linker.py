@@ -117,20 +117,34 @@ class AutoLinker:
         self.storage.put_metadata(LAST_MODEL_KEY, cur_model)
 
     # ----------------------------------------------------------------- scan
-    def _nodes_since_cursor(self) -> List[Node]:
-        """Keyset scan: push created_after into the storage query (an
-        indexed range scan on nodes_by_created in SQLite) so cycle cost
-        is proportional to NEW nodes, not the full table — the reference
-        re-lists everything per cycle (auto_linker.rs:367-375).
-        created_after is inclusive (>=), so same-timestamp boundary rows
-        come back and the strict (created_at, id) keyset below drops the
-        already-processed ones."""
-        mark = (self.cursor, self.cursor_id)
-        nodes = [n for n in self.storage.list_nodes(
-                     NodeFilter(created_after=self.cursor))
-                 if (n.created_at, n.id) > mark]
-        nodes.sort(key=lambda n: (n.created_at, n.id))
-        return nodes
+    def _nodes_since_cursor(self, limit: int) -> List[Node]:
+        """Keyset PAGE: an indexed (created_at, id) range scan with a
+        LIMIT (storage.list_nodes_since), so cycle cost tracks the page
+        size — the reference re-lists everything per cycle
+        (auto_linker.rs:367-375), and even our earlier indexed-but-
+        unbounded scan deserialized the whole backlog (~40 s per cycle
+        at a 1M-node backlog, holding the storage lock and starving
+        every concurrent search/write — measured in the 1M mixed-
+        workload bench)."""
+        return self.storage.list_nodes_since(self.cursor, self.cursor_id,
+                                             limit)
+
+    def _backlog_after(self, page: List[Node], limit: int) -> int:
+        """Remaining-backlog metric. Only when the page saturated its
+        limit (otherwise the backlog is zero by construction) — one SQL
+        COUNT on the same index, no deserialization. The count is >=
+        over by the already-processed rows sharing the cursor's exact
+        timestamp (created_after is inclusive); that is at most the
+        same-instant write burst and this feeds a gauge, not control
+        flow."""
+        if len(page) < limit:
+            return 0
+        try:
+            total = self.storage.count_nodes(
+                NodeFilter(created_after=self.cursor))
+        except Exception:  # noqa: BLE001 — metric only
+            return 0
+        return max(0, total - len(page))
 
     def _ensure_embeddings(self, nodes: List[Node]) -> None:
         """Batch-embed any nodes lacking embeddings; persist + index.
@@ -182,16 +196,16 @@ class AutoLinker:
         self.metrics.reset_cycle()
 
         self._check_config_change()
-        new_nodes = self._nodes_since_cursor()
+        limit = self.config.max_nodes_per_cycle
+        batch = self._nodes_since_cursor(limit)
         decay_due = self.cycle_count % self.config.decay_every_n_cycles == 0
         dedup_due = self.cycle_count % self.config.dedup_every_n_cycles == 0
 
-        if not new_nodes and not decay_due:
+        if not batch and not decay_due:
             self.metrics.cycle_duration_secs = time.monotonic() - start
             return self.metrics
 
-        batch = new_nodes[:self.config.max_nodes_per_cycle]
-        self.metrics.backlog_size = max(0, len(new_nodes) - len(batch))
+        self.metrics.backlog_size = self._backlog_after(batch, limit)
         proposed: List[ProposedEdge] = []
 
         if batch:

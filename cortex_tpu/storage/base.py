@@ -128,6 +128,24 @@ class Storage(abc.ABC):
     @abc.abstractmethod
     def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]: ...
 
+    def list_nodes_since(self, created_after: float, after_id: str,
+                         limit: int) -> List[Node]:
+        """Oldest-first keyset page for cursor scans: nodes with
+        (created_at, id) STRICTLY greater than the cursor pair, sorted
+        ascending, at most `limit` rows. The auto-linker's cycle scan
+        runs on this — an unbounded created_after filter materializes
+        the entire backlog (measured: a 1M-node backlog deserialized
+        per cycle took ~40 s holding the storage lock, starving every
+        concurrent read/write). Backends override with an indexed
+        range scan + LIMIT so cost tracks the page size; this default
+        is the semantic reference (O(N) per call)."""
+        mark = (created_after, after_id)
+        rows = [n for n in self.list_nodes(
+                    NodeFilter(created_after=created_after))
+                if (n.created_at, n.id) > mark]
+        rows.sort(key=lambda n: (n.created_at, n.id))
+        return rows[:limit]
+
     @abc.abstractmethod
     def count_nodes(self, f: Optional[NodeFilter] = None) -> int: ...
 

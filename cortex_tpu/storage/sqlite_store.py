@@ -406,6 +406,24 @@ class SqliteStorage(Storage):
             rows = self._db.execute(q, params).fetchall()
         return [self._row_to_node(r) for r in rows]
 
+    def list_nodes_since(self, created_after: float, after_id: str,
+                         limit: int) -> List[Node]:
+        """Indexed keyset page (nodes_by_created range scan + LIMIT):
+        the auto-linker's cursor scan. created_at>= rides the index;
+        the strict (created_at, id) tuple comparison drops the
+        already-processed boundary rows. Cost tracks the page size,
+        not the backlog (the base-class default deserializes the whole
+        backlog per cycle — ~40 s at a 1M-node backlog, holding the
+        storage lock)."""
+        q = ("SELECT * FROM nodes WHERE deleted=0 AND created_at>=? "
+             "AND (created_at>? OR (created_at=? AND id>?)) "
+             "ORDER BY created_at ASC, id ASC LIMIT ?")
+        with self._lock:
+            rows = self._db.execute(
+                q, (created_after, created_after, created_after,
+                    after_id, limit)).fetchall()
+        return [self._row_to_node(r) for r in rows]
+
     def count_nodes(self, f: Optional[NodeFilter] = None) -> int:
         f = f or NodeFilter()
         clause, params = self._filter_sql(f)

@@ -569,26 +569,28 @@ class TestIncrementalScan:
             ten.append(n)
         s.put_nodes_batch(ten)
 
-        # instrument: the storage query must RETURN only the new rows
-        # (the created_after push-down makes it an indexed range scan)
+        # instrument: the storage page query must RETURN only the new
+        # rows (indexed keyset range scan + LIMIT)
         returned = []
-        orig = s.list_nodes
+        orig = s.list_nodes_since
 
-        def counting(f=None):
-            out = orig(f)
+        def counting(created_after, after_id, limit):
+            out = orig(created_after, after_id, limit)
             returned.append(len(out))
             return out
 
-        s.list_nodes = counting
-        nodes = linker._nodes_since_cursor()
-        s.list_nodes = orig
+        s.list_nodes_since = counting
+        nodes = linker._nodes_since_cursor(500)
+        s.list_nodes_since = orig
 
         assert [n.id for n in nodes] == [n.id for n in ten]
-        # 10 new + at most the single boundary row (created_after is
-        # inclusive so the cursor row itself comes back and is dropped
-        # by the strict keyset filter) — NOT the 20k existing rows
+        # exactly the 10 new rows — the strict (created_at, id) keyset
+        # drops the boundary row in SQL; the 20k existing rows are
+        # never materialized
         assert returned[0] <= 11, (
             f"scan returned {returned} rows; must touch only new nodes")
+        # a page smaller than the backlog honors its LIMIT
+        assert len(linker._nodes_since_cursor(3)) == 3
         s.close()
 
     def test_boundary_ties_are_keyset_filtered(self):
@@ -607,5 +609,5 @@ class TestIncrementalScan:
         from cortex_tpu.vector import TpuFlatIndex
         linker = AutoLinker(s, TpuFlatIndex(DIM), emb, AutoLinkerConfig())
         linker.cursor, linker.cursor_id = t0, lo.id
-        got = [n.id for n in linker._nodes_since_cursor()]
+        got = [n.id for n in linker._nodes_since_cursor(100)]
         assert got == [hi.id]

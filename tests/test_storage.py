@@ -345,3 +345,49 @@ class TestRecordAccess:
     def test_missing_node(self, storage):
         assert storage.record_access("01912345-0000-7000-8000-0000000000aa") \
             is False
+
+
+class TestKeysetPage:
+    """list_nodes_since: the auto-linker's cursor page. Runs over both
+    backends — SQLite's indexed override and the base-class default —
+    so their semantics can't drift."""
+
+    def test_page_order_limit_and_strict_boundary(self, storage):
+        t0 = 1000.0
+        same = [mknode(title=f"Same instant node {i}", created_at=t0)
+                for i in range(3)]
+        later = [mknode(title=f"Later node number {i}",
+                        created_at=t0 + 1 + i) for i in range(4)]
+        for n in same + later:
+            storage.put_node(n)
+        same_sorted = sorted(same, key=lambda n: n.id)
+
+        # strict (created_at, id) > cursor: same-instant rows at or
+        # before the cursor id are dropped, later ids at the same
+        # instant come back first
+        page = storage.list_nodes_since(t0, same_sorted[0].id, 10)
+        assert [n.id for n in page] == (
+            [n.id for n in same_sorted[1:]] + [n.id for n in later])
+
+        # LIMIT honored, oldest-first
+        page = storage.list_nodes_since(0.0, "", 2)
+        assert [n.id for n in page] == [n.id for n in same_sorted[:2]]
+
+        # paging through via the returned tail reaches everything once
+        seen, cur = [], (0.0, "")
+        while True:
+            page = storage.list_nodes_since(cur[0], cur[1], 3)
+            if not page:
+                break
+            seen.extend(n.id for n in page)
+            cur = (page[-1].created_at, page[-1].id)
+        assert seen == [n.id for n in same_sorted + later]
+
+    def test_deleted_rows_are_excluded(self, storage):
+        a = mknode(title="Will stay alive here", created_at=10.0)
+        b = mknode(title="Will be soft deleted", created_at=20.0)
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.delete_node(b.id)
+        page = storage.list_nodes_since(0.0, "", 10)
+        assert [n.id for n in page] == [a.id]

@@ -26,6 +26,7 @@ Prints one JSON line per measurement.
 import argparse
 import asyncio
 import json
+import logging
 import os
 import socket
 import sys
@@ -219,6 +220,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--data-dir", default="/tmp/cortex-mixed-bench")
     args = ap.parse_args()
+    # cycle-phase spans (linker.scan/embed/search/rules/edge_write/
+    # decay) land at DEBUG on cortex.trace — surface them so a slow
+    # cycle is attributable from the bench log alone
+    logging.basicConfig(level=logging.INFO)
+    logging.getLogger("cortex.trace").setLevel(logging.DEBUG)
     import shutil
     shutil.rmtree(args.data_dir, ignore_errors=True)
     os.makedirs(args.data_dir, exist_ok=True)

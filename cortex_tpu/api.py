@@ -35,6 +35,11 @@ from .vector import (ScoreDecayConfig, TpuFlatIndex, VectorFilter,
                      apply_score_decay_batch, default_embedder)
 from .vector.hybrid import HybridQuery, HybridResult, HybridSearch
 
+#: incremental-checkpoint policy: write a delta sidecar while the
+#: touched-row working set stays under max(floor, corpus/20); past that
+#: the base npz is rewritten (the delta would approach full-corpus cost)
+_DELTA_FULL_REWRITE_FLOOR = 4096
+
 
 class Cortex:
     """Embedded engine. `Cortex.open(path)` for durable SQLite-backed
@@ -260,7 +265,16 @@ class Cortex:
             return None
         return p + ".index.npz"
 
+    def _index_delta_path(self) -> Optional[str]:
+        p = self._index_snapshot_path()
+        return None if p is None else p + ".delta.npz"
+
     def _try_load_index_snapshot(self) -> bool:
+        """Boot from base snapshot (+ incremental delta when one is
+        published): valid iff either the base alone matches the
+        storage's index_seq, or a delta exists whose base_seq pairs
+        with the on-disk base AND whose index_seq matches storage.
+        Anything else (torn writes, stale pairs) -> full rebuild."""
         import json as _json
         import os as _os
         path = self._index_snapshot_path()
@@ -273,11 +287,22 @@ class Cortex:
         try:
             with open(path + ".meta") as f:
                 meta = _json.load(f)
-            if (meta.get("index_seq") != seq
-                    or meta.get("dim") != self.embedder.dimension):
+            if meta.get("dim") != self.embedder.dimension:
                 return False
-            self.index.load(path)
-            return True
+            base_seq = meta.get("index_seq")
+            if base_seq == seq:
+                self.index.load(path)
+                return True
+            dpath = self._index_delta_path()
+            if dpath and _os.path.exists(dpath):
+                dmeta = self.index.read_delta_meta(dpath)
+                if (dmeta.get("base_seq") == base_seq
+                        and dmeta.get("index_seq") == seq
+                        and dmeta.get("dim") == self.embedder.dimension):
+                    self.index.load(path)
+                    self.index.apply_delta(dpath)
+                    return True
+            return False
         except Exception:  # noqa: BLE001 — any corruption -> full rebuild
             return False
 
@@ -300,43 +325,81 @@ class Cortex:
         path = self._index_snapshot_path()
         if path is None:
             return
+        dpath = self._index_delta_path()
         with self._snapshot_lock:       # one save at a time, start to end
             with self._persist_lock:
                 seq = self.storage.index_seq()
                 if seq is None:
                     return
+                # the last-published seq is the delta's when a valid
+                # (base, delta) pair exists, else the base marker's
+                base_seq, saved = None, None
                 if _os.path.exists(path + ".meta"):
                     try:
                         with open(path + ".meta") as f:
-                            saved = _json.load(f).get("index_seq")
-                        if saved == seq:
-                            return  # unchanged since last snapshot
-                        if (isinstance(saved, int)
-                                and seq - saved < min_delta):
-                            return  # too few changes for a live checkpoint
+                            base_meta = _json.load(f)
+                        if base_meta.get("dim") == self.embedder.dimension:
+                            base_seq = base_meta.get("index_seq")
+                            saved = base_seq
+                        if dpath and _os.path.exists(dpath):
+                            dmeta = self.index.read_delta_meta(dpath)
+                            if dmeta.get("base_seq") == base_seq:
+                                saved = dmeta.get("index_seq")
                     except Exception:  # noqa: BLE001
-                        pass
+                        base_seq = saved = None
+                if saved == seq:
+                    return  # unchanged since last checkpoint
+                if (isinstance(saved, int) and seq - saved < min_delta):
+                    return  # too few changes for a live checkpoint
+                # incremental checkpoint while a base exists and the
+                # working set is a small corpus fraction: writes MBs
+                # instead of the full corpus (a 3 GB npz rewrite pegs a
+                # core for ~40 s — measured as p95 == write duration in
+                # the 1M mixed-workload bench). The delta is cumulative
+                # vs the base, so one file is always enough to replay.
+                use_delta = (
+                    base_seq is not None and dpath is not None
+                    and hasattr(self.index, "delta_size")
+                    and self.index.delta_size()
+                    <= max(_DELTA_FULL_REWRITE_FLOOR,
+                           len(self.index) // 20))
+                pending = None
                 try:
                     # fast consistent copy under the lock; the slow
-                    # compress+write happens after release so writes
-                    # don't stall for the checkpoint duration
-                    st = self.index.snapshot_state()
+                    # write happens after release so writes don't stall
+                    # for the checkpoint duration
+                    if use_delta:
+                        st = self.index.delta_state()
+                    else:
+                        st = self.index.snapshot_state()
+                        pending = self.index.begin_snapshot_base()
                 except Exception:  # noqa: BLE001 — an optimization only
                     return
             try:
-                # atomic publication: tmp + rename for both files, npz
-                # before marker — a crash mid-save leaves either the
-                # previous consistent pair or a marker-less npz (boot
-                # then rebuilds), never a marker pointing at torn data
-                self.index.write_snapshot(path + ".tmp.npz", st)
-                _os.replace(path + ".tmp.npz", path)
-                tmp_meta = path + ".meta.tmp"
-                with open(tmp_meta, "w") as f:
-                    _json.dump({"index_seq": seq,
-                                "dim": self.embedder.dimension}, f)
-                _os.replace(tmp_meta, path + ".meta")
+                # atomic publication: tmp + rename, npz before marker —
+                # a crash mid-save leaves a previous consistent state
+                # or a mismatched pair (boot then rebuilds), never a
+                # marker pointing at torn data
+                if use_delta:
+                    self.index.write_delta(
+                        dpath + ".tmp", st,
+                        extra_meta={"base_seq": base_seq,
+                                    "index_seq": seq})
+                    # np.savez appends .npz to paths without the suffix
+                    _os.replace(dpath + ".tmp.npz", dpath)
+                else:
+                    self.index.write_snapshot(path + ".tmp.npz", st)
+                    _os.replace(path + ".tmp.npz", path)
+                    tmp_meta = path + ".meta.tmp"
+                    with open(tmp_meta, "w") as f:
+                        _json.dump({"index_seq": seq,
+                                    "dim": self.embedder.dimension}, f)
+                    _os.replace(tmp_meta, path + ".meta")
+                    if dpath and _os.path.exists(dpath):
+                        _os.remove(dpath)   # stale: paired with old base
             except Exception:  # noqa: BLE001
-                pass
+                if pending is not None:
+                    self.index.abort_snapshot_base(pending)
 
     def close(self) -> None:
         self.save_index_snapshot()

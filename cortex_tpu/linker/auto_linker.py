@@ -30,9 +30,9 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
-from ..errors import DuplicateEdge, InvalidEdge
 from ..storage.base import NodeFilter, Storage
 from ..types import Node
+from ..utils import span
 from ..vector.embedding import EmbeddingService, embedding_input
 from ..vector.index import VectorIndex
 from .config import AutoLinkerConfig
@@ -161,8 +161,10 @@ class AutoLinker:
         if not missing and not to_index:
             return
         with self.persist_lock:
-            for n in missing:
-                self.storage.put_node(n)
+            if missing:
+                # one transaction (per-node put_node commits fsync per
+                # row — seconds per cycle at a full 500-node page)
+                self.storage.put_nodes_batch(missing)
             if to_index:
                 self.index.insert_batch(
                     [n.id for n in to_index],
@@ -197,7 +199,8 @@ class AutoLinker:
 
         self._check_config_change()
         limit = self.config.max_nodes_per_cycle
-        batch = self._nodes_since_cursor(limit)
+        with span("linker.scan"):
+            batch = self._nodes_since_cursor(limit)
         decay_due = self.cycle_count % self.config.decay_every_n_cycles == 0
         dedup_due = self.cycle_count % self.config.dedup_every_n_cycles == 0
 
@@ -209,7 +212,8 @@ class AutoLinker:
         proposed: List[ProposedEdge] = []
 
         if batch:
-            self._ensure_embeddings(batch)
+            with span("linker.embed"):
+                self._ensure_embeddings(batch)
             queries = np.stack([np.asarray(n.embedding, np.float32)
                                 for n in batch])
             # pipelined candidate search: dispatch chunk searches
@@ -217,26 +221,34 @@ class AutoLinker:
             # and transfer overlap the host rule evaluation below; on a
             # network-attached TPU this also overlaps the round trips
             chunk = 128
-            if (len(batch) > chunk
-                    and hasattr(self.index, "search_stream")):
-                # single-drain stream: chunks dispatch back-to-back,
-                # results concatenate on device, ONE fetch — per-chunk
-                # draining pays a host<->device RTT per chunk
-                all_hits = self.index.search_stream(
-                    queries, self.config.candidate_k, batch=chunk)
-            elif (len(batch) > chunk
-                    and hasattr(self.index, "search_batch_async")):
-                finishers = [self.index.search_batch_async(
-                    queries[s:s + chunk], self.config.candidate_k)
-                    for s in range(0, len(batch), chunk)]
-                all_hits = []
-                for fin in finishers:
-                    all_hits.extend(fin())
-            else:
-                all_hits = self.index.search_batch(
-                    queries, self.config.candidate_k)
+            with span("linker.search"):
+                if (len(batch) > chunk
+                        and hasattr(self.index, "search_stream")):
+                    # single-drain stream: chunks dispatch back-to-back,
+                    # results concatenate on device, ONE fetch — per-
+                    # chunk draining pays a host<->device RTT per chunk
+                    all_hits = self.index.search_stream(
+                        queries, self.config.candidate_k, batch=chunk)
+                elif (len(batch) > chunk
+                        and hasattr(self.index, "search_batch_async")):
+                    finishers = [self.index.search_batch_async(
+                        queries[s:s + chunk], self.config.candidate_k)
+                        for s in range(0, len(batch), chunk)]
+                    all_hits = []
+                    for fin in finishers:
+                        all_hits.extend(fin())
+                else:
+                    all_hits = self.index.search_batch(
+                        queries, self.config.candidate_k)
 
             node_cache: Dict[str, Node] = {n.id: n for n in batch}
+            # hydrate every candidate neighbor in one batched read —
+            # up to page x candidate_k point reads per cycle otherwise
+            cand_ids = {nid for hits in all_hits for nid, _ in hits
+                        if nid not in node_cache}
+            if cand_ids:
+                with span("linker.hydrate"):
+                    node_cache.update(self.storage.get_nodes(cand_ids))
 
             def fetch(nid: str) -> Optional[Node]:
                 n = node_cache.get(nid)
@@ -248,6 +260,8 @@ class AutoLinker:
 
             feat_cache = FeatureCache()   # per-node text features, cycle-scoped
             cap = self.config.max_edges_per_cycle
+            rules_span = span("linker.rules")
+            rules_span.__enter__()
             for j, node in enumerate(batch):
                 if len(proposed) >= cap:
                     # edge budget exhausted: stop BEFORE advancing the
@@ -288,16 +302,20 @@ class AutoLinker:
                                                  self.cursor_id):
                     self.cursor = node.created_at
                     self.cursor_id = node.id
+            rules_span.__exit__(None, None, None)
 
-        for e in proposed:
-            try:
-                self.storage.put_edge(e.to_edge())
-                self.metrics.add_edges_created(1)
-            except (DuplicateEdge, InvalidEdge):
-                continue    # race-tolerant (auto_linker.rs:292-303)
+        if proposed:
+            # one transaction, losers of write races skipped in place
+            # (auto_linker.rs:292-303); per-edge put_edge commits fsync
+            # per row — measured seconds/cycle at the 2000-edge budget
+            with span("linker.edge_write"):
+                created = self.storage.put_edges_batch(
+                    [e.to_edge() for e in proposed], tolerant=True)
+            self.metrics.add_edges_created(created)
 
         if decay_due:
-            pruned, deleted = self.decay_engine.apply_decay(now)
+            with span("linker.decay"):
+                pruned, deleted = self.decay_engine.apply_decay(now)
             self.metrics.add_edges_pruned(pruned)
             self.metrics.add_edges_deleted(deleted)
 

@@ -349,6 +349,7 @@ class ShardedFlatIndex(TpuFlatIndex):
         self._corpus = ShardedCorpus(dim, mesh,
                                      storage_dtype=storage_dtype,
                                      search_path=search_path)
+        self._delta_ids = set()     # incremental-checkpoint working set
 
     @property
     def mesh(self) -> Mesh:
@@ -369,6 +370,7 @@ class ShardedFlatIndex(TpuFlatIndex):
         self._corpus = ShardedCorpus(self.dim, mesh,
                                      storage_dtype=dtype_str,
                                      search_path=self._corpus._search_path)
+        self._delta_ids = set()     # in-memory state == the base file
         if meta["ids"]:
             self._corpus.upsert_batch(meta["ids"], z["vectors"],
                                       meta["kinds"], meta["agents"])

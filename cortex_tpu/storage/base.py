@@ -198,12 +198,37 @@ class Storage(abc.ABC):
             n += 1
         return n
 
-    def put_edges_batch(self, edges: Iterable[Edge], *, actor: str = "system") -> int:
+    def put_edges_batch(self, edges: Iterable[Edge], *,
+                        actor: str = "system",
+                        tolerant: bool = False) -> int:
+        """tolerant=True skips DuplicateEdge/InvalidEdge per edge
+        instead of raising — the auto-linker's race-tolerant batch
+        write (reference auto_linker.rs:292-303). Backends override
+        with a single transaction: the default's per-edge put_edge
+        commits (and fsyncs) per row — measured as seconds per linker
+        cycle at the 2000-edge budget."""
+        from ..errors import DuplicateEdge, InvalidEdge
         n = 0
         for e in edges:
-            self.put_edge(e, actor=actor)
-            n += 1
+            try:
+                self.put_edge(e, actor=actor)
+                n += 1
+            except (DuplicateEdge, InvalidEdge):
+                if not tolerant:
+                    raise
         return n
+
+    def get_nodes(self, ids: Iterable[str]) -> Dict[str, Node]:
+        """Batch point-reads: present, non-None nodes keyed by id.
+        Backends override with one IN query — the default's per-id
+        get_node round trips (the linker hydrates up to
+        max_nodes_per_cycle x candidate_k neighbors per cycle)."""
+        out: Dict[str, Node] = {}
+        for i in ids:
+            n = self.get_node(i)
+            if n is not None:
+                out[i] = n
+        return out
 
     # -- metadata KV ------------------------------------------------------
     @abc.abstractmethod

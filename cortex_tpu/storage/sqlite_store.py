@@ -300,6 +300,23 @@ class SqliteStorage(Storage):
                 "SELECT * FROM nodes WHERE id=?", (node_id,)).fetchone()
         return self._row_to_node(row) if row else None
 
+    def get_nodes(self, ids) -> Dict[str, Node]:
+        """One IN query per ~500 ids instead of a point read each —
+        the linker hydrates up to max_nodes_per_cycle x candidate_k
+        neighbors per cycle."""
+        ids = list(ids)
+        out: Dict[str, Node] = {}
+        with self._lock:
+            for s in range(0, len(ids), 500):
+                chunk = ids[s:s + 500]
+                rows = self._db.execute(
+                    "SELECT * FROM nodes WHERE id IN "
+                    f"({','.join('?' * len(chunk))})", chunk).fetchall()
+                for r in rows:
+                    n = self._row_to_node(r)
+                    out[n.id] = n
+        return out
+
     def record_access(self, node_id: str, *, now: Optional[float] = None,
                       reinforced_at: Optional[float] = None) -> bool:
         """One atomic UPDATE guarded by deleted=0 — never resurrects a
@@ -439,35 +456,69 @@ class SqliteStorage(Storage):
         return [r[0] for r in rows]
 
     # ----------------------------------------------------------------- edges
-    def put_edge(self, edge: Edge, *, actor: str = "system") -> None:
+    def _put_edge_nocommit(self, edge: Edge, *, actor: str = "system") -> None:
+        """Validation + upsert WITHOUT commit. Validation (endpoint
+        existence/liveness, duplicate (from,to,relation)) runs before
+        any write, so a raised InvalidEdge/DuplicateEdge leaves the
+        open transaction untouched — put_edges_batch relies on that to
+        skip losers of write races inside one transaction."""
         edge.validate()
+        for nid, side in ((edge.from_id, "from"), (edge.to_id, "to")):
+            row = self._db.execute(
+                "SELECT deleted FROM nodes WHERE id=?", (nid,)).fetchone()
+            if row is None:
+                raise InvalidEdge(f"edge {side} endpoint {nid} does not exist")
+            if row[0]:
+                raise InvalidEdge(f"edge {side} endpoint {nid} is deleted")
+        dup = self._db.execute(
+            "SELECT id FROM edges WHERE from_id=? AND to_id=? AND relation=? "
+            "AND id<>?",
+            (edge.from_id, edge.to_id, edge.relation, edge.id)).fetchone()
+        if dup:
+            raise DuplicateEdge(edge.from_id, edge.to_id, edge.relation)
+        existed = self._db.execute(
+            "SELECT 1 FROM edges WHERE id=?", (edge.id,)).fetchone()
+        self._db.execute(
+            "INSERT INTO edges (id, from_id, to_id, relation, weight, "
+            "provenance, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?) "
+            "ON CONFLICT(id) DO UPDATE SET weight=excluded.weight, "
+            "provenance=excluded.provenance, updated_at=excluded.updated_at",
+            (edge.id, edge.from_id, edge.to_id, edge.relation, edge.weight,
+             json.dumps(edge.provenance.to_dict()), edge.created_at,
+             edge.updated_at))
+        self._audit("edge_updated" if existed else "edge_created",
+                    edge.id, actor)
+
+    def put_edge(self, edge: Edge, *, actor: str = "system") -> None:
         with self._lock:
-            for nid, side in ((edge.from_id, "from"), (edge.to_id, "to")):
-                row = self._db.execute(
-                    "SELECT deleted FROM nodes WHERE id=?", (nid,)).fetchone()
-                if row is None:
-                    raise InvalidEdge(f"edge {side} endpoint {nid} does not exist")
-                if row[0]:
-                    raise InvalidEdge(f"edge {side} endpoint {nid} is deleted")
-            dup = self._db.execute(
-                "SELECT id FROM edges WHERE from_id=? AND to_id=? AND relation=? "
-                "AND id<>?",
-                (edge.from_id, edge.to_id, edge.relation, edge.id)).fetchone()
-            if dup:
-                raise DuplicateEdge(edge.from_id, edge.to_id, edge.relation)
-            existed = self._db.execute(
-                "SELECT 1 FROM edges WHERE id=?", (edge.id,)).fetchone()
-            self._db.execute(
-                "INSERT INTO edges (id, from_id, to_id, relation, weight, "
-                "provenance, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?) "
-                "ON CONFLICT(id) DO UPDATE SET weight=excluded.weight, "
-                "provenance=excluded.provenance, updated_at=excluded.updated_at",
-                (edge.id, edge.from_id, edge.to_id, edge.relation, edge.weight,
-                 json.dumps(edge.provenance.to_dict()), edge.created_at,
-                 edge.updated_at))
-            self._audit("edge_updated" if existed else "edge_created",
-                        edge.id, actor)
-            self._db.commit()
+            try:
+                self._put_edge_nocommit(edge, actor=actor)
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
+
+    def put_edges_batch(self, edges, *, actor: str = "system",
+                        tolerant: bool = False) -> int:
+        """One transaction for the whole batch (per-edge put_edge
+        commits fsync the WAL per row — seconds per linker cycle at
+        the 2000-edge budget). tolerant skips duplicate/invalid edges
+        in place: their validation raises before any write."""
+        count = 0
+        with self._lock:
+            try:
+                for e in edges:
+                    try:
+                        self._put_edge_nocommit(e, actor=actor)
+                        count += 1
+                    except (DuplicateEdge, InvalidEdge):
+                        if not tolerant:
+                            raise
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
+        return count
 
     def get_edge(self, edge_id: str) -> Optional[Edge]:
         with self._lock:

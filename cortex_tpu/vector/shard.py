@@ -942,6 +942,33 @@ class DeviceCorpus:
         return vv[:nq], ids[:nq]
 
     # ------------------------------------------------------------- snapshot
+    def rows_state(self, ids) -> Dict[str, np.ndarray]:
+        """Host-mirror copies for a SUBSET of ids — the incremental-
+        checkpoint capture. Cost tracks len(ids), not corpus size (a
+        full state() copy is ~2 s at 1M x 768 and its 3 GB npz write
+        pegs a core for ~40 s; a live checkpoint after a few hundred
+        writes needs megabytes, not the corpus). ids absent or dead
+        come back under "removed" (tombstones for the delta log)."""
+        with self._lock:
+            present, rows, missing = [], [], []
+            for i in ids:
+                r = self._row_of.get(i)
+                if r is None:
+                    missing.append(i)
+                else:
+                    present.append(i)
+                    rows.append(r)
+            return {
+                "ids": np.array(present, dtype=object),
+                "vectors": (self._emb_h[rows].copy() if rows
+                            else np.zeros((0, self.dim), np.float32)),
+                "kinds": np.array([self.kinds.name(self._kind_h[r])
+                                   for r in rows], dtype=object),
+                "agents": np.array([self.agents.name(self._agent_h[r])
+                                    for r in rows], dtype=object),
+                "removed": np.array(missing, dtype=object),
+            }
+
     def state(self) -> Dict[str, np.ndarray]:
         with self._lock:
             ids = [i for i in self._id_of if i is not None]

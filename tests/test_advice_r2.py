@@ -102,8 +102,13 @@ class TestSnapshotMinDelta:
             assert json.load(f)["index_seq"] == seq0
 
         cx.save_index_snapshot()            # close-style: must save now
+        # published as an incremental delta against the unchanged base
+        from cortex_tpu.vector.index import TpuFlatIndex
+        dmeta = TpuFlatIndex.read_delta_meta(db + ".index.npz.delta.npz")
+        assert dmeta["base_seq"] == seq0
+        assert dmeta["index_seq"] > seq0
         with open(meta_path) as f:
-            assert json.load(f)["index_seq"] > seq0
+            assert json.load(f)["index_seq"] == seq0   # base untouched
         cx.close()
 
     def test_boot_uses_snapshot_after_delta_skip(self, tmp_path):

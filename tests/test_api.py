@@ -274,6 +274,123 @@ class TestSnapshotBoot:
         cx.close()
 
 
+class TestIncrementalCheckpoint:
+    """Once a base snapshot exists, live checkpoints and close() write
+    only the rows touched since (cumulative delta sidecar) instead of
+    rewriting the whole corpus npz — at 1M x 768 the full rewrite is a
+    3 GB / ~40 s disk write per checkpoint (measured as p95 == write
+    duration in the mixed-workload bench). Boot replays base + delta;
+    any mismatch in the (base_seq, index_seq) pairing means rebuild."""
+
+    def _open(self, tmp_path):
+        from cortex_tpu.api import Cortex
+        return Cortex.open(str(tmp_path / "cortex.db"))
+
+    def _store(self, cx, i):
+        from cortex_tpu.types import Node, Source
+        n = Node.new("fact", f"Incremental ckpt fact {i}",
+                     f"Body long enough for the gate checks, entry {i}.",
+                     Source(agent="t"))
+        cx.store(n)
+        return n.id
+
+    def test_second_close_writes_delta_not_base(self, tmp_path):
+        import os
+        base = str(tmp_path / "cortex.db.index.npz")
+        delta = base + ".delta.npz"
+        cx = self._open(tmp_path)
+        ids = [self._store(cx, i) for i in range(4)]
+        cx.close()                              # first close: full base
+        assert os.path.exists(base) and not os.path.exists(delta)
+        base_mtime = os.path.getmtime(base)
+
+        cx = self._open(tmp_path)
+        more = [self._store(cx, 10 + i) for i in range(3)]
+        removed = ids[0]
+        assert cx.delete_node(removed, hard=True)
+        cx.close()                              # second close: delta only
+        assert os.path.exists(delta)
+        assert os.path.getmtime(base) == base_mtime, \
+            "base npz was rewritten for a small delta"
+
+        # boot = base + delta, no rebuild (insert_batch on the INDEX
+        # wrapper is the rebuild path; delta replay goes to the corpus)
+        from cortex_tpu.vector.index import TpuFlatIndex
+        import unittest.mock as mock
+        with mock.patch.object(
+                TpuFlatIndex, "insert_batch",
+                side_effect=AssertionError("rebuild path taken")):
+            cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 6
+        assert removed not in cx2.index
+        for nid in ids[1:] + more:
+            assert nid in cx2.index
+        hits = cx2.search("incremental ckpt fact", limit=6,
+                          record_access=False)
+        assert {n.id for _, n in hits} == set(ids[1:] + more)
+        cx2.close()
+
+    def test_delta_is_cumulative_across_checkpoints(self, tmp_path):
+        cx = self._open(tmp_path)
+        a = self._store(cx, 0)
+        cx.save_index_snapshot()                # full base
+        b = self._store(cx, 1)
+        cx.save_index_snapshot()                # delta {b}
+        c = self._store(cx, 2)
+        cx.close()                              # delta {b, c} overwrites
+        cx2 = self._open(tmp_path)
+        assert {a, b, c} <= {i for i in (a, b, c) if i in cx2.index}
+        assert len(cx2.index) == 3
+        cx2.close()
+
+    def test_raw_mutation_invalidates_base_delta_pair(self, tmp_path):
+        import numpy as np
+        cx = self._open(tmp_path)
+        self._store(cx, 0)
+        cx.close()                              # base
+        cx = self._open(tmp_path)
+        self._store(cx, 1)
+        dim = cx.embedder.dimension
+        cx.close()                              # delta
+        from cortex_tpu.storage import SqliteStorage
+        from cortex_tpu.types import Node, Source
+        s = SqliteStorage(str(tmp_path / "cortex.db"))
+        n = Node.new("fact", "Behind the checkpoint's back",
+                     "Body long enough for the gate checks here.",
+                     Source(agent="t"))
+        n.embedding = list(np.full(dim, 0.1, np.float32))
+        s.put_node(n)
+        s.close()
+        cx2 = self._open(tmp_path)              # seq mismatch -> rebuild
+        assert len(cx2.index) == 3
+        assert n.id in cx2.index
+        cx2.close()
+
+    def test_large_delta_triggers_full_rewrite(self, tmp_path, monkeypatch):
+        """When the working set outgrows the corpus fraction, the base
+        is rewritten and the stale delta removed. The 4096-row floor is
+        scaled down so the test doesn't need thousands of stores."""
+        import os
+        from cortex_tpu import api as api_mod
+        base = str(tmp_path / "cortex.db.index.npz")
+        delta = base + ".delta.npz"
+        cx = self._open(tmp_path)
+        self._store(cx, 0)
+        cx.save_index_snapshot()                # full base
+        base_mtime = os.path.getmtime(base)
+        for i in range(1, 4):
+            self._store(cx, i)
+        # shrink the floor: delta_size()=3 must exceed max(1, len//20)=1
+        monkeypatch.setattr(api_mod, "_DELTA_FULL_REWRITE_FLOOR", 1)
+        cx.save_index_snapshot()
+        assert os.path.getmtime(base) > base_mtime, "expected full rewrite"
+        assert not os.path.exists(delta)
+        cx.close()
+        cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 4
+        cx2.close()
+
+
 class TestLibraryWarmup:
     """Library-mode cold-start hardening (VERDICT r2 #5): Cortex.open
     gets the same optional warmup + compile-deadline + progress logging

@@ -391,3 +391,40 @@ class TestKeysetPage:
         storage.delete_node(b.id)
         page = storage.list_nodes_since(0.0, "", 10)
         assert [n.id for n in page] == [a.id]
+
+
+class TestBatchWriteRead:
+    def test_put_edges_batch_tolerant_skips_losers(self, storage):
+        a, b, c = (mknode(title="Batch edge node aa"),
+                   mknode(title="Batch edge node bb"),
+                   mknode(title="Batch edge node cc"))
+        for n in (a, b, c):
+            storage.put_node(n)
+        storage.put_edge(link(a, b))          # pre-existing -> duplicate
+        ghost = mknode(title="Never stored node")
+        batch = [link(a, b),                  # duplicate (from,to,relation)
+                 link(b, c),                  # fine
+                 link(a, ghost),              # invalid endpoint
+                 link(c, a)]                  # fine
+        created = storage.put_edges_batch(batch, tolerant=True)
+        assert created == 2
+        assert len(storage.edges_from(b.id)) == 1
+        assert len(storage.edges_from(c.id)) == 1
+
+    def test_put_edges_batch_strict_raises(self, storage):
+        a, b = mknode(title="Strict batch aa"), mknode(title="Strict batch bb")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.put_edge(link(a, b))
+        import pytest as _pytest
+        from cortex_tpu.errors import DuplicateEdge
+        with _pytest.raises(DuplicateEdge):
+            storage.put_edges_batch([link(a, b)])
+
+    def test_get_nodes_batch(self, storage):
+        ns = [mknode(title=f"Batch read node {i}") for i in range(7)]
+        for n in ns:
+            storage.put_node(n)
+        got = storage.get_nodes([ns[0].id, ns[3].id, "missing-id", ns[6].id])
+        assert set(got) == {ns[0].id, ns[3].id, ns[6].id}
+        assert got[ns[3].id].title == ns[3].title

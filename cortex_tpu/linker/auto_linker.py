@@ -49,8 +49,14 @@ CURSOR_ID_KEY = "auto_linker_cursor_id"
 CYCLE_COUNT_KEY = "auto_linker_cycle_count"
 LAST_THRESHOLD_KEY = "auto_linker_last_threshold"
 LAST_MODEL_KEY = "auto_linker_last_model"
+DEDUP_CURSOR_KEY = "auto_linker_dedup_cursor"
+DEDUP_CURSOR_ID_KEY = "auto_linker_dedup_cursor_id"
 
 _EMBED_BATCH = 512
+#: per due-cycle page cap for the incremental dedup scan — bounds the
+#: cycle under a bulk-import backlog (a full scan is 277 s at 1M;
+#: explicit triggers can still run DedupScanner.scan() unpaged)
+_DEDUP_PAGE = 2000
 
 
 class AutoLinker:
@@ -80,6 +86,9 @@ class AutoLinker:
         # of the last processed node forever (UUIDv7 ids are time-ordered,
         # so (created_at, id) is a total order)
         self.cursor_id = self.storage.get_metadata(CURSOR_ID_KEY) or ""
+        self.dedup_cursor = self._load_float(DEDUP_CURSOR_KEY, 0.0)
+        self.dedup_cursor_id = (
+            self.storage.get_metadata(DEDUP_CURSOR_ID_KEY) or "")
         self.cycle_count = int(self._load_float(CYCLE_COUNT_KEY, 0.0))
         self.metrics.cursor = self.cursor
         self.metrics.cycles_completed = self.cycle_count
@@ -95,6 +104,10 @@ class AutoLinker:
     def _save_state(self) -> None:
         self.storage.put_metadata(CURSOR_KEY, repr(self.cursor))
         self.storage.put_metadata(CURSOR_ID_KEY, self.cursor_id)
+        self.storage.put_metadata(DEDUP_CURSOR_KEY,
+                                  repr(self.dedup_cursor))
+        self.storage.put_metadata(DEDUP_CURSOR_ID_KEY,
+                                  self.dedup_cursor_id)
         self.storage.put_metadata(CYCLE_COUNT_KEY, str(self.cycle_count))
 
     def _check_config_change(self) -> None:
@@ -112,6 +125,8 @@ class AutoLinker:
                      stored_model, cur_model)
             self.cursor = 0.0
             self.cursor_id = ""
+            self.dedup_cursor = 0.0     # thresholds changed: re-scan
+            self.dedup_cursor_id = ""
             self.metrics.cursor = 0.0
         self.storage.put_metadata(LAST_THRESHOLD_KEY, repr(cur_thr))
         self.storage.put_metadata(LAST_MODEL_KEY, cur_model)
@@ -208,7 +223,8 @@ class AutoLinker:
             self.metrics.cycle_duration_secs = time.monotonic() - start
             return self.metrics
 
-        self.metrics.backlog_size = self._backlog_after(batch, limit)
+        with span("linker.backlog_count"):
+            self.metrics.backlog_size = self._backlog_after(batch, limit)
         proposed: List[ProposedEdge] = []
 
         if batch:
@@ -320,21 +336,34 @@ class AutoLinker:
             self.metrics.add_edges_deleted(deleted)
 
         if dedup_due:
-            scanner = DedupScanner(self.storage, self.index,
-                                   self.config.similarity,
-                                   persist_lock=self.persist_lock)
-            result = scanner.scan()
-            self.metrics.add_duplicates_found(len(result.duplicates))
-            for pair in result.duplicates:
-                scanner.execute_action(pair)
+            # INCREMENTAL: only nodes past the dedup cursor are used
+            # as queries (a pair both sides unchanged since the last
+            # scan was already reported then), paged so a bulk-import
+            # backlog can't absorb a cycle — the full scan measured
+            # 277 s inside a cycle at 1M. Full scans remain available
+            # via DedupScanner.scan() (explicit trigger / CLI).
+            with span("linker.dedup"):
+                page = self.storage.list_nodes_since(
+                    self.dedup_cursor, self.dedup_cursor_id, _DEDUP_PAGE)
+                scanner = DedupScanner(self.storage, self.index,
+                                       self.config.similarity,
+                                       persist_lock=self.persist_lock)
+                result = scanner.scan(page)
+                self.metrics.add_duplicates_found(len(result.duplicates))
+                for pair in result.duplicates:
+                    scanner.execute_action(pair)
+                if page:
+                    self.dedup_cursor = page[-1].created_at
+                    self.dedup_cursor_id = page[-1].id
 
         self.cycle_count += 1
         self.metrics.cycles_completed = self.cycle_count
         self.metrics.cursor = self.cursor
-        stats = self.storage.stats()
-        self.metrics.total_nodes = stats.node_count
-        self.metrics.total_edges = stats.edge_count
-        self._save_state()
+        with span("linker.bookkeeping"):
+            stats = self.storage.stats()
+            self.metrics.total_nodes = stats.node_count
+            self.metrics.total_edges = stats.edge_count
+            self._save_state()
         self.metrics.cycle_duration_secs = time.monotonic() - start
         log.info("%s", self.metrics.summary())
         return self.metrics

@@ -611,3 +611,80 @@ class TestIncrementalScan:
         linker.cursor, linker.cursor_id = t0, lo.id
         got = [n.id for n in linker._nodes_since_cursor(100)]
         assert got == [hi.id]
+
+
+class TestIncrementalDedup:
+    """Linker-driven dedup scans only nodes past its own cursor (a pair
+    with both sides unchanged since the last scan was already reported
+    then); the cursor persists and a bulk backlog is paged. Full scans
+    stay available via DedupScanner.scan() with no args."""
+
+    def _mk(self, storage, emb, title, created):
+        n = mknode(title=title, created=created)
+        n.embedding = emb.embed(n.title).tolist()
+        storage.put_node(n)
+        return n
+
+    def test_cycle_dedup_queries_only_new_nodes(self, monkeypatch):
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        idx = TpuFlatIndex(DIM)
+        cfg = AutoLinkerConfig()
+        cfg.dedup_every_n_cycles = 1          # due every cycle
+        linker = AutoLinker(s, idx, emb, cfg)
+
+        old = [self._mk(s, emb, f"Old corpus node number {i}", 100.0 + i)
+               for i in range(6)]
+        idx.insert_batch([n.id for n in old],
+                         np.stack([np.asarray(n.embedding, np.float32)
+                                   for n in old]))
+        linker.run_cycle()                    # scans + advances cursors
+        assert linker.dedup_cursor >= old[-1].created_at
+
+        fresh = self._mk(s, emb, "Old corpus node number 0",  # near-dup
+                         time.time())
+        idx.insert(fresh.id, np.asarray(fresh.embedding, np.float32))
+
+        queried = []
+        orig = DedupScanner.scan
+
+        def spy(self_, nodes=None):
+            queried.append(None if nodes is None
+                           else [n.id for n in nodes])
+            return orig(self_, nodes)
+
+        monkeypatch.setattr(DedupScanner, "scan", spy)
+        m = linker.run_cycle()
+        assert queried, "dedup did not run on a due cycle"
+        assert queried[-1] is not None, "cycle ran a FULL dedup scan"
+        assert queried[-1] == [fresh.id]      # only the new node queried
+        assert m.duplicates_found >= 1        # found vs the OLD corpus
+
+    def test_dedup_cursor_persists(self):
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        cfg = AutoLinkerConfig()
+        cfg.dedup_every_n_cycles = 1
+        linker = AutoLinker(s, TpuFlatIndex(DIM), emb, cfg)
+        n = self._mk(s, emb, "Persisted dedup cursor node", 500.0)
+        linker.run_cycle()
+        assert linker.dedup_cursor == n.created_at
+        again = AutoLinker(s, TpuFlatIndex(DIM), emb, cfg)
+        assert again.dedup_cursor == n.created_at
+        assert again.dedup_cursor_id == n.id
+
+    def test_config_change_resets_dedup_cursor(self):
+        s = MemoryStorage()
+        emb = HashingEmbedder(DIM)
+        cfg = AutoLinkerConfig()
+        linker = AutoLinker(s, TpuFlatIndex(DIM), emb, cfg)
+        self._mk(s, emb, "Node before the config change", 600.0)
+        linker.run_cycle()
+        assert linker.dedup_cursor > 0.0
+        cfg2 = AutoLinkerConfig()
+        cfg2.dedup_every_n_cycles = 1
+        cfg2.similarity.auto_link_threshold = 0.5   # changed threshold
+        linker2 = AutoLinker(s, TpuFlatIndex(DIM), emb, cfg2)
+        linker2.run_cycle()                         # detects + resets
+        # cursor advanced again from epoch over the existing corpus
+        assert linker2.dedup_cursor >= 600.0

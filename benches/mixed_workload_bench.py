@@ -151,6 +151,15 @@ async def main_async(args):
         await asyncio.to_thread(srv.cortex.warmup)
         emit("mixed-load warmup at capacity (one-time)",
              time.perf_counter() - t0, "seconds")
+        # publish the BASE index snapshot before the window: with a
+        # fresh bulk-seeded corpus no base exists yet, so the first
+        # in-window live checkpoint would write the full 3 GB npz
+        # (~250 s under load on this disk, measured) instead of a
+        # megabyte delta
+        t0 = time.perf_counter()
+        await asyncio.to_thread(srv.cortex.save_index_snapshot)
+        emit("mixed-load base checkpoint after bulk seed (one-time)",
+             time.perf_counter() - t0, "seconds")
         base = f"http://{cfg.server.http_addr}"
         lat = []
         searches = 0

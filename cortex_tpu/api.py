@@ -576,8 +576,9 @@ class Cortex:
         then each request finishes here with its own limit/decay)."""
         cfg = self.config.score_decay
         nodes, raw = [], []
+        fetched = self.storage.get_nodes([nid for nid, _ in hits])
         for nid, score in hits:
-            n = self.storage.get_node(nid)
+            n = fetched.get(nid)
             if n is None or n.deleted:
                 continue
             nodes.append(n)
@@ -591,6 +592,7 @@ class Cortex:
         order = np.argsort(-final, kind="stable")[:limit]
         out = [(float(final[i]), nodes[i]) for i in order]
         if record_access:
+            bump = []
             for _, n in out:
                 if self.linker.decay_engine.should_reinforce(n):
                     # echo: reset the decay clock on the node's edges,
@@ -599,16 +601,18 @@ class Cortex:
                     # so the returned object matches what's persisted)
                     self.linker.decay_engine.reinforce(n.id, node=n)
                 else:
-                    # atomic bump: a blind put_node(n) here could
-                    # resurrect a node deleted between index read and
-                    # this write (the r1 soak flake); re-read to keep
-                    # the returned copy in sync (MemoryStorage aliases
-                    # stored objects, so incrementing n would double-count)
-                    if self.storage.record_access(n.id):
-                        fresh = self.storage.get_node(n.id)
-                        if fresh is not None:
-                            n.access_count = fresh.access_count
-                            n.last_accessed_at = fresh.last_accessed_at
+                    bump.append(n)
+            if bump:
+                # one guarded UPDATE for all plain bumps (was a commit
+                # per returned node — up to `limit` fsyncs per search);
+                # the write-back keeps returned copies in sync without
+                # blind put_node resurrection (the r1 soak flake)
+                applied = self.storage.record_access_batch(
+                    [n.id for n in bump])
+                for n in bump:
+                    got = applied.get(n.id)
+                    if got is not None:
+                        n.access_count, n.last_accessed_at = got
         return out
 
     def search_hybrid(self, query: str, anchors: Sequence[str] = (),

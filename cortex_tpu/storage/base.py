@@ -125,6 +125,25 @@ class Storage(abc.ABC):
         self.put_node(n)
         return True
 
+    def record_access_batch(self, ids: Iterable[str], *,
+                            now: Optional[float] = None
+                            ) -> Dict[str, Tuple[int, float]]:
+        """Atomic access bumps for many ids at once; returns
+        {id: (access_count, last_accessed_at)} for the rows actually
+        bumped (missing/deleted ids are skipped, like record_access).
+        Backends override with one UPDATE + one commit — the default's
+        per-id record_access commits per row, and the search hot path
+        bumps up to `limit` rows per request."""
+        import time as _time
+        now = _time.time() if now is None else now
+        out: Dict[str, Tuple[int, float]] = {}
+        for i in ids:
+            if self.record_access(i, now=now):
+                n = self.get_node(i)
+                if n is not None:
+                    out[i] = (n.access_count, n.last_accessed_at)
+        return out
+
     @abc.abstractmethod
     def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]: ...
 

@@ -343,6 +343,35 @@ class SqliteStorage(Storage):
                 raise
             return cur.rowcount > 0
 
+    def record_access_batch(self, ids, *, now: Optional[float] = None):
+        """One guarded UPDATE + one commit for the whole batch (the
+        search hot path bumps up to `limit` rows per request; per-row
+        record_access commits each). Same deleted=0 guard, same
+        trigger posture (access columns don't touch index_seq)."""
+        ids = list(ids)
+        now = time.time() if now is None else now
+        out: Dict[str, tuple] = {}
+        if not ids:
+            return out
+        with self._lock:
+            try:
+                marks = ",".join("?" * len(ids))
+                self._db.execute(
+                    f"UPDATE nodes SET access_count=access_count+1, "
+                    f"last_accessed_at=? WHERE id IN ({marks}) "
+                    f"AND deleted=0", (now, *ids))
+                rows = self._db.execute(
+                    f"SELECT id, access_count, last_accessed_at "
+                    f"FROM nodes WHERE id IN ({marks}) AND deleted=0",
+                    ids).fetchall()
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
+        for r in rows:
+            out[r[0]] = (int(r[1]), float(r[2]))
+        return out
+
     def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         with self._lock:
             cur = self._db.execute(

@@ -428,3 +428,29 @@ class TestBatchWriteRead:
         got = storage.get_nodes([ns[0].id, ns[3].id, "missing-id", ns[6].id])
         assert set(got) == {ns[0].id, ns[3].id, ns[6].id}
         assert got[ns[3].id].title == ns[3].title
+
+
+class TestRecordAccessBatch:
+    def test_bumps_live_skips_deleted_and_missing(self, storage):
+        a = mknode(title="Access batch live node")
+        b = mknode(title="Access batch deleted node")
+        storage.put_node(a)
+        storage.put_node(b)
+        storage.delete_node(b.id)
+        got = storage.record_access_batch([a.id, b.id, "missing-id"])
+        assert set(got) == {a.id}
+        count, ts = got[a.id]
+        assert count == 1 and ts > 0
+        fresh = storage.get_node(a.id)
+        assert fresh.access_count == 1
+        assert storage.get_node(b.id).access_count == 0
+
+    def test_does_not_touch_index_seq(self, storage):
+        if storage.index_seq() is None:
+            import pytest as _pytest
+            _pytest.skip("backend has no index_seq")
+        n = mknode(title="Access batch seq node")
+        storage.put_node(n)
+        seq0 = storage.index_seq()
+        storage.record_access_batch([n.id])
+        assert storage.index_seq() == seq0

@@ -154,21 +154,30 @@ class Cortex:
                 progress(f"warmup: serving bucket B={b} compiled")
                 b *= 2
             self.index.search_batch(qs[:1], 10)               # no-decay k
-            # the auto-linker's candidate scan runs at its own batch
-            # bucket (max_nodes_per_cycle) and k (scan_k) — left cold,
-            # its FIRST cycle compiles that program while holding the
-            # corpus lock, stalling every concurrent search for the
-            # full compile (~40 s on a tunneled device; observed live
-            # at 1M scale as a p50 == window-length serving outage)
-            lb = 1
-            lcap = min(128, max(1, self.config.auto_linker
-                                .max_nodes_per_cycle))
-            while lb < lcap:
-                lb *= 2
-            lq = rng.normal(size=(lb, dim)).astype(np.float32)
-            self.index.search_batch(lq, self.config.auto_linker
-                                    .candidate_k)
-            progress(f"warmup: linker scan bucket B={lb} compiled")
+            # warm the auto-linker's EXACT code paths, not just a
+            # lookalike shape: its stream scan (chunk dispatch + the
+            # device-side concat, whose op shape depends on the chunk
+            # count) and the dedup scanner's candidate search (its own
+            # B=256/k=64 bucket). Left cold, the first at-scale cycle
+            # compiles these mid-serving — and on a tunneled device a
+            # compile RPC head-of-line-blocks every serving dispatch
+            # on the shared transport (measured: first-cycle search
+            # 19.5 s / dedup 10.8 s while p95 spiked to 22 s; the
+            # second cycle ran the same work in 1.8 s)
+            nq = min(512, max(2, self.config.auto_linker
+                              .max_nodes_per_cycle))
+            lq = rng.normal(size=(nq, dim)).astype(np.float32)
+            if hasattr(self.index, "search_stream"):
+                self.index.search_stream(
+                    lq, self.config.auto_linker.candidate_k, batch=128)
+            else:
+                self.index.search_batch(
+                    lq[:128], self.config.auto_linker.candidate_k)
+            progress(f"warmup: linker stream scan ({nq} queries) compiled")
+            from .linker.dedup import _BATCH as _DD_B, _CAND_K as _DD_K
+            dq = rng.normal(size=(min(_DD_B, nq), dim)).astype(np.float32)
+            self.index.search_batch(dq, _DD_K)
+            progress("warmup: dedup scan bucket compiled")
         self.embedder.embed("warmup text")
         progress(f"device warmup done in {_time.monotonic() - t0:.1f}s")
 

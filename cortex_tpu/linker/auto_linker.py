@@ -102,13 +102,13 @@ class AutoLinker:
             return default
 
     def _save_state(self) -> None:
-        self.storage.put_metadata(CURSOR_KEY, repr(self.cursor))
-        self.storage.put_metadata(CURSOR_ID_KEY, self.cursor_id)
-        self.storage.put_metadata(DEDUP_CURSOR_KEY,
-                                  repr(self.dedup_cursor))
-        self.storage.put_metadata(DEDUP_CURSOR_ID_KEY,
-                                  self.dedup_cursor_id)
-        self.storage.put_metadata(CYCLE_COUNT_KEY, str(self.cycle_count))
+        self.storage.put_metadata_many({
+            CURSOR_KEY: repr(self.cursor),
+            CURSOR_ID_KEY: self.cursor_id,
+            DEDUP_CURSOR_KEY: repr(self.dedup_cursor),
+            DEDUP_CURSOR_ID_KEY: self.dedup_cursor_id,
+            CYCLE_COUNT_KEY: str(self.cycle_count),
+        })
 
     def _check_config_change(self) -> None:
         cur_thr = self.config.similarity.auto_link_threshold

@@ -21,6 +21,7 @@ from ..errors import (CortexError, DuplicateEdge, GateRejection, InvalidEdge,
 from ..graph.types import PathRequest, TraversalRequest, BOTH
 from ..storage.base import NodeFilter
 from ..query import parse_and_compile
+from ..vector.shard import DeviceFetchTimeout
 from ..types import Edge, Node, Source
 from . import cortex_pb2 as pb
 from .conversions import (edge_to_pb, node_to_pb, parse_direction,
@@ -294,6 +295,10 @@ def _wrap(impl, name):
             context.abort(grpc.StatusCode.ALREADY_EXISTS, str(e))
         except NodeNotFound as e:
             context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+        except DeviceFetchTimeout as e:
+            # wedged device/tunnel after bounded re-dispatch: retryable
+            context.abort(grpc.StatusCode.UNAVAILABLE,
+                          f"device unavailable: {e}")
         except CortexError as e:
             context.abort(grpc.StatusCode.INTERNAL, str(e))
     return handler

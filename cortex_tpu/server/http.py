@@ -31,6 +31,7 @@ from ..graph import BOTH, PathRequest, TraversalRequest
 from ..prompt import (ContextSignals, PromptContent, observation_score,
                       score_variant, context_fit, update_edge_weight)
 from ..storage.base import NodeFilter
+from ..vector.shard import DeviceFetchTimeout
 from ..types import Edge, EdgeProvenance, Node, Source
 from ..query import parse_and_compile
 from .state import ServerState
@@ -44,11 +45,12 @@ def json_ok(data: Any, status: int = 200) -> web.Response:
 
 
 def json_err(message: str, status: int = 400,
-             extra: Optional[Dict[str, Any]] = None) -> web.Response:
+             extra: Optional[Dict[str, Any]] = None,
+             headers: Optional[Dict[str, str]] = None) -> web.Response:
     body = {"ok": False, "error": message}
     if extra:
         body.update(extra)
-    return web.json_response(body, status=status)
+    return web.json_response(body, status=status, headers=headers)
 
 
 def node_json(n: Node) -> Dict[str, Any]:
@@ -82,6 +84,12 @@ async def error_middleware(request: web.Request, handler):
         return json_err(str(e), 404)
     except PromptError as e:
         return json_err(str(e), 400)
+    except DeviceFetchTimeout as e:
+        # even the locked re-dispatch path gave up: the device/tunnel
+        # is wedged. 503 + Retry-After (the fetch watchdog usually
+        # recovers on a later dispatch), never a naked 500
+        return json_err(f"device unavailable: {e}", 503,
+                        headers={"Retry-After": "5"})
     except CortexError as e:
         return json_err(str(e), 500)
 

@@ -253,6 +253,13 @@ class Storage(abc.ABC):
     @abc.abstractmethod
     def put_metadata(self, key: str, value: str) -> None: ...
 
+    def put_metadata_many(self, kv: Dict[str, str]) -> None:
+        """Batch metadata upsert. Backends override with one commit —
+        the linker saves its cursor/cycle state (5 keys) every cycle,
+        and the default pays a commit per key."""
+        for k, v in kv.items():
+            self.put_metadata(k, v)
+
     @abc.abstractmethod
     def get_metadata(self, key: str) -> Optional[str]: ...
 

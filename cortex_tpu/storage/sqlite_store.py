@@ -631,6 +631,21 @@ class SqliteStorage(Storage):
                 (key, value))
             self._db.commit()
 
+    def put_metadata_many(self, kv: Dict[str, str]) -> None:
+        """One transaction for a metadata batch (the linker's per-cycle
+        state save is 5 keys; per-key commits fsync each)."""
+        with self._lock:
+            try:
+                for k, v in kv.items():
+                    self._db.execute(
+                        "INSERT INTO meta(key, value) VALUES (?,?) "
+                        "ON CONFLICT(key) DO UPDATE SET "
+                        "value=excluded.value", (k, v))
+                self._db.commit()
+            except BaseException:
+                self._db.rollback()
+                raise
+
     def get_metadata(self, key: str) -> Optional[str]:
         with self._lock:
             row = self._db.execute(

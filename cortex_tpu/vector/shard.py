@@ -840,7 +840,22 @@ class DeviceCorpus:
                 if out is not None:
                     return out
             with self._lock:
-                out = attempt()    # RLock held across dispatch AND fetch
+                # locked attempts exclude generation races, but a
+                # truly wedged tunnel can still time the fetch out —
+                # two more tries, then let DeviceFetchTimeout escape
+                # (the HTTP layer maps it to 503 + Retry-After; a
+                # naked crash here surfaced as a 500 under a wedged
+                # tunnel in live verification)
+                for _ in range(2):
+                    try:
+                        out = attempt()
+                    except DeviceFetchTimeout:
+                        log.warning("locked re-dispatch wedged (>%.0fs); "
+                                    "retrying", FETCH_TIMEOUT_S)
+                        out = None
+                    if out is not None:
+                        return out
+                out = attempt()
                 assert out is not None
                 return out
 
@@ -936,7 +951,17 @@ class DeviceCorpus:
                 break
         if out is None:
             with self._lock:        # RLock held across dispatch AND fetch
-                out = attempt()
+                for _ in range(2):
+                    try:
+                        out = attempt()
+                    except DeviceFetchTimeout:
+                        log.warning("locked stream re-dispatch wedged "
+                                    "(>%.0fs); retrying", FETCH_TIMEOUT_S)
+                        out = None
+                    if out is not None:
+                        break
+                if out is None:
+                    out = attempt()   # last try: a wedge raises loudly
                 assert out is not None
         vv, ids = out
         return vv[:nq], ids[:nq]

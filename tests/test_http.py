@@ -337,3 +337,23 @@ class TestSSE:
             r1.close()
             r2.close()
         scenario(s)
+
+
+class TestDeviceUnavailable:
+    def test_wedged_device_maps_to_503_with_retry_after(self, monkeypatch):
+        """A DeviceFetchTimeout that survives the bounded re-dispatch
+        ladder must surface as 503 + Retry-After, not a naked 500
+        (observed live against a wedged tunnel)."""
+        from cortex_tpu.vector.shard import DeviceFetchTimeout
+
+        async def s(client, cx, state):
+            def wedged(*a, **k):
+                raise DeviceFetchTimeout("device fetch not ready (test)")
+            monkeypatch.setattr(type(cx), "search", wedged)
+            r = await client.get("/search", params={"q": "anything"})
+            assert r.status == 503
+            assert r.headers.get("Retry-After") == "5"
+            body = await r.json()
+            assert body["ok"] is False
+            assert "device unavailable" in body["error"]
+        scenario(s)

@@ -59,6 +59,12 @@ class Cortex:
         self._persist_lock = threading.Lock()
         self.embedder = default_embedder(self.config.embedding.model,
                                          self.config.embedding.dimension)
+        # bounded first-backend-touch BEFORE any real device work: on a
+        # tunneled device a wedged transport blocks backend init forever
+        # in native code (uninterruptible, zero log output) — fail
+        # loudly instead (utils/device.py; no-op after first success)
+        from .utils.device import preflight_device
+        preflight_device()
         self.index = self._make_index()
         self._rebuild_index()
         self.graph = GraphEngine(storage)

@@ -93,3 +93,15 @@ class IndexError_(CortexError):
 
 class PromptError(CortexError):
     """Prompt subsystem failure (unknown slug, cycle in inherits chain)."""
+
+
+class DeviceUnavailable(CortexError):
+    """The accelerator backend failed to initialize within its deadline.
+
+    Raised by the boot-time device preflight: on a network-attached
+    (tunneled) device, backend init is a handshake RPC that can block
+    FOREVER when the transport is wedged — observed live as a server
+    boot hung >10 min with zero log output, before any warmup deadline
+    could arm. Failing loudly here is the recoverable posture: the
+    operator restarts the tunnel (or sets JAX_PLATFORMS=cpu) instead of
+    staring at a silent process."""

@@ -77,6 +77,11 @@ class Server:
         config.validate()
 
         from ..api import open_embedded
+        # attributable boot: open_embedded's first device touch is the
+        # silent phase of a cold boot (backend handshake + snapshot
+        # upload) — announce it, and its bound, before entering it
+        log.info("boot: opening engine (device preflight bounded, "
+                 "$CORTEX_DEVICE_PREFLIGHT_TIMEOUT_S)")
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
         self.state.loop = asyncio.get_running_loop()

@@ -1,3 +1,5 @@
 from .tracing import span, timed, profile_trace, SpanStats
+from .device import preflight_device
 
-__all__ = ["span", "timed", "profile_trace", "SpanStats"]
+__all__ = ["span", "timed", "profile_trace", "SpanStats",
+           "preflight_device"]

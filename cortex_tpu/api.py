@@ -245,6 +245,14 @@ class Cortex:
                 return ShardedFlatIndex(
                     self.embedder.dimension, build_mesh(pow2),
                     storage_dtype=self.config.embedding.device_dtype)
+        if self.config.embedding.index == "ivf":
+            from .vector.ivf import TpuIvfIndex
+            return TpuIvfIndex(
+                self.embedder.dimension,
+                nlist=self.config.embedding.ivf_nlist,
+                nprobe=self.config.embedding.ivf_nprobe,
+                search_path=self.config.embedding.search_path,
+                storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(
             self.embedder.dimension,
             search_path=self.config.embedding.search_path,

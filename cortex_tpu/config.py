@@ -73,6 +73,17 @@ class EmbeddingConfig:
     # shard the corpus over all visible devices (power-of-two count);
     # single-device setups ignore this
     sharded: bool = False
+    # index structure: "flat" (O(N) fused scan — recall-by-
+    # construction paths available, the default) or "ivf" (k-means
+    # clustered block layout — O((nlist + nprobe*L)*d) per query, the
+    # sublinear option for 10M+ corpora where small-batch latency
+    # matters; candidates re-rank exactly, the only approximation is
+    # candidate membership). The reference's sublinear structure is
+    # HNSW (index.rs:104-163); a graph walk is TPU-hostile, IVF is
+    # the TPU-native equivalent.
+    index: str = "flat"
+    ivf_nlist: int = 0                # 0 = auto (~sqrt(N), <= 8192)
+    ivf_nprobe: int = 0               # 0 = auto (nlist/16, >= 8)
 
 
 @dataclass
@@ -332,6 +343,12 @@ class CortexConfig:
             raise ConfigError(f"[auto_linker] invalid: {e}") from e
         if self.embedding.dimension <= 0:
             raise ConfigError("[embedding] dimension must be positive")
+        if self.embedding.index not in ("flat", "ivf"):
+            raise ConfigError(
+                "[embedding] index must be 'flat' or 'ivf'")
+        if self.embedding.ivf_nlist < 0 or self.embedding.ivf_nprobe < 0:
+            raise ConfigError(
+                "[embedding] ivf_nlist/ivf_nprobe must be >= 0")
         if self.briefing.max_total_items <= 0:
             raise ConfigError("[briefing] max_total_items must be positive")
         for w in self.webhooks:

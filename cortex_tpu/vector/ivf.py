@@ -1,0 +1,498 @@
+"""IVF (inverted-file) index — the sublinear search option.
+
+Parity surface: the reference gets sublinear search from HNSW
+(crates/cortex-core/src/vector/index.rs:104-163, hnsw_rs graph walk)
+and tops out at ~1M vectors (ARCHITECTURE.md:314). A graph walk is
+hostile to TPUs — pointer-chasing, data-dependent control flow, tiny
+gathers — so the TPU-native sublinear structure is IVF:
+
+  * build: spherical k-means over the corpus (trained ON DEVICE in one
+    jitted loop — assignment matmuls ride the MXU) produces C
+    centroids; members are packed into a padded [C, L, d] int8 block
+    layout (centered quantization, ranking-invariant — see
+    ops.similarity.quantize_rows_centered) with per-slot global-row
+    ids and kind/agent codes.
+  * search: ONE fused dispatch — queries score all centroids [B, C]
+    (matmul), take the top-`nprobe` clusters per query, gather those
+    blocks ([B, nprobe, L, d] — contiguous block gather, not row
+    gather), int8-score the B * nprobe * L candidates with liveness/
+    kind/agent/exclusion bias applied in-kernel, and return the top
+    `cand` GLOBAL row indices per query.
+  * finish: the returned rows feed DeviceCorpus._finish_topk with
+    rescore=True — the same exact fp32 host re-rank the flat quant
+    path uses. IVF changes the candidate generator, never the scoring
+    contract: final scores are fp32-true; the only approximation is
+    candidate membership (a true top-k row in an unprobed cluster).
+
+Compute per query drops from O(N*d) (flat scan) to O((C + nprobe*L)*d)
+— at 10M rows with C=4096, nprobe=16 that is ~100x less arithmetic,
+which is what buys small-batch/latency-sensitive serving at 10M+ where
+the flat scan's O(N) per dispatch dominates (BASELINE.md 10M row).
+HBM cost is slack/avg_fill x the flat int8 shadow (padded slots).
+
+Everything else — id<->row maps, dirty tracking, growth ladder,
+snapshots/deltas, filter encoding, k/batch bucketing, generation
+checks, the dispatch-outside-the-lock protocol — is inherited from
+DeviceCorpus. IVF device arrays are scattered functionally (NO buffer
+donation), so a search that captured the previous tuple can still read
+it; row-reassignment races are caught by the inherited generation
+check.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.similarity import NEG_INF, quantize_rows_centered
+from .index import TpuFlatIndex
+from .shard import (DeviceCorpus, NO_FILTER, PAD_CODE, _norm_rows)
+
+log = logging.getLogger("cortex.ivf")
+
+#: auto-nlist ceiling: past this the centroid scan itself starts to
+#: cost like a small flat scan (C*d per query)
+MAX_AUTO_NLIST = 8192
+#: slot slack over perfectly-balanced fill — spill headroom for k-means
+#: imbalance and incremental inserts between retrains
+SLOT_SLACK = 1.3
+#: retrain when the live count drifts this far from the trained count
+RETRAIN_GROWTH = 2.0
+
+
+# ---------------------------------------------------------------- training
+
+
+@functools.partial(jax.jit, static_argnames=("c", "iters"))
+def _kmeans_device(data: jnp.ndarray, init: jnp.ndarray, *,
+                   c: int, iters: int) -> jnp.ndarray:
+    """Spherical k-means: Lloyd iterations entirely on device.
+
+    data [S, d] unit-norm fp32; init [C, d] (sampled data rows).
+    Assignment is one [S, C] matmul per iteration (MXU work);
+    centroids re-normalize each step (cosine geometry); empty clusters
+    keep their previous centroid."""
+
+    def step(_, cent):
+        assign = jnp.argmax(
+            jnp.dot(data, cent.T, preferred_element_type=jnp.float32),
+            axis=1)
+        sums = jax.ops.segment_sum(data, assign, num_segments=c)
+        counts = jax.ops.segment_sum(
+            jnp.ones((data.shape[0],), jnp.float32), assign,
+            num_segments=c)
+        norm = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        fresh = sums / jnp.maximum(norm, 1e-12)
+        return jnp.where(counts[:, None] > 0, fresh, cent)
+
+    return jax.lax.fori_loop(0, iters, step, init)
+
+
+@jax.jit
+def _assign_top2(data: jnp.ndarray, cent: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row best-2 clusters (spill candidates for capped packing)."""
+    s = jnp.dot(data, cent.T, preferred_element_type=jnp.float32)
+    k = min(2, cent.shape[0])
+    _, idx = jax.lax.top_k(s, k)
+    if k == 1:
+        idx = jnp.concatenate([idx, idx], axis=1)
+    return idx[:, 0], idx[:, 1]
+
+
+# ----------------------------------------------------------------- search
+
+
+def _ivf_bias(sr2, kc2, ac2, ak, aa, ex):
+    """Additive bias over flattened candidate slots: empty slots,
+    kind/agent mismatches and excluded global rows go to NEG_INF —
+    the [C, L] analog of shard._build_bias."""
+    bias = jnp.where(sr2 >= 0, 0.0, NEG_INF)
+    kind_on = ak[0] != NO_FILTER
+    kind_ok = jnp.any(kc2[:, :, None] == ak[None, None, :], axis=2)
+    bias = bias + jnp.where(kind_on & ~kind_ok, NEG_INF, 0.0)
+    agent_on = aa != NO_FILTER
+    bias = bias + jnp.where(agent_on & (ac2 != aa), NEG_INF, 0.0)
+    excluded = jnp.any(sr2[:, :, None] == ex[None, None, :], axis=2)
+    return bias + jnp.where(excluded, NEG_INF, 0.0)
+
+
+def _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q):
+    """Gather the probed blocks and int8-score every slot in them.
+
+    Returns (scores [B, p*L] fp32 — descaled approximate q.(x-mu),
+    rows [B, p*L] int32 global row per slot, -1 for empty)."""
+    blk = emb_i8[probe]                       # [B, p, L, d] block gather
+    sr = slot_rows[probe]                     # [B, p, L]
+    ri = rinv_sl[probe]
+    b = q.shape[0]
+    d = q.shape[1]
+    pl = blk.shape[1] * blk.shape[2]
+    qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+    qi8 = jnp.clip(jnp.round(q * qs[:, None]), -127, 127).astype(jnp.int8)
+    s32 = jax.lax.dot_general(
+        blk.reshape(b, pl, d), qi8,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)     # [B, p*L]
+    s = s32.astype(jnp.float32) * (ri.reshape(b, pl) / qs[:, None])
+    return s, sr.reshape(b, pl)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cand"))
+def _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
+                ak, aa, ex, q, *, p: int, cand: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused IVF probe + scan + top-cand in ONE dispatch."""
+    cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cs, p)           # [B, p]
+    s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q)
+    b, pl = s.shape
+    kc2 = kind_sl[probe].reshape(b, pl)
+    ac2 = agent_sl[probe].reshape(b, pl)
+    s = s + _ivf_bias(sr2, kc2, ac2, ak, aa, ex)
+    v, idx = jax.lax.top_k(s, min(cand, pl))
+    rows = jnp.take_along_axis(sr2, idx, axis=1)
+    return v, jnp.where(v > -1e29, rows, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cand"))
+def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
+                         *, p: int, cand: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overflow-filter variant: exact host-computed [cap] bias,
+    gathered per candidate slot by global row — never truncates
+    (same posture as shard._fused_search_hostbias)."""
+    cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cs, p)
+    s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q)
+    slot_bias = bias[jnp.clip(sr2, 0, bias.shape[0] - 1)]
+    s = s + jnp.where(sr2 >= 0, slot_bias, NEG_INF)
+    v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
+    rows = jnp.take_along_axis(sr2, idx, axis=1)
+    return v, jnp.where(v > -1e29, rows, 0)
+
+
+@jax.jit
+def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
+                   c_idx, s_idx, qv, ri, sr, kc, ac):
+    """Functional per-slot scatter (NO donation — see module doc)."""
+    return (emb_i8.at[c_idx, s_idx].set(qv),
+            rinv_sl.at[c_idx, s_idx].set(ri),
+            slot_rows.at[c_idx, s_idx].set(sr),
+            kind_sl.at[c_idx, s_idx].set(kc),
+            agent_sl.at[c_idx, s_idx].set(ac))
+
+
+class IvfCorpus(DeviceCorpus):
+    """DeviceCorpus whose device layout is the clustered [C, L, d]
+    block structure; candidate generation runs the fused IVF kernel,
+    everything downstream is inherited."""
+
+    def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
+                 storage_dtype: str = "float32",
+                 search_path: str = "auto"):
+        super().__init__(dim, search_path=search_path,
+                         storage_dtype=storage_dtype)
+        self._nlist_cfg = int(nlist)          # 0 = auto (~sqrt(N))
+        self._nprobe_cfg = int(nprobe)        # 0 = auto (C/16, >= 8)
+        self._ivf_dev: Optional[Tuple[jnp.ndarray, ...]] = None
+        self._centroids_h: Optional[np.ndarray] = None
+        self._cluster_of = np.full((0,), -1, np.int32)   # [cap] by row
+        self._slot_of = np.full((0,), -1, np.int32)      # [cap] by row
+        self._cluster_free: List[List[int]] = []
+        self._slot_cap = 0                    # L
+        self._trained_live = 0
+
+    # -------------------------------------------------------- bookkeeping
+    def _grow(self, need: int) -> None:
+        old = self._cap
+        super()._grow(need)
+        pad = self._cap - old
+        if pad > 0:
+            self._cluster_of = np.concatenate(
+                [self._cluster_of, np.full(pad, -1, np.int32)])
+            self._slot_of = np.concatenate(
+                [self._slot_of, np.full(pad, -1, np.int32)])
+
+    def compact(self) -> None:
+        super().compact()                     # every row index moved
+        self._cluster_of = np.full(self._cap, -1, np.int32)
+        self._slot_of = np.full(self._cap, -1, np.int32)
+        self._ivf_dev = None                  # rebuilt on next sync
+
+    def _auto_nlist(self, n_live: int) -> int:
+        if self._nlist_cfg > 0:
+            return max(1, self._nlist_cfg)
+        if n_live <= 64:
+            return 1
+        return int(min(MAX_AUTO_NLIST, max(2, round(math.sqrt(n_live)))))
+
+    def _nprobe(self, c: int) -> int:
+        if self._nprobe_cfg > 0:
+            return min(c, self._nprobe_cfg)
+        return min(c, max(8, c // 16))
+
+    # ------------------------------------------------------------- build
+    def _build_ivf(self) -> None:
+        """Full (re)build: train centroids on device, pack every live
+        row into a cluster slot, upload the block layout. Runs under
+        the corpus lock (callers: sync)."""
+        rows = np.where(self._live_h)[0].astype(np.int32)
+        n = len(rows)
+        if n == 0:
+            self._ivf_dev = None
+            self._centroids_h = None
+            self._cluster_of[:] = -1
+            self._slot_of[:] = -1
+            self._cluster_free = []
+            self._trained_live = 0
+            return
+        c = self._auto_nlist(n)
+        data = self._emb_h[rows]              # unit-norm fp32 [N, d]
+        rng = np.random.default_rng(n)        # deterministic per size
+        sample = data[rng.choice(n, size=min(n, 131072), replace=False)]
+        init = sample[rng.choice(len(sample), size=c,
+                                 replace=len(sample) < c)]
+        cent = np.asarray(_kmeans_device(
+            jnp.asarray(sample), jnp.asarray(init), c=c, iters=8),
+            np.float32)
+        # assign every live row: best-2 clusters, chunked device matmul
+        first = np.empty(n, np.int32)
+        second = np.empty(n, np.int32)
+        cent_dev = jnp.asarray(cent)
+        step = 1 << 18
+        for s in range(0, n, step):
+            a1, a2 = _assign_top2(jnp.asarray(data[s:s + step]), cent_dev)
+            first[s:s + step] = np.asarray(a1)
+            second[s:s + step] = np.asarray(a2)
+        # capped packing: first choice vectorized (rank-within-cluster
+        # via one stable argsort — a 10M-row Python loop here would
+        # cost tens of seconds); the spilled remainder (k-means
+        # imbalance only) falls back to second choice, then any
+        # cluster with room. C*L > N by construction, so a slot always
+        # exists; a force-placed row only costs recall if its cluster
+        # is never probed — the exact re-rank is unaffected.
+        lcap = max(8, int(math.ceil(n / c * SLOT_SLACK / 8)) * 8)
+        cluster = np.empty(n, np.int32)
+        slot = np.empty(n, np.int32)
+        order = np.argsort(first, kind="stable")
+        fs = first[order]
+        starts = np.searchsorted(fs, np.arange(c))
+        rank = (np.arange(n) - starts[fs]).astype(np.int32)
+        ok = rank < lcap
+        cluster[order[ok]] = fs[ok]
+        slot[order[ok]] = rank[ok]
+        fill = np.bincount(fs[ok], minlength=c).astype(np.int32)
+        for j in order[~ok]:
+            ch = int(second[j])
+            if fill[ch] >= lcap:
+                ch = int(np.argmin(fill))     # any cluster with room
+            cluster[j] = ch
+            slot[j] = fill[ch]
+            fill[ch] += 1
+        # centered int8 quantization, same invariance as the flat path
+        mu = data.mean(axis=0).astype(np.float32)
+        qv, rinv, self._quant_mu = quantize_rows_centered(data, mu)
+        emb_i8 = np.zeros((c, lcap, self.dim), np.int8)
+        rinv_sl = np.zeros((c, lcap), np.float32)
+        slot_rows = np.full((c, lcap), -1, np.int32)
+        kind_sl = np.full((c, lcap), PAD_CODE, np.int32)
+        agent_sl = np.full((c, lcap), PAD_CODE, np.int32)
+        emb_i8[cluster, slot] = qv
+        rinv_sl[cluster, slot] = rinv
+        slot_rows[cluster, slot] = rows
+        kind_sl[cluster, slot] = self._kind_h[rows]
+        agent_sl[cluster, slot] = self._agent_h[rows]
+        self._cluster_of[:] = -1
+        self._slot_of[:] = -1
+        self._cluster_of[rows] = cluster
+        self._slot_of[rows] = slot
+        free_mask = slot_rows < 0
+        self._cluster_free = [list(np.where(free_mask[ci])[0][::-1])
+                              for ci in range(c)]
+        self._centroids_h = cent
+        self._slot_cap = lcap
+        self._trained_live = n
+        self._ivf_dev = (jnp.asarray(cent), jnp.asarray(emb_i8),
+                         jnp.asarray(rinv_sl), jnp.asarray(slot_rows),
+                         jnp.asarray(kind_sl), jnp.asarray(agent_sl))
+        log.info("ivf build: %d rows -> %d clusters x %d slots "
+                 "(fill %.2f)", n, c, lcap, n / (c * lcap))
+
+    def _free_slots(self) -> int:
+        return sum(len(f) for f in self._cluster_free)
+
+    def _apply_dirty(self, rows: np.ndarray) -> bool:
+        """Incremental slot maintenance for dirty rows. Returns False
+        when placement ran out of room (caller falls back to a full
+        rebuild).
+
+        Writes are keyed by (cluster, slot), LAST WINS: a slot vacated
+        by one row can be taken by a later row in the same batch, and
+        XLA scatter with duplicate indices does not define which write
+        lands — so duplicates must be resolved on the host before the
+        single device scatter."""
+        writes: dict = {}                     # (c, s) -> global row | -1
+        live_mask = self._live_h[rows]
+        live_rows = rows[live_mask]
+        # one BLAS matmul for every live-dirty row's cluster preference
+        # (a per-row matvec loop is ~GFLOPs of Python-paced work at
+        # linker-cycle sizes)
+        pref = None
+        if len(live_rows):
+            sc = self._emb_h[live_rows] @ self._centroids_h.T
+            take = min(8, sc.shape[1])
+            pref = np.argsort(-sc, axis=1)[:, :take]
+        li = 0
+        for r in rows:
+            cl, sl = int(self._cluster_of[r]), int(self._slot_of[r])
+            if not self._live_h[r]:
+                if sl >= 0:                   # clear the vacated slot
+                    writes[(cl, sl)] = -1
+                    self._cluster_free[cl].append(sl)
+                    self._cluster_of[r] = -1
+                    self._slot_of[r] = -1
+                continue
+            choices = pref[li]
+            li += 1
+            best = int(choices[0])
+            if cl == best and sl >= 0:
+                target_c, target_s = cl, sl   # in-place value update
+            else:
+                target_c = -1
+                for ch in choices:            # nearest with room
+                    if self._cluster_free[int(ch)]:
+                        target_c = int(ch)
+                        break
+                if target_c < 0:              # any room at all?
+                    for ch, f in enumerate(self._cluster_free):
+                        if f:
+                            target_c = ch
+                            break
+                if target_c < 0:
+                    return False              # full: rebuild
+                target_s = self._cluster_free[target_c].pop()
+                if sl >= 0:                   # vacate the old slot
+                    writes[(cl, sl)] = -1
+                    self._cluster_free[cl].append(sl)
+                self._cluster_of[r] = target_c
+                self._slot_of[r] = target_s
+            writes[(target_c, target_s)] = int(r)
+        if not writes:
+            return True
+        c_idx = np.fromiter((c for c, _ in writes), np.int32)
+        s_idx = np.fromiter((s for _, s in writes), np.int32)
+        sr = np.fromiter(writes.values(), np.int32)
+        dead = sr < 0
+        src = np.where(dead, 0, sr)           # dead slots: value ignored
+        qv, ri, _ = quantize_rows_centered(self._emb_h[src],
+                                           self._quant_mu)
+        ri = np.where(dead, 0.0, ri).astype(np.float32)
+        qv[dead] = 0
+        kc = np.where(dead, PAD_CODE, self._kind_h[src]).astype(np.int32)
+        ac = np.where(dead, PAD_CODE, self._agent_h[src]).astype(np.int32)
+        cent, *arrs = self._ivf_dev
+        self._ivf_dev = (cent, *_scatter_slots(
+            *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
+            jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
+            jnp.asarray(kc), jnp.asarray(ac)))
+        return True
+
+    def sync(self) -> None:
+        """Push host diffs into the block layout; full rebuild (with
+        retrain) when the structure is stale, absent, or drifted."""
+        with self._lock:
+            if self._cap == 0:
+                return
+            n_live = int(self._live_h.sum())
+            stale = (self._ivf_dev is None and n_live > 0)
+            drifted = (self._trained_live > 0 and
+                       (n_live > RETRAIN_GROWTH * self._trained_live
+                        or n_live * RETRAIN_GROWTH < self._trained_live))
+            bulk = len(self._dirty) > max(4096, self._cap // 8)
+            if self._full_resync or stale or drifted or bulk:
+                self._build_ivf()
+                self._full_resync = False
+                self._dirty.clear()
+                return
+            if not self._dirty:
+                return
+            rows = np.fromiter(self._dirty, np.int32)
+            if not self._apply_dirty(rows):
+                self._build_ivf()
+            self._dirty.clear()
+
+    # ------------------------------------------------------------- search
+    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
+                         host_bias=None, dev=None, dev_q=None):
+        """Fused IVF kernel; returns (values, GLOBAL rows, True) so the
+        inherited _finish_topk re-ranks candidates exactly against the
+        fp32 host mirror. The tuple is read once — functional scatters
+        never invalidate a captured tuple, and row-reassignment races
+        are caught by the inherited generation check."""
+        ivf = self._ivf_dev
+        if ivf is None:                       # empty corpus
+            b = q.shape[0]
+            return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
+                    jnp.zeros((b, k_bucket), jnp.int32), False)
+        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl = ivf
+        c = cent.shape[0]
+        p = self._nprobe(c)
+        cand = min(self._cand_count(k_bucket), p * self._slot_cap)
+        if host_bias is not None:
+            v, rows = _ivf_search_hostbias(
+                cent, emb_i8, rinv_sl, slot_rows,
+                jnp.asarray(host_bias), q, p=p, cand=cand)
+        else:
+            v, rows = _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
+                                  kind_sl, agent_sl, ak, aa, ex, q,
+                                  p=p, cand=cand)
+        return v, rows, True
+
+
+class TpuIvfIndex(TpuFlatIndex):
+    """Drop-in VectorIndex over IvfCorpus — selected with
+    [embedding] index = "ivf" for 10M+ corpora where small-batch
+    latency matters more than the flat scan's recall-by-construction.
+    retrain() forces a full k-means rebuild (reference rebuild()
+    analog for a drifted corpus)."""
+
+    def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
+                 storage_dtype: str = "float32",
+                 search_path: str = "auto"):
+        self.dim = dim
+        self._corpus = IvfCorpus(dim, nlist=nlist, nprobe=nprobe,
+                                 storage_dtype=storage_dtype,
+                                 search_path=search_path)
+        self._delta_ids: set = set()
+
+    def retrain(self) -> None:
+        with self._corpus._lock:
+            self._corpus._full_resync = True
+            self._corpus.sync()
+
+    def load(self, path: str) -> None:
+        import json
+        from ..errors import IndexError_
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        if meta["dim"] != self.dim:
+            raise IndexError_(
+                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+        old = self._corpus
+        self._corpus = IvfCorpus(
+            self.dim, nlist=old._nlist_cfg, nprobe=old._nprobe_cfg,
+            storage_dtype=("bfloat16"
+                           if old._storage_dtype == jnp.bfloat16
+                           else "float32"),
+            search_path=old._search_path)
+        self._delta_ids = set()
+        if meta["ids"]:
+            self._corpus.upsert_batch(meta["ids"], z["vectors"],
+                                      meta["kinds"], meta["agents"])

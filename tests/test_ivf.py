@@ -1,0 +1,239 @@
+"""TpuIvfIndex / IvfCorpus — the sublinear (clustered) index.
+
+Correctness frame: IVF's only approximation is candidate MEMBERSHIP
+(a true top-k row whose cluster was not probed). Final scores are
+fp32-exact (inherited host re-rank), and probing ALL clusters
+(nprobe = nlist) must reproduce the flat-scan oracle exactly — that
+invariant anchors most tests here."""
+
+import numpy as np
+import pytest
+
+from cortex_tpu.vector import BruteForceIndex, TpuIvfIndex, VectorFilter
+from cortex_tpu.vector.ivf import IvfCorpus
+
+DIM = 64
+
+
+def clustered(n, dim=DIM, *, groups=None, seed=0):
+    """Clustered corpus (~8 members per center) — the similarity
+    structure IVF exploits; iid gaussian has none."""
+    rng = np.random.default_rng(seed)
+    g = groups or max(1, n // 8)
+    centers = rng.standard_normal((g, dim)).astype(np.float32)
+    v = (np.repeat(centers, (n + g - 1) // g, axis=0)[:n]
+         + 0.25 * rng.standard_normal((n, dim)).astype(np.float32))
+    return v
+
+
+def build_pair(vecs, *, nlist=0, nprobe=0, kinds=None, agents=None):
+    ids = [f"n{i}" for i in range(len(vecs))]
+    ivf = TpuIvfIndex(vecs.shape[1], nlist=nlist, nprobe=nprobe)
+    oracle = BruteForceIndex(vecs.shape[1])
+    ivf.insert_batch(ids, vecs, kinds=kinds, agents=agents)
+    for i, nid in enumerate(ids):
+        oracle.insert(nid, vecs[i],
+                      kind=kinds[i] if kinds else "",
+                      source_agent=agents[i] if agents else "")
+    return ivf, oracle
+
+
+def recall(hits, truth):
+    got = {i for i, _ in hits}
+    want = {i for i, _ in truth}
+    return len(got & want) / max(1, len(want))
+
+
+class TestExactWhenFullyProbed:
+    def test_nprobe_equals_nlist_matches_oracle(self):
+        vecs = clustered(600)
+        ivf, oracle = build_pair(vecs, nlist=16, nprobe=16)
+        q = clustered(8, seed=3)
+        got = ivf.search_batch(q, 10)
+        want = oracle.search_batch(q, 10)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+            np.testing.assert_allclose([s for _, s in got[b]],
+                                       [s for _, s in want[b]],
+                                       atol=1e-5)
+
+    def test_scores_are_exact_cosines_even_partially_probed(self):
+        vecs = clustered(600)
+        ivf, oracle = build_pair(vecs, nlist=16, nprobe=4)
+        q = clustered(4, seed=5)
+        want = {i: s for hits in oracle.search_batch(q, 600)
+                for i, s in hits}
+        for b, hits in enumerate(ivf.search_batch(q, 10)):
+            for nid, s in hits:
+                ref = oracle.search_batch(q[b:b + 1], 600)[0]
+                ref_s = dict(ref)[nid]
+                assert abs(s - ref_s) < 1e-5
+
+
+class TestRecall:
+    def test_clustered_corpus_high_recall_at_default_probe(self):
+        vecs = clustered(2000, groups=100)
+        ivf, oracle = build_pair(vecs, nlist=32, nprobe=8)
+        q = vecs[::97][:16] + 0.05 * np.random.default_rng(7) \
+            .standard_normal((16, DIM)).astype(np.float32)
+        got = ivf.search_batch(q, 10)
+        want = oracle.search_batch(q, 10)
+        r = np.mean([recall(got[b], want[b]) for b in range(len(q))])
+        assert r >= 0.9, f"recall {r}"
+
+
+class TestFilters:
+    def test_kind_and_agent_filters(self):
+        vecs = clustered(400)
+        kinds = [("fact" if i % 2 else "event") for i in range(400)]
+        agents = [f"a{i % 3}" for i in range(400)]
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8,
+                                 kinds=kinds, agents=agents)
+        q = clustered(4, seed=9)
+        flt = VectorFilter(kinds=["fact"], source_agent="a1")
+        got = ivf.search_batch(q, 10, flt)
+        want = oracle.search_batch(q, 10, flt)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_exclusion(self):
+        vecs = clustered(300)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        q = vecs[:2]
+        flt = VectorFilter(exclude_ids=["n0", "n1", "n5"])
+        got = ivf.search_batch(q, 10, flt)
+        for hits in got:
+            assert not {"n0", "n1", "n5"} & {i for i, _ in hits}
+
+    def test_oversized_filter_lists_use_exact_host_bias(self):
+        vecs = clustered(300)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        q = vecs[:2]
+        # > MAX_EXCLUDE (64) exclusions forces the host-bias kernel
+        excl = [f"n{i}" for i in range(80)]
+        flt = VectorFilter(exclude_ids=excl)
+        got = ivf.search_batch(q, 10, flt)
+        want = oracle.search_batch(q, 10, flt)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+
+class TestMutation:
+    def test_incremental_insert_is_searchable(self):
+        vecs = clustered(256)
+        ivf, _ = build_pair(vecs, nlist=8, nprobe=8)
+        nv = clustered(1, seed=42) + 3.0       # distinctive direction
+        ivf.insert("fresh", nv[0])
+        hits = ivf.search_batch(nv, 3)[0]
+        assert hits[0][0] == "fresh"
+
+    def test_remove_then_reinsert_slot_reuse(self):
+        """A slot vacated and re-taken in the SAME dirty batch must
+        end up holding the new row (scatter dedupe, last-wins)."""
+        vecs = clustered(128)
+        ivf, _ = build_pair(vecs, nlist=2, nprobe=2)
+        ivf.remove("n7")
+        nv = vecs[7] + 0.01
+        ivf.insert("taken", nv)                # same region -> same slot
+        hits = ivf.search_batch(nv[None, :], 5)[0]
+        got = [i for i, _ in hits]
+        assert "taken" in got and "n7" not in got
+
+    def test_update_in_place(self):
+        vecs = clustered(128)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        moved = -vecs[3]
+        ivf.insert("n3", moved)                # overwrite
+        hits = ivf.search_batch(moved[None, :], 1)[0]
+        assert hits[0][0] == "n3"
+
+    def test_bulk_churn_triggers_rebuild_and_stays_consistent(self):
+        vecs = clustered(512)
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8)
+        v2 = clustered(512, seed=11)
+        ids = [f"n{i}" for i in range(512)]
+        ivf.insert_batch(ids, v2)              # all dirty -> rebuild
+        for i, nid in enumerate(ids):
+            oracle.insert(nid, v2[i])
+        q = v2[:4]
+        got = ivf.search_batch(q, 5)
+        want = oracle.search_batch(q, 5)
+        for b in range(4):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_growth_retrains(self):
+        vecs = clustered(100)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf.search_batch(vecs[:1], 1)          # sync builds the layout
+        assert ivf._corpus._trained_live == 100
+        more = clustered(400, seed=21)
+        ids = [f"m{i}" for i in range(400)]
+        ivf.insert_batch(ids, more)
+        ivf.search_batch(more[:1], 5)          # sync happens on search
+        assert ivf._corpus._trained_live == 500
+
+
+class TestLifecycle:
+    def test_compact_rebuilds(self):
+        vecs = clustered(200)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        for i in range(0, 200, 2):
+            ivf.remove(f"n{i}")
+        ivf.rebuild()
+        hits = ivf.search_batch(vecs[1][None, :], 3)[0]
+        assert hits[0][0] == "n1"
+        assert len(ivf) == 100
+
+    def test_save_load_roundtrip(self, tmp_path):
+        vecs = clustered(300)
+        ivf, _ = build_pair(vecs, nlist=8, nprobe=8)
+        p = str(tmp_path / "ivf.npz")
+        ivf.save(p)
+        fresh = TpuIvfIndex(DIM, nlist=8, nprobe=8)
+        fresh.load(p)
+        assert len(fresh) == 300
+        q = vecs[:2]
+        a = ivf.search_batch(q, 5)
+        b = fresh.search_batch(q, 5)
+        for x, y in zip(a, b):
+            assert [i for i, _ in x] == [i for i, _ in y]
+
+    def test_retrain_api(self):
+        vecs = clustered(200)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        ivf.retrain()
+        hits = ivf.search_batch(vecs[:1], 3)[0]
+        assert hits[0][0] == "n0"
+
+    def test_empty_and_tiny(self):
+        ivf = TpuIvfIndex(DIM)
+        assert ivf.search_batch(np.zeros((1, DIM), np.float32), 5) == [[]]
+        ivf.insert("only", np.ones(DIM, np.float32))
+        hits = ivf.search_batch(np.ones((1, DIM), np.float32), 5)[0]
+        assert hits[0][0] == "only"
+
+
+class TestEngineIntegration:
+    def test_cortex_with_ivf_index(self):
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.config import CortexConfig
+        cfg = CortexConfig()
+        cfg.embedding.index = "ivf"
+        cfg.embedding.ivf_nlist = 4
+        cfg.embedding.ivf_nprobe = 4
+        cx = Cortex.in_memory(cfg)
+        assert isinstance(cx.index, TpuIvfIndex)
+        nid = cx.store(Cortex.decision(
+            "IVF integration fact",
+            "The clustered index serves this search."))
+        hits = cx.search("clustered index serves", limit=3)
+        assert any(n.id == nid for _, n in hits)
+        cx.close()
+
+    def test_config_validation(self):
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.errors import ConfigError
+        cfg = CortexConfig()
+        cfg.embedding.index = "hnsw"
+        with pytest.raises(ConfigError):
+            cfg.validate()

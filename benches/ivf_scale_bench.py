@@ -1,0 +1,256 @@
+"""IVF at scale — the sublinear option vs the flat scan (r3).
+
+Measures the fused IVF kernel (cortex_tpu.vector.ivf._ivf_search) at
+--rows (default 10M) x 768: train spherical k-means on a device
+sample, pack the corpus into the [C, L, d] centered-int8 block layout
+(assembled chunk-wise ON DEVICE — a 10 GB host upload would bench the
+transport), then:
+
+  * QPS at batch 1 / 8 / 64 (pipelined dispatch, single drain) — the
+    IVF bet is SMALL-batch latency, where the flat scan's O(N) per
+    dispatch dominates (BASELINE 10M row: 4.7k QPS @ 64, worse at 1).
+  * candidate recall@10 vs the fp32-exact oracle, computed chunk-wise
+    on device. Two query families, both reported: in-distribution
+    (corpus row + noise — realistic: queries correlate with content)
+    and iid gaussian (adversarial: near-zero cosine to everything, the
+    probe ranking is noise-driven).
+
+Corpus is CLUSTERED (8-member centers, like the mixed-workload bench:
+the similarity structure of real corpora — iid rows have none and
+under-sell any clustered structure; see the recall table both ways in
+BASELINE.md).
+
+Run: python benches/ivf_scale_bench.py [--rows 10000000] [--cpu]
+Prints one JSON line per measurement.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:      # must precede backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cortex_tpu.ops.similarity import NEG_INF
+from cortex_tpu.vector.ivf import _ivf_search, _kmeans_device
+from cortex_tpu.vector.shard import NO_FILTER, PAD_CODE, MAX_EXCLUDE, \
+    MAX_FILTER_KINDS
+
+D = 768
+K = 10
+CHUNK = int(os.environ.get("IVF_CHUNK", 1_000_000))
+ROUNDS = int(os.environ.get("IVF_ROUNDS", 30))
+
+
+def emit(metric, value, unit, vs=None):
+    row = {"metric": metric, "value": round(float(value), 4),
+           "unit": unit}
+    if vs is not None:
+        row["vs_baseline"] = round(float(vs), 2)
+    print(json.dumps(row), flush=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "groups"))
+def _gen_chunk(key, n, groups, mu_centers):
+    """Clustered unit-norm chunk: rows = center[i % groups] + noise.
+    mu_centers [groups, D] is shared across chunks (same cluster
+    structure corpus-wide)."""
+    noise = 0.35 * jax.random.normal(key, (n, D), jnp.float32)
+    idx = jnp.arange(n) % groups
+    v = mu_centers[idx] + noise
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
+                           1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _center_quant(v, mu):
+    c = v - mu[None, :]
+    m = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-12)
+    q = jnp.clip(jnp.round(c * (127.0 / m)[:, None]), -127, 127
+                 ).astype(jnp.int8)
+    return q, (m / 127.0).astype(jnp.float32)
+
+
+@jax.jit
+def _assign1(v, cent):
+    return jnp.argmax(jnp.dot(v, cent.T,
+                              preferred_element_type=jnp.float32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_chunk_topk(v, q, *, k):
+    s = jnp.dot(q, v.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(s, k)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--nlist", type=int, default=0)
+    ap.add_argument("--nprobe", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    n, rows_left = args.rows, args.rows
+    c = args.nlist or min(8192, max(2, round(float(np.sqrt(n)))))
+    p = args.nprobe or min(c, max(8, c // 16))
+    groups = max(1, n // 8)
+
+    dev = jax.devices()[0]
+    emit("ivf-bench platform", 1 if dev.platform == "tpu" else 0,
+         f"platform={dev.platform} rows={n} nlist={c} nprobe={p}")
+
+    key = jax.random.PRNGKey(7)
+    # shared cluster centers for the corpus generator (device-resident;
+    # groups can be ~1M so generate in slices)
+    ck, key = jax.random.split(key)
+    centers = jax.random.normal(ck, (groups, D), jnp.float32)
+
+    t0 = time.time()
+    # pass 1: k-means on one sampled chunk (sample = first chunk rows)
+    sk, key = jax.random.split(key)
+    sample = _gen_chunk(sk, min(131072, n), groups, centers)
+    init = sample[jax.random.choice(
+        jax.random.PRNGKey(1), sample.shape[0], (c,),
+        replace=sample.shape[0] < c)]
+    cent = _kmeans_device(sample, init, c=c, iters=8)
+    cent.block_until_ready()
+    emit("ivf k-means train (131k sample)", time.time() - t0, "seconds")
+
+    # pass 2: assign all rows chunk-wise; assignments land on host
+    # (n * 4 bytes), packing plan computed there
+    t0 = time.time()
+    assign = np.empty(n, np.int32)
+    chunk_keys = []
+    off = 0
+    while rows_left > 0:
+        m = min(CHUNK, rows_left)
+        gk = jax.random.fold_in(key, off)
+        chunk_keys.append((gk, off, m))
+        v = _gen_chunk(gk, m, groups, centers)
+        assign[off:off + m] = np.asarray(_assign1(v, cent))
+        off += m
+        rows_left -= m
+    emit("ivf assignment pass", time.time() - t0, "seconds")
+
+    # packing plan: first-choice capped, spill to least-filled
+    t0 = time.time()
+    lcap = max(8, int(np.ceil(n / c * 1.3 / 8)) * 8)
+    order = np.argsort(assign, kind="stable")
+    fs = assign[order]
+    starts = np.searchsorted(fs, np.arange(c))
+    rank = (np.arange(n) - starts[fs]).astype(np.int64)
+    ok = rank < lcap
+    cluster = np.empty(n, np.int32)
+    slot = np.empty(n, np.int64)
+    cluster[order[ok]] = fs[ok]
+    slot[order[ok]] = rank[ok]
+    fill = np.bincount(fs[ok], minlength=c).astype(np.int64)
+    spilled = order[~ok]
+    for j in spilled:                      # k-means imbalance tail only
+        ch = int(np.argmin(fill))
+        cluster[j] = ch
+        slot[j] = fill[ch]
+        fill[ch] += 1
+    flat_pos = cluster.astype(np.int64) * lcap + slot
+    emit("ivf packing plan", time.time() - t0,
+         f"seconds (lcap={lcap} fill={n / (c * lcap):.2f} "
+         f"spilled={len(spilled)})")
+
+    # pass 3: regenerate chunks, center+quantize, scatter into the
+    # device block layout
+    t0 = time.time()
+    mu = jnp.mean(sample, axis=0)          # corpus-mean estimate
+    emb_flat = jnp.zeros((c * lcap, D), jnp.int8)
+    rinv_flat = jnp.zeros((c * lcap,), jnp.float32)
+    srows_flat = jnp.full((c * lcap,), -1, jnp.int32)
+
+    @jax.jit
+    def _scatter(ef, rf, sf, pos, q, ri, rid):
+        return (ef.at[pos].set(q), rf.at[pos].set(ri),
+                sf.at[pos].set(rid))
+
+    for gk, off, m in chunk_keys:
+        v = _gen_chunk(gk, m, groups, centers)
+        q, ri = _center_quant(v, mu)
+        pos = jnp.asarray(flat_pos[off:off + m])
+        rid = jnp.arange(off, off + m, dtype=jnp.int32)
+        emb_flat, rinv_flat, srows_flat = _scatter(
+            emb_flat, rinv_flat, srows_flat, pos, q, ri, rid)
+    emb_i8 = emb_flat.reshape(c, lcap, D)
+    rinv_sl = rinv_flat.reshape(c, lcap)
+    slot_rows = srows_flat.reshape(c, lcap)
+    kind_sl = jnp.where(slot_rows >= 0, 0, PAD_CODE).astype(jnp.int32)
+    agent_sl = kind_sl
+    emb_i8.block_until_ready()
+    emit("ivf block build+upload", time.time() - t0, "seconds")
+
+    ak = np.full(MAX_FILTER_KINDS, PAD_CODE, np.int32)
+    ak[0] = NO_FILTER
+    ak = jnp.asarray(ak)
+    aa = jnp.asarray(np.int32(NO_FILTER))
+    ex = jnp.asarray(np.full(MAX_EXCLUDE, NO_FILTER, np.int32))
+    cand = 64
+
+    def searches(qs):
+        return _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl,
+                           agent_sl, ak, aa, ex, qs, p=p, cand=cand)
+
+    # ---- QPS: pipelined dispatch, single drain -----------------------
+    rng = np.random.default_rng(0)
+    for b in (1, 8, 64):
+        qk = jax.random.fold_in(key, 999 + b)
+        qs = _gen_chunk(qk, max(b, 2), groups, centers)[:b]
+        searches(qs)[0].block_until_ready()          # compile
+        t0 = time.time()
+        outs = [searches(qs) for _ in range(ROUNDS)]
+        outs[-1][0].block_until_ready()
+        dt = time.time() - t0
+        emit(f"ivf search @ {n} rows batch {b}",
+             ROUNDS * b / dt, "QPS (device leg)")
+        emit(f"ivf search latency batch {b}", dt / ROUNDS * 1000, "ms")
+
+    # ---- recall vs fp32-exact oracle, chunk-wise on device -----------
+    for fam, make_q in (
+            ("in-distribution",
+             lambda: _gen_chunk(jax.random.fold_in(key, 555), 64,
+                                groups, centers)),
+            ("iid-gaussian",
+             lambda: jnp.asarray(np.linalg.qr(
+                 rng.standard_normal((D, 64)))[0].T.astype(np.float32)))):
+        qs = make_q()
+        v_ivf, rows_ivf = searches(qs)
+        rows_ivf = np.asarray(rows_ivf)
+        # oracle: exact top-K over every chunk, merged on host
+        best_v = np.full((64, K), -np.inf, np.float32)
+        best_i = np.zeros((64, K), np.int64)
+        for gk, off, m in chunk_keys:
+            v = _gen_chunk(gk, m, groups, centers)
+            cv, ci = _exact_chunk_topk(v, qs, k=K)
+            cv = np.asarray(cv)
+            ci = np.asarray(ci) + off
+            allv = np.concatenate([best_v, cv], axis=1)
+            alli = np.concatenate([best_i, ci], axis=1)
+            sel = np.argsort(-allv, axis=1, kind="stable")[:, :K]
+            best_v = np.take_along_axis(allv, sel, axis=1)
+            best_i = np.take_along_axis(alli, sel, axis=1)
+        hit = np.mean([
+            len(set(rows_ivf[b].tolist()) & set(best_i[b].tolist())) / K
+            for b in range(64)])
+        emit(f"ivf candidate recall@10 ({fam} queries)", hit,
+             f"fraction (cand={cand}, nprobe={p}/{c})")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,7 +83,7 @@ class EmbeddingConfig:
     # the TPU-native equivalent.
     index: str = "flat"
     ivf_nlist: int = 0                # 0 = auto (~sqrt(N), <= 8192)
-    ivf_nprobe: int = 0               # 0 = auto (nlist/16, >= 8)
+    ivf_nprobe: int = 0               # 0 = auto (nlist/8, >= 8)
 
 
 @dataclass

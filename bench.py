@@ -59,6 +59,11 @@ def main():
     from cortex_tpu.ops.similarity import (cosine_topk_approx,
                                            cosine_topk_quant_exact,
                                            cosine_topk_xla, normalize_rows)
+    # bounded first-backend-touch: a wedged tunnel otherwise hangs this
+    # process forever in native code with zero output (observed live);
+    # fail loudly so the driver records an error, not a timeout
+    from cortex_tpu.utils.device import preflight_device
+    preflight_device()
 
     on_tpu = jax.devices()[0].platform == "tpu"
     n = N if on_tpu else 20_000     # CPU smoke path for dev runs

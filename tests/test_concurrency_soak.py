@@ -18,8 +18,14 @@ from cortex_tpu.types import Edge, EdgeProvenance, Node, Source
 
 
 class TestSoak:
-    def test_mixed_workload_no_corruption(self, tmp_path):
-        cx = Cortex.open(str(tmp_path / "soak.db"))
+    @pytest.mark.parametrize("index_kind", ["flat", "ivf"])
+    def test_mixed_workload_no_corruption(self, tmp_path, index_kind):
+        from cortex_tpu.config import CortexConfig
+        cfg = CortexConfig()
+        cfg.embedding.index = index_kind   # IVF shares the corpus-lock
+        # protocol but adds its own slot bookkeeping + non-donating
+        # scatters — soak both layouts
+        cx = Cortex.open(str(tmp_path / "soak.db"), cfg)
         words = [f"topic{i}" for i in range(50)]
         errors = []
         stored_ids = []

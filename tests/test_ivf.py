@@ -205,6 +205,17 @@ class TestLifecycle:
         hits = ivf.search_batch(vecs[:1], 3)[0]
         assert hits[0][0] == "n0"
 
+    def test_search_stream_matches_batch(self):
+        """topk_stream (inherited single-drain bulk path, used by the
+        auto-linker) must agree with search_batch on the IVF layout."""
+        vecs = clustered(400)
+        ivf, _ = build_pair(vecs, nlist=8, nprobe=8)
+        q = clustered(20, seed=13)
+        a = ivf.search_stream(q, 5, batch=8)
+        b = ivf.search_batch(q, 5)
+        for x, y in zip(a, b):
+            assert [i for i, _ in x] == [i for i, _ in y]
+
     def test_empty_and_tiny(self):
         ivf = TpuIvfIndex(DIM)
         assert ivf.search_batch(np.zeros((1, DIM), np.float32), 5) == [[]]
@@ -236,4 +247,13 @@ class TestEngineIntegration:
         cfg = CortexConfig()
         cfg.embedding.index = "hnsw"
         with pytest.raises(ConfigError):
+            cfg.validate()
+
+    def test_ivf_plus_sharded_rejected_loudly(self):
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.errors import ConfigError
+        cfg = CortexConfig()
+        cfg.embedding.index = "ivf"
+        cfg.embedding.sharded = True
+        with pytest.raises(ConfigError, match="single-chip"):
             cfg.validate()

@@ -57,14 +57,16 @@ class Cortex:
         # mutate store+index from their own cycle thread)
         import threading
         self._persist_lock = threading.Lock()
-        self.embedder = default_embedder(self.config.embedding.model,
-                                         self.config.embedding.dimension)
         # bounded first-backend-touch BEFORE any real device work: on a
         # tunneled device a wedged transport blocks backend init forever
         # in native code (uninterruptible, zero log output) — fail
-        # loudly instead (utils/device.py; no-op after first success)
+        # loudly instead (utils/device.py; no-op after first success).
+        # Must precede the embedder too: device-encoder models
+        # (flax:/converted HF) upload their params in __init__
         from .utils.device import preflight_device
         preflight_device()
+        self.embedder = default_embedder(self.config.embedding.model,
+                                         self.config.embedding.dimension)
         self.index = self._make_index()
         self._rebuild_index()
         self.graph = GraphEngine(storage)
@@ -265,7 +267,15 @@ class Cortex:
         (api.rs:54-69 / serve.rs:100-123 — the reference always takes
         the slow path)."""
         if self._try_load_index_snapshot():
+            self._index_base_synced = True
             return
+        # full rebuild: the in-memory state is now derived from STORAGE,
+        # not from the on-disk base file — the delta working set tracks
+        # changes vs nothing, so a delta checkpoint against that base
+        # would be invalid (e.g. a node deleted between the base save
+        # and the crash is absent here but present in the base; a
+        # {base, delta} pair would resurrect it at the next boot)
+        self._index_base_synced = False
         nodes = [n for n in self.storage.list_nodes(NodeFilter())
                  if n.embedding is not None
                  and len(n.embedding) == self.embedder.dimension]
@@ -382,6 +392,13 @@ class Cortex:
                 # vs the base, so one file is always enough to replay.
                 use_delta = (
                     base_seq is not None and dpath is not None
+                    # the in-memory index must actually DERIVE from the
+                    # on-disk base (snapshot-boot or a prior base save
+                    # this process) — after a full rebuild the delta
+                    # working set is relative to storage, not the base,
+                    # and pairing it with the stale base resurrects
+                    # rows deleted since that base was written
+                    and getattr(self, "_index_base_synced", False)
                     and hasattr(self.index, "delta_size")
                     and self.index.delta_size()
                     <= max(_DELTA_FULL_REWRITE_FLOOR,
@@ -420,6 +437,9 @@ class Cortex:
                     _os.replace(tmp_meta, path + ".meta")
                     if dpath and _os.path.exists(dpath):
                         _os.remove(dpath)   # stale: paired with old base
+                    # the new base IS the current state (modulo the
+                    # swapped delta working set): deltas may pair again
+                    self._index_base_synced = True
             except Exception:  # noqa: BLE001
                 if pending is not None:
                     self.index.abort_snapshot_base(pending)

@@ -197,7 +197,10 @@ class CortexConfig:
             search_path=e.get("search_path", "auto"),
             sharded=bool(e.get("sharded", False)),
             snapshot_boot=bool(e.get("snapshot_boot", True)),
-            snapshot_min_delta=int(e.get("snapshot_min_delta", 64)))
+            snapshot_min_delta=int(e.get("snapshot_min_delta", 64)),
+            index=e.get("index", "flat"),
+            ivf_nlist=int(e.get("ivf_nlist", 0)),
+            ivf_nprobe=int(e.get("ivf_nprobe", 0)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(

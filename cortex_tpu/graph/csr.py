@@ -323,11 +323,23 @@ class DeviceGraphMirror:
         """[n_pad] hop distances from `rows` via the device table:
         frontier walk first, full relaxation on overflow."""
         n_pad = self._nbrs.shape[0]
-        a = np.full(max(len(rows), 1), -1, np.int32)
-        a[:len(rows)] = rows
-        dist, overflow = _frontier_bfs_device(
-            self._nbrs, jnp.asarray(a), min(max_hops, self.HOP_CAP),
-            self.DEVICE_FRONTIER_CAP)
+        # pad the anchor vector to a power-of-two bucket: every
+        # distinct length would otherwise compile its own XLA program
+        # (1, 2, 3, ... anchors each costing a cold compile — tens of
+        # seconds on a tunneled device, head-of-line-blocking serving).
+        # The bucket must fit the frontier (anchors ARE hop-0's
+        # frontier); more anchors than frontier slots is an overflow.
+        cap = 8
+        while cap < len(rows):
+            cap *= 2
+        overflow = True
+        dist = None
+        if cap <= self.DEVICE_FRONTIER_CAP:
+            a = np.full(cap, -1, np.int32)
+            a[:len(rows)] = rows
+            dist, overflow = _frontier_bfs_device(
+                self._nbrs, jnp.asarray(a), min(max_hops, self.HOP_CAP),
+                self.DEVICE_FRONTIER_CAP)
         if bool(overflow):
             dist0 = np.full(n_pad, INF_DEPTH, np.int32)
             dist0[list(rows)] = 0

@@ -75,9 +75,13 @@ class MiniNatsClient:
     surface the serve loop uses."""
 
     def __init__(self, reader: asyncio.StreamReader,
-                 writer: asyncio.StreamWriter):
+                 writer: asyncio.StreamWriter,
+                 user: Optional[str] = None,
+                 password: Optional[str] = None):
         self._r = reader
         self._w = writer
+        self._user = user
+        self._password = password
         self._subs: Dict[int, _Subscription] = {}
         self._next_sid = 1
         self._reader_task: Optional[asyncio.Task] = None
@@ -92,6 +96,9 @@ class MiniNatsClient:
         opts = {"verbose": False, "pedantic": False, "lang": "python",
                 "name": "cortex-mini-nats", "version": "1.0",
                 "protocol": 1}
+        if self._user is not None:
+            opts["user"] = self._user
+            opts["pass"] = self._password or ""
         self._w.write(b"CONNECT " + json.dumps(opts).encode() + CRLF)
         self._w.write(b"PING" + CRLF)
         await self._w.drain()
@@ -177,7 +184,8 @@ async def connect(url: str, timeout: float = 10.0) -> MiniNatsClient:
     host, port = u.hostname or "127.0.0.1", u.port or 4222
     reader, writer = await asyncio.wait_for(
         asyncio.open_connection(host, port), timeout)
-    client = MiniNatsClient(reader, writer)
+    client = MiniNatsClient(reader, writer, user=u.username,
+                            password=u.password)
     await asyncio.wait_for(client._handshake(), timeout)
     return client
 
@@ -191,8 +199,11 @@ class MiniNatsBroker:
     """Core-protocol NATS broker subset: CONNECT/PING/SUB/PUB with
     wildcard fan-out. `await start()` returns the bound port."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 user: Optional[str] = None,
+                 password: Optional[str] = None):
         self.host, self.port = host, port
+        self._user, self._password = user, password
         self._server: Optional[asyncio.AbstractServer] = None
         # (writer, pattern, sid) triples
         self._subs: List[Tuple[asyncio.StreamWriter, str, int]] = []
@@ -233,6 +244,17 @@ class MiniNatsBroker:
                     break
                 line = line.strip()
                 if line.startswith(b"CONNECT"):
+                    if self._user is not None:
+                        try:
+                            copts = json.loads(line[7:].decode())
+                        except ValueError:
+                            copts = {}
+                        if (copts.get("user") != self._user
+                                or copts.get("pass") != self._password):
+                            writer.write(
+                                b"-ERR 'Authorization Violation'" + CRLF)
+                            await writer.drain()
+                            break
                     writer.write(b"+OK" + CRLF)
                 elif line == b"PING":
                     writer.write(b"PONG" + CRLF)

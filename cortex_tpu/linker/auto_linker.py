@@ -345,6 +345,16 @@ class AutoLinker:
             with span("linker.dedup"):
                 page = self.storage.list_nodes_since(
                     self.dedup_cursor, self.dedup_cursor_id, _DEDUP_PAGE)
+                # only nodes the MAIN scan has already processed are
+                # eligible: its _ensure_embeddings step is what gets
+                # them embedded + indexed. Advancing the cursor past a
+                # not-yet-indexed node would exempt it from dedup
+                # FOREVER (scan() filters it out this time and the
+                # keyset never revisits it) — so the page is truncated
+                # at the main cursor and the tail waits for it.
+                page = [n for n in page
+                        if (n.created_at, n.id)
+                        <= (self.cursor, self.cursor_id)]
                 scanner = DedupScanner(self.storage, self.index,
                                        self.config.similarity,
                                        persist_lock=self.persist_lock)

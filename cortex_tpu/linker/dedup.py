@@ -66,13 +66,17 @@ class DedupScanner:
     def scan(self, nodes: Optional[List[Node]] = None) -> DedupResult:
         """All-pairs high-similarity scan. With `nodes` given, only
         those are used as QUERIES (against the full index) — the
-        incremental form the auto-linker drives: a pair of nodes both
-        unchanged since the last scan was already reported then, so
-        only pairs involving new/changed nodes can be new. Cost tracks
-        churn, not corpus size (the full scan deserializes every row
-        and queries the whole corpus — measured 277 s inside a linker
-        cycle at 1M after a bulk import). None -> full scan (explicit
-        triggers, CLI)."""
+        incremental form the auto-linker drives: a pair of existing
+        nodes was already reported when the newer one was first
+        scanned, so only pairs involving never-scanned nodes can be
+        new. Cost tracks churn, not corpus size (the full scan
+        deserializes every row and queries the whole corpus — measured
+        277 s inside a linker cycle at 1M after a bulk import).
+        Caveat: the incremental keyset orders by created_at, so a node
+        EDITED into a duplicate after its first scan is not re-queried
+        here — that path is covered by the write gate's duplicate
+        check at store time, and by explicit full scans (None ->
+        full scan; CLI / trigger)."""
         if nodes is None:
             nodes = self.storage.list_nodes(NodeFilter())
         nodes = [n for n in nodes

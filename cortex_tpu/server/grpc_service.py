@@ -204,6 +204,11 @@ class CortexServiceImpl:
                                              recency_bias=rb)
             except futures.TimeoutError:   # alias of TimeoutError on
                 hits = None                # 3.11+, distinct on 3.10
+            except DeviceFetchTimeout:
+                # a RuntimeError subclass — but re-running the wedged
+                # search on the direct path would just double the stall;
+                # let _wrap map it to UNAVAILABLE
+                raise
             except RuntimeError:
                 # "batcher is closed": a request racing shutdown —
                 # the direct path below still works (ADVICE r2 #3)

@@ -308,15 +308,24 @@ def create_app(state: ServerState) -> web.Application:
                                source_agent=agent_f)
         t0 = time.perf_counter()
         rb = float(recency) if recency else None
+        hits = None
         if state.search_batcher is not None:
             # read-side coalescing: concurrent searches share one
             # embed_batch + search_batch device dispatch; the decay
             # re-rank + access recording stay per-request
-            raw_hits = await state.search_batcher.search(
-                q, cx.overfetch_k(limit), flt)
-            hits = await asyncio.to_thread(
-                cx.finish_search, raw_hits, limit, recency_bias=rb)
-        else:
+            try:
+                raw_hits = await state.search_batcher.search(
+                    q, cx.overfetch_k(limit), flt)
+                hits = await asyncio.to_thread(
+                    cx.finish_search, raw_hits, limit, recency_bias=rb)
+            except DeviceFetchTimeout:
+                raise                     # middleware maps to 503
+            except RuntimeError:
+                # "batcher is closed": a request racing shutdown — the
+                # direct path below still works (ADVICE r2 #3; the gRPC
+                # surface gained this fallback first)
+                hits = None
+        if hits is None:
             hits = await asyncio.to_thread(
                 cx.search, q, limit=limit, flt=flt, recency_bias=rb)
         state.metrics.record_search("search", time.perf_counter() - t0)

@@ -355,15 +355,21 @@ class SqliteStorage(Storage):
             return out
         with self._lock:
             try:
-                marks = ",".join("?" * len(ids))
-                self._db.execute(
-                    f"UPDATE nodes SET access_count=access_count+1, "
-                    f"last_accessed_at=? WHERE id IN ({marks}) "
-                    f"AND deleted=0", (now, *ids))
-                rows = self._db.execute(
-                    f"SELECT id, access_count, last_accessed_at "
-                    f"FROM nodes WHERE id IN ({marks}) AND deleted=0",
-                    ids).fetchall()
+                rows = []
+                # chunk like get_nodes: an uncapped ?limit feeds this,
+                # and one variable per id overflows SQLite's binding
+                # limit (999 on older builds) into a 500 error
+                for s in range(0, len(ids), 500):
+                    chunk = ids[s:s + 500]
+                    marks = ",".join("?" * len(chunk))
+                    self._db.execute(
+                        f"UPDATE nodes SET access_count=access_count+1, "
+                        f"last_accessed_at=? WHERE id IN ({marks}) "
+                        f"AND deleted=0", (now, *chunk))
+                    rows.extend(self._db.execute(
+                        f"SELECT id, access_count, last_accessed_at "
+                        f"FROM nodes WHERE id IN ({marks}) AND deleted=0",
+                        chunk).fetchall())
                 self._db.commit()
             except BaseException:
                 self._db.rollback()

@@ -456,6 +456,14 @@ class IvfCorpus(DeviceCorpus):
             v, rows = _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
                                   kind_sl, agent_sl, ak, aa, ex, q,
                                   p=p, cand=cand)
+        if v.shape[1] < k_bucket:
+            # tiny probed pool (nprobe*L < k bucket): pad so the
+            # inherited numpy rescore still returns [B, >=kk] columns
+            # (the native rerank pads internally; the numpy leg's
+            # kk<k pad assumes at least kk candidate columns)
+            pad = k_bucket - v.shape[1]
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            rows = jnp.pad(rows, ((0, 0), (0, pad)))
         return v, rows, True
 
 

@@ -241,9 +241,18 @@ class Cortex:
         if self.config.embedding.sharded:
             import jax
             if len(jax.devices()) > 1:
-                from .parallel import ShardedFlatIndex, build_mesh
+                from .parallel import build_mesh
                 n = len(jax.devices())
                 pow2 = 1 << (n.bit_length() - 1)   # largest power of two
+                if self.config.embedding.index == "ivf":
+                    from .parallel.sharded_ivf import ShardedIvfIndex
+                    return ShardedIvfIndex(
+                        self.embedder.dimension, build_mesh(pow2),
+                        nlist=self.config.embedding.ivf_nlist,
+                        nprobe=self.config.embedding.ivf_nprobe,
+                        search_path=self.config.embedding.search_path,
+                        storage_dtype=self.config.embedding.device_dtype)
+                from .parallel import ShardedFlatIndex
                 return ShardedFlatIndex(
                     self.embedder.dimension, build_mesh(pow2),
                     storage_dtype=self.config.embedding.device_dtype)

@@ -349,11 +349,6 @@ class CortexConfig:
         if self.embedding.index not in ("flat", "ivf"):
             raise ConfigError(
                 "[embedding] index must be 'flat' or 'ivf'")
-        if self.embedding.index == "ivf" and self.embedding.sharded:
-            raise ConfigError(
-                "[embedding] index='ivf' is single-chip in this "
-                "release; disable sharded or use index='flat' "
-                "(the sharded flat scan)")
         if self.embedding.ivf_nlist < 0 or self.embedding.ivf_nprobe < 0:
             raise ConfigError(
                 "[embedding] ivf_nlist/ivf_nprobe must be >= 0")

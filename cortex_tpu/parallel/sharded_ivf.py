@@ -1,0 +1,206 @@
+"""ShardedIvfIndex — the sublinear index over a device mesh.
+
+Combines the two r3 scaling structures: the IVF clustered block layout
+(vector/ivf.py — sublinear candidate generation for small-batch
+latency) and the mesh-sharded corpus (parallel/sharded_index.py —
+capacity and bandwidth beyond one chip). The cluster axis is the shard
+axis: each device owns nlist/n_dev clusters' blocks, so HBM, the block
+gather, and the candidate scan all divide by the mesh size.
+
+Probing is PER-SHARD: each device ranks ITS clusters against the query
+and scans its local top-(nprobe/n_dev); the per-shard candidate lists
+all_gather over ICI and merge exactly, then flow into the inherited
+exact fp32 host re-rank. Per-shard probing keeps every shape static
+(global top-nprobe would give each device a data-dependent number of
+owned clusters to scan); with k-means clusters distributed round-robin
+it probes the same total cluster budget as the single-chip layout and
+cannot miss a cluster the single-chip probe would only find on another
+shard's score — each shard ranks its own clusters independently.
+
+Maintenance posture matches ShardedCorpus: incremental slot scatters
+run as jit updates on the sharded arrays (GSPMD keeps the layout);
+full rebuilds re-place the block layout across the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.similarity import NEG_INF
+from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _ivf_bias,
+                          _ivf_candidates)
+from .sharding import SHARD_AXIS, build_mesh
+
+
+@functools.partial(jax.jit, static_argnames=("p_s", "cand", "mesh"))
+def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
+                      kind_sl, agent_sl, ak, aa, ex, q, *,
+                      p_s: int, cand: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-shard probe + block scan + top-cand, ICI exact merge."""
+
+    def local(c_blk, e_blk, r_blk, s_blk, k_blk, a_blk, ak_r, aa_r,
+              ex_r, qq):
+        cs = jnp.dot(qq, c_blk.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(cs, min(p_s, c_blk.shape[0]))
+        s, sr2 = _ivf_candidates(e_blk, r_blk, s_blk, probe, qq)
+        b, pl = s.shape
+        kc2 = k_blk[probe].reshape(b, pl)
+        ac2 = a_blk[probe].reshape(b, pl)
+        s = s + _ivf_bias(sr2, kc2, ac2, ak_r, aa_r, ex_r)
+        v, idx = jax.lax.top_k(s, min(cand, pl))
+        rows = jnp.take_along_axis(sr2, idx, axis=1)
+        rows = jnp.where(v > -1e29, rows, 0)
+        av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
+        ar = jax.lax.all_gather(rows, SHARD_AXIS, axis=1, tiled=True)
+        gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
+        return gv, jnp.take_along_axis(ar, sel, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None, None),
+                  P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                  P(None), P(), P(None), P(None, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
+              ak, aa, ex, q)
+
+
+@functools.partial(jax.jit, static_argnames=("p_s", "cand", "mesh"))
+def _sharded_ivf_hostbias_topk(mesh: Mesh, cent, emb_i8, rinv_sl,
+                               slot_rows, bias, q, *,
+                               p_s: int, cand: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overflow-filter variant: exact [cap] host bias, replicated
+    (slot_rows hold GLOBAL rows, so every shard indexes the same
+    vector)."""
+
+    def local(c_blk, e_blk, r_blk, s_blk, b_all, qq):
+        cs = jnp.dot(qq, c_blk.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(cs, min(p_s, c_blk.shape[0]))
+        s, sr2 = _ivf_candidates(e_blk, r_blk, s_blk, probe, qq)
+        slot_bias = b_all[jnp.clip(sr2, 0, b_all.shape[0] - 1)]
+        s = s + jnp.where(sr2 >= 0, slot_bias, NEG_INF)
+        v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
+        rows = jnp.take_along_axis(sr2, idx, axis=1)
+        rows = jnp.where(v > -1e29, rows, 0)
+        av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
+        ar = jax.lax.all_gather(rows, SHARD_AXIS, axis=1, tiled=True)
+        gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
+        return gv, jnp.take_along_axis(ar, sel, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None, None),
+                  P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                  P(None), P(None, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(cent, emb_i8, rinv_sl, slot_rows, bias, q)
+
+
+class ShardedIvfCorpus(IvfCorpus):
+    """IvfCorpus whose cluster axis spans the mesh."""
+
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
+                 nlist: int = 0, nprobe: int = 0,
+                 storage_dtype: str = "float32",
+                 search_path: str = "auto"):
+        super().__init__(dim, nlist=nlist, nprobe=nprobe,
+                         storage_dtype=storage_dtype,
+                         search_path=search_path)
+        self.mesh = mesh or build_mesh()
+        self._n_dev = int(self.mesh.devices.size)
+
+    def _round_nlist(self, c: int) -> int:
+        # every shard owns the same cluster count (static shapes)
+        return max(self._n_dev,
+                   ((c + self._n_dev - 1) // self._n_dev) * self._n_dev)
+
+    def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
+                   agent_sl):
+        row = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        blk = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
+        return (jax.device_put(jnp.asarray(cent), row),
+                jax.device_put(jnp.asarray(emb_i8), blk),
+                jax.device_put(jnp.asarray(rinv_sl), row),
+                jax.device_put(jnp.asarray(slot_rows), row),
+                jax.device_put(jnp.asarray(kind_sl), row),
+                jax.device_put(jnp.asarray(agent_sl), row))
+
+    def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
+                         host_bias=None, dev=None, dev_q=None):
+        ivf = self._ivf_dev
+        if ivf is None:
+            b = q.shape[0]
+            return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
+                    jnp.zeros((b, k_bucket), jnp.int32), False)
+        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl = ivf
+        c = cent.shape[0]
+        p = self._nprobe(c)
+        p_s = max(1, math.ceil(p / self._n_dev))
+        cand = min(self._cand_count(k_bucket),
+                   p_s * self._n_dev * self._slot_cap)
+        if host_bias is not None:
+            v, rows = _sharded_ivf_hostbias_topk(
+                self.mesh, cent, emb_i8, rinv_sl, slot_rows,
+                jnp.asarray(host_bias), q, p_s=p_s, cand=cand)
+        else:
+            v, rows = _sharded_ivf_topk(
+                self.mesh, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
+                agent_sl, ak, aa, ex, q, p_s=p_s, cand=cand)
+        if v.shape[1] < k_bucket:
+            pad = k_bucket - v.shape[1]
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        return v, rows, True
+
+
+class ShardedIvfIndex(TpuIvfIndex):
+    """Drop-in VectorIndex: sublinear IVF over a device mesh
+    ([embedding] index = "ivf" + sharded = true)."""
+
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
+                 nlist: int = 0, nprobe: int = 0,
+                 storage_dtype: str = "float32",
+                 search_path: str = "auto"):
+        self.dim = dim
+        self._corpus = ShardedIvfCorpus(dim, mesh, nlist=nlist,
+                                        nprobe=nprobe,
+                                        storage_dtype=storage_dtype,
+                                        search_path=search_path)
+        self._delta_ids: set = set()
+
+    @property
+    def mesh(self) -> Mesh:
+        return self._corpus.mesh
+
+    def load(self, path: str) -> None:
+        import json
+        from ..errors import IndexError_
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        if meta["dim"] != self.dim:
+            raise IndexError_(
+                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+        old = self._corpus
+        self._corpus = ShardedIvfCorpus(
+            self.dim, old.mesh, nlist=old._nlist_cfg,
+            nprobe=old._nprobe_cfg,
+            storage_dtype=("bfloat16"
+                           if old._storage_dtype == jnp.bfloat16
+                           else "float32"),
+            search_path=old._search_path)
+        self._delta_ids = set()
+        if meta["ids"]:
+            self._corpus.upsert_batch(meta["ids"], z["vectors"],
+                                      meta["kinds"], meta["agents"])

@@ -228,10 +228,24 @@ class IvfCorpus(DeviceCorpus):
 
     def _auto_nlist(self, n_live: int) -> int:
         if self._nlist_cfg > 0:
-            return max(1, self._nlist_cfg)
+            return self._round_nlist(max(1, self._nlist_cfg))
         if n_live <= 64:
-            return 1
-        return int(min(MAX_AUTO_NLIST, max(2, round(math.sqrt(n_live)))))
+            return self._round_nlist(1)
+        return self._round_nlist(int(min(
+            MAX_AUTO_NLIST, max(2, round(math.sqrt(n_live))))))
+
+    def _round_nlist(self, c: int) -> int:
+        """Subclass hook: the sharded layout needs nlist divisible by
+        the mesh size."""
+        return c
+
+    def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
+                   agent_sl) -> Tuple[jnp.ndarray, ...]:
+        """Subclass hook: device placement of the built block layout
+        (the sharded variant spreads the cluster axis over the mesh)."""
+        return (jnp.asarray(cent), jnp.asarray(emb_i8),
+                jnp.asarray(rinv_sl), jnp.asarray(slot_rows),
+                jnp.asarray(kind_sl), jnp.asarray(agent_sl))
 
     def _nprobe(self, c: int) -> int:
         if self._nprobe_cfg > 0:
@@ -322,9 +336,8 @@ class IvfCorpus(DeviceCorpus):
         self._centroids_h = cent
         self._slot_cap = lcap
         self._trained_live = n
-        self._ivf_dev = (jnp.asarray(cent), jnp.asarray(emb_i8),
-                         jnp.asarray(rinv_sl), jnp.asarray(slot_rows),
-                         jnp.asarray(kind_sl), jnp.asarray(agent_sl))
+        self._ivf_dev = self._place_ivf(cent, emb_i8, rinv_sl,
+                                        slot_rows, kind_sl, agent_sl)
         log.info("ivf build: %d rows -> %d clusters x %d slots "
                  "(fill %.2f)", n, c, lcap, n / (c * lcap))
 

@@ -249,11 +249,5 @@ class TestEngineIntegration:
         with pytest.raises(ConfigError):
             cfg.validate()
 
-    def test_ivf_plus_sharded_rejected_loudly(self):
-        from cortex_tpu.config import CortexConfig
-        from cortex_tpu.errors import ConfigError
-        cfg = CortexConfig()
-        cfg.embedding.index = "ivf"
-        cfg.embedding.sharded = True
-        with pytest.raises(ConfigError, match="single-chip"):
-            cfg.validate()
+    # ivf+sharded was rejected for one commit; it is now a supported
+    # combination — see tests/test_sharded_ivf.py

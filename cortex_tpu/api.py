@@ -255,6 +255,7 @@ class Cortex:
                 from .parallel import ShardedFlatIndex
                 return ShardedFlatIndex(
                     self.embedder.dimension, build_mesh(pow2),
+                    search_path=self.config.embedding.search_path,
                     storage_dtype=self.config.embedding.device_dtype)
         if self.config.embedding.index == "ivf":
             from .vector.ivf import TpuIvfIndex

@@ -355,22 +355,7 @@ class ShardedFlatIndex(TpuFlatIndex):
     def mesh(self) -> Mesh:
         return self._corpus.mesh
 
-    def load(self, path: str) -> None:
-        import json
-        from ..errors import IndexError_
-        z = np.load(path, allow_pickle=False)
-        meta = json.loads(str(z["meta"]))
-        if meta["dim"] != self.dim:
-            raise IndexError_(
-                f"snapshot dim {meta['dim']} != index dim {self.dim}")
-        mesh = self._corpus.mesh
-        dtype_str = ("bfloat16"
-                     if self._corpus._storage_dtype == jnp.bfloat16
-                     else "float32")
-        self._corpus = ShardedCorpus(self.dim, mesh,
-                                     storage_dtype=dtype_str,
-                                     search_path=self._corpus._search_path)
-        self._delta_ids = set()     # in-memory state == the base file
-        if meta["ids"]:
-            self._corpus.upsert_batch(meta["ids"], z["vectors"],
-                                      meta["kinds"], meta["agents"])
+    def _fresh_corpus(self) -> ShardedCorpus:
+        return ShardedCorpus(self.dim, self._corpus.mesh,
+                             storage_dtype=self._storage_dtype_str(),
+                             search_path=self._corpus._search_path)

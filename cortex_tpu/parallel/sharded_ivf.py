@@ -8,14 +8,23 @@ axis: each device owns nlist/n_dev clusters' blocks, so HBM, the block
 gather, and the candidate scan all divide by the mesh size.
 
 Probing is PER-SHARD: each device ranks ITS clusters against the query
-and scans its local top-(nprobe/n_dev); the per-shard candidate lists
+and scans its local top-nprobe; the per-shard candidate lists
 all_gather over ICI and merge exactly, then flow into the inherited
 exact fp32 host re-rank. Per-shard probing keeps every shape static
 (global top-nprobe would give each device a data-dependent number of
-owned clusters to scan); with k-means clusters distributed round-robin
-it probes the same total cluster budget as the single-chip layout and
-cannot miss a cluster the single-chip probe would only find on another
-shard's score — each shard ranks its own clusters independently.
+owned clusters to scan), and probing the FULL nprobe budget on every
+shard makes the probed set a strict SUPERSET of the single-chip
+probe set at equal nprobe: a cluster in the global top-nprobe has at
+most nprobe-1 clusters ranked above it anywhere, hence at most
+nprobe-1 on its own shard, so its shard always probes it. Recall can
+therefore only match or exceed the single-chip layout. (An earlier
+cut probed nprobe/n_dev per shard to hold the total budget constant;
+measured on the 8-device mesh it dropped individual queries to
+recall@10 = 0.0 when their relevant clusters co-located on one shard
+— the budget split is NOT recall-neutral.) The cost model: per-device
+scan work equals the single-chip layout at the same nprobe — the mesh
+buys n_dev x the corpus CAPACITY at single-chip latency, not lower
+latency at fixed capacity.
 
 Maintenance posture matches ShardedCorpus: incremental slot scatters
 run as jit updates on the sharded arrays (GSPMD keeps the layout);
@@ -25,7 +34,6 @@ full rebuilds re-place the block layout across the mesh.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -128,14 +136,19 @@ class ShardedIvfCorpus(IvfCorpus):
 
     def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
                    agent_sl):
+        # device_put straight from the NUMPY arrays: each device then
+        # receives only its shard. Wrapping in jnp.asarray first would
+        # materialize the FULL block layout on device 0 before
+        # resharding — at the 10M+ scale this feature targets, that
+        # transient is the very corpus the mesh exists to make fit
         row = NamedSharding(self.mesh, P(SHARD_AXIS, None))
         blk = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
-        return (jax.device_put(jnp.asarray(cent), row),
-                jax.device_put(jnp.asarray(emb_i8), blk),
-                jax.device_put(jnp.asarray(rinv_sl), row),
-                jax.device_put(jnp.asarray(slot_rows), row),
-                jax.device_put(jnp.asarray(kind_sl), row),
-                jax.device_put(jnp.asarray(agent_sl), row))
+        return (jax.device_put(cent, row),
+                jax.device_put(emb_i8, blk),
+                jax.device_put(rinv_sl, row),
+                jax.device_put(slot_rows, row),
+                jax.device_put(kind_sl, row),
+                jax.device_put(agent_sl, row))
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
                          host_bias=None, dev=None, dev_q=None):
@@ -146,8 +159,11 @@ class ShardedIvfCorpus(IvfCorpus):
                     jnp.zeros((b, k_bucket), jnp.int32), False)
         cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl = ivf
         c = cent.shape[0]
-        p = self._nprobe(c)
-        p_s = max(1, math.ceil(p / self._n_dev))
+        # full nprobe budget PER SHARD: strict superset of the
+        # single-chip probe set (see module docstring) — recall can
+        # only match or exceed single-chip at the same setting
+        p_s = min(self._nprobe(c), c // self._n_dev)
+        p_s = max(1, p_s)
         cand = min(self._cand_count(k_bucket),
                    p_s * self._n_dev * self._slot_cap)
         if host_bias is not None:
@@ -184,23 +200,10 @@ class ShardedIvfIndex(TpuIvfIndex):
     def mesh(self) -> Mesh:
         return self._corpus.mesh
 
-    def load(self, path: str) -> None:
-        import json
-        from ..errors import IndexError_
-        z = np.load(path, allow_pickle=False)
-        meta = json.loads(str(z["meta"]))
-        if meta["dim"] != self.dim:
-            raise IndexError_(
-                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+    def _fresh_corpus(self) -> ShardedIvfCorpus:
         old = self._corpus
-        self._corpus = ShardedIvfCorpus(
-            self.dim, old.mesh, nlist=old._nlist_cfg,
-            nprobe=old._nprobe_cfg,
-            storage_dtype=("bfloat16"
-                           if old._storage_dtype == jnp.bfloat16
-                           else "float32"),
-            search_path=old._search_path)
-        self._delta_ids = set()
-        if meta["ids"]:
-            self._corpus.upsert_batch(meta["ids"], z["vectors"],
-                                      meta["kinds"], meta["agents"])
+        return ShardedIvfCorpus(self.dim, old.mesh,
+                                nlist=old._nlist_cfg,
+                                nprobe=old._nprobe_cfg,
+                                storage_dtype=self._storage_dtype_str(),
+                                search_path=old._search_path)

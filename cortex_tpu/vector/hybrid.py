@@ -67,13 +67,21 @@ class HybridSearch:
         if not query.anchors:
             hits = self.index.search(emb, k, flt)
             out = []
-            for nid, score in hits[:query.limit]:
+            for nid, score in hits:
+                # hydrate BEFORE truncating, and skip tombstones: a
+                # search dispatched just before a delete can return the
+                # deleted id (the plain-search path guards the same
+                # race in Cortex.finish_search) — truncating first
+                # would also shrink the result below `limit` despite
+                # the 3x overfetch
                 node = self.storage.get_node(nid)
-                if node is None:
+                if node is None or node.deleted:
                     continue
                 out.append(HybridResult(node=node, vector_score=score,
                                         graph_score=0.0,
                                         combined_score=score))
+                if len(out) >= query.limit:
+                    break
             return out
 
         # overlap the two legs: dispatch the device scan WITHOUT
@@ -93,7 +101,7 @@ class HybridSearch:
         w = query.vector_weight
         for nid, vscore in hits:
             node = self.storage.get_node(nid)
-            if node is None:
+            if node is None or node.deleted:   # delete-race tombstone
                 continue
             gscore = 0.0
             nearest: Optional[Tuple[str, int]] = None

@@ -296,19 +296,26 @@ class TpuFlatIndex(VectorIndex):
         z = np.load(path, allow_pickle=False)
         return json.loads(str(z["meta"]))
 
+    def _storage_dtype_str(self) -> str:
+        import jax.numpy as _jnp
+        return ("bfloat16" if self._corpus._storage_dtype == _jnp.bfloat16
+                else "float32")
+
+    def _fresh_corpus(self) -> DeviceCorpus:
+        """Empty corpus with this index's configuration — the only part
+        of snapshot loading that differs per index class (flat /
+        sharded / ivf / sharded-ivf all share load())."""
+        return DeviceCorpus(self.dim,
+                            search_path=self._corpus._search_path,
+                            storage_dtype=self._storage_dtype_str())
+
     def load(self, path: str) -> None:
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["meta"]))
         if meta["dim"] != self.dim:
             raise IndexError_(
                 f"snapshot dim {meta['dim']} != index dim {self.dim}")
-        import jax.numpy as _jnp
-        dtype_str = ("bfloat16"
-                     if self._corpus._storage_dtype == _jnp.bfloat16
-                     else "float32")
-        self._corpus = DeviceCorpus(self.dim,
-                                    search_path=self._corpus._search_path,
-                                    storage_dtype=dtype_str)
+        self._corpus = self._fresh_corpus()
         self._delta_ids = set()     # in-memory state == the base file
         if meta["ids"]:
             self._corpus.upsert_batch(meta["ids"], z["vectors"],

@@ -200,7 +200,7 @@ class IvfCorpus(DeviceCorpus):
         super().__init__(dim, search_path=search_path,
                          storage_dtype=storage_dtype)
         self._nlist_cfg = int(nlist)          # 0 = auto (~sqrt(N))
-        self._nprobe_cfg = int(nprobe)        # 0 = auto (C/16, >= 8)
+        self._nprobe_cfg = int(nprobe)        # 0 = auto (C/8, >= 8)
         self._ivf_dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._centroids_h: Optional[np.ndarray] = None
         self._cluster_of = np.full((0,), -1, np.int32)   # [cap] by row
@@ -501,22 +501,9 @@ class TpuIvfIndex(TpuFlatIndex):
             self._corpus._full_resync = True
             self._corpus.sync()
 
-    def load(self, path: str) -> None:
-        import json
-        from ..errors import IndexError_
-        z = np.load(path, allow_pickle=False)
-        meta = json.loads(str(z["meta"]))
-        if meta["dim"] != self.dim:
-            raise IndexError_(
-                f"snapshot dim {meta['dim']} != index dim {self.dim}")
+    def _fresh_corpus(self) -> IvfCorpus:
         old = self._corpus
-        self._corpus = IvfCorpus(
-            self.dim, nlist=old._nlist_cfg, nprobe=old._nprobe_cfg,
-            storage_dtype=("bfloat16"
-                           if old._storage_dtype == jnp.bfloat16
-                           else "float32"),
-            search_path=old._search_path)
-        self._delta_ids = set()
-        if meta["ids"]:
-            self._corpus.upsert_batch(meta["ids"], z["vectors"],
-                                      meta["kinds"], meta["agents"])
+        return IvfCorpus(self.dim, nlist=old._nlist_cfg,
+                         nprobe=old._nprobe_cfg,
+                         storage_dtype=self._storage_dtype_str(),
+                         search_path=old._search_path)

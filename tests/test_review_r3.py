@@ -145,6 +145,46 @@ class TestIvfSmallPoolPadding:
             assert all(nid is not None for nid, _ in row)
 
 
+class TestShardedFlatSearchPath:
+    def test_configured_search_path_reaches_sharded_corpus(self):
+        """sharded=true + search_path='exact' must not silently serve
+        the approximate int8 path (the config was dropped on this one
+        constructor)."""
+        from cortex_tpu.config import CortexConfig
+        cfg = CortexConfig()
+        cfg.embedding.sharded = True
+        cfg.embedding.search_path = "exact"
+        cx = Cortex.in_memory(cfg)
+        assert cx.index._corpus._search_path == "exact"
+        cx.close()
+
+
+class TestHybridDeletedHydration:
+    def test_hybrid_never_returns_tombstones(self):
+        """A search racing a delete can surface the deleted id from
+        the index; hybrid must drop the tombstone like finish_search
+        does — in both the anchored and unanchored branches."""
+        cx = Cortex.in_memory()
+        ids = [_store(cx, i, title="Hybrid tombstone fact") for i in
+               range(6)]
+        # tombstone one node in STORAGE ONLY (the index still has it —
+        # exactly the in-flight-search race window)
+        victim = cx.storage.get_node(ids[0])
+        victim.deleted = True
+        cx.storage.put_node(victim)
+        res = cx.hybrid.search(__import__(
+            "cortex_tpu.vector.hybrid", fromlist=["HybridQuery"]
+        ).HybridQuery(query_text="hybrid tombstone", limit=5))
+        assert res, "unanchored branch returned nothing"
+        assert all(r.node.id != ids[0] for r in res)
+        res2 = cx.hybrid.search(__import__(
+            "cortex_tpu.vector.hybrid", fromlist=["HybridQuery"]
+        ).HybridQuery(query_text="hybrid tombstone", limit=5,
+                      anchors=[ids[1]]))
+        assert all(r.node.id != ids[0] for r in res2)
+        cx.close()
+
+
 class TestNatsUrlAuth:
     def test_credentials_sent_and_verified(self):
         from cortex_tpu.ingest.nats_client import (MiniNatsBroker,

@@ -120,6 +120,34 @@ class TestShardedIvf:
         for x, y in zip(a, b):
             assert [i for i, _ in x] == [i for i, _ in y]
 
+    def test_per_shard_probe_is_superset_of_single_chip(self, mesh):
+        """Per-shard full-nprobe probing: candidate recall must match
+        or exceed the single-chip layout at the same nprobe for EVERY
+        query (the probed-cluster set is a strict superset — the
+        r3 review found the nprobe/n_dev split dropping queries to
+        recall 0.0)."""
+        from cortex_tpu.vector import TpuIvfIndex
+        vecs = clustered(2000, seed=2)
+        ids = [f"n{i}" for i in range(len(vecs))]
+        single = TpuIvfIndex(DIM, nlist=32, nprobe=4)
+        shard = ShardedIvfIndex(DIM, mesh, nlist=32, nprobe=4)
+        single.insert_batch(ids, vecs)
+        shard.insert_batch(ids, vecs)
+        oracle = BruteForceIndex(DIM)
+        for i, nid in enumerate(ids):
+            oracle.insert(nid, vecs[i])
+        q = vecs[::37][:24] + 0.05 * np.random.default_rng(3) \
+            .standard_normal((24, DIM)).astype(np.float32)
+        gs = single.search_batch(q, 10)
+        gh = shard.search_batch(q, 10)
+        want = oracle.search_batch(q, 10)
+        for b in range(len(q)):
+            truth = {i for i, _ in want[b]}
+            r_single = len({i for i, _ in gs[b]} & truth) / 10
+            r_shard = len({i for i, _ in gh[b]} & truth) / 10
+            assert r_shard >= r_single - 1e-9, \
+                f"query {b}: sharded {r_shard} < single {r_single}"
+
     def test_engine_selects_sharded_ivf(self):
         from cortex_tpu.api import Cortex
         from cortex_tpu.config import CortexConfig

@@ -334,18 +334,24 @@ class DeviceGraphMirror:
             cap *= 2
         overflow = True
         dist = None
+        # fetch through the watchdog (vector.shard._fetch_array): a raw
+        # np.asarray on a wedged tunnel blocks this worker thread
+        # forever, while the vector tier's identical failure maps to
+        # 503 — DeviceFetchTimeout propagates to the same middleware
+        from ..vector.shard import _fetch_array
         if cap <= self.DEVICE_FRONTIER_CAP:
             a = np.full(cap, -1, np.int32)
             a[:len(rows)] = rows
             dist, overflow = _frontier_bfs_device(
                 self._nbrs, jnp.asarray(a), min(max_hops, self.HOP_CAP),
                 self.DEVICE_FRONTIER_CAP)
-        if bool(overflow):
+            overflow = bool(_fetch_array(overflow))
+        if overflow:
             dist0 = np.full(n_pad, INF_DEPTH, np.int32)
             dist0[list(rows)] = 0
             dist = _bfs_hops(self._nbrs, jnp.asarray(dist0),
                              jnp.int32(min(max_hops, 8)))
-        return np.asarray(dist)
+        return _fetch_array(dist)
 
     def proximity_scores(self, anchor_ids: Sequence[str],
                          max_hops: int) -> Dict[str, float]:

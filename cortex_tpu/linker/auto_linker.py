@@ -343,8 +343,17 @@ class AutoLinker:
             # 277 s inside a cycle at 1M. Full scans remain available
             # via DedupScanner.scan() (explicit trigger / CLI).
             with span("linker.dedup"):
-                page = self.storage.list_nodes_since(
-                    self.dedup_cursor, self.dedup_cursor_id, _DEDUP_PAGE)
+                # caught up (or a legacy cursor persisted AHEAD of the
+                # main cursor): skip the page read entirely — reading
+                # 2000 rows under the storage lock only to filter all
+                # of them out would repeat every dedup-due cycle
+                if ((self.dedup_cursor, self.dedup_cursor_id)
+                        >= (self.cursor, self.cursor_id)):
+                    page = []
+                else:
+                    page = self.storage.list_nodes_since(
+                        self.dedup_cursor, self.dedup_cursor_id,
+                        _DEDUP_PAGE)
                 # only nodes the MAIN scan has already processed are
                 # eligible: its _ensure_embeddings step is what gets
                 # them embedded + indexed. Advancing the cursor past a

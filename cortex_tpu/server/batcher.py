@@ -21,6 +21,14 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+class BatcherClosed(RuntimeError):
+    """Raised for a submit racing shutdown. A dedicated type so
+    callers' fall-back-to-direct-path handlers can't accidentally
+    swallow OTHER RuntimeErrors (XLA device failures are RuntimeError
+    subclasses — re-running a failed search against a broken device
+    doubles the damage and hides the root cause)."""
+
+
 class _MicroBatcher:
     """Enqueue/flush machinery shared by both batchers. Items are
     tuples with the caller's future LAST. Subclasses implement
@@ -39,7 +47,7 @@ class _MicroBatcher:
 
     async def _submit(self, *payload):
         if self._closed:
-            raise RuntimeError("batcher is closed")
+            raise BatcherClosed("batcher is closed")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         self._pending.append((*payload, fut))
@@ -67,7 +75,7 @@ class _MicroBatcher:
                 if not fut.done():
                     fut.set_exception(
                         e if isinstance(e, Exception)
-                        else RuntimeError(self._cancel_msg))
+                        else BatcherClosed(self._cancel_msg))
             if not isinstance(e, Exception):
                 raise
         finally:

@@ -24,6 +24,7 @@ from ..query import parse_and_compile
 from ..vector.shard import DeviceFetchTimeout
 from ..types import Edge, Node, Source
 from . import cortex_pb2 as pb
+from .batcher import BatcherClosed
 from .conversions import (edge_to_pb, node_to_pb, parse_direction,
                           parse_strategy, paths_to_pb,
                           provenance_from_pb, subgraph_to_pb)
@@ -204,14 +205,12 @@ class CortexServiceImpl:
                                              recency_bias=rb)
             except futures.TimeoutError:   # alias of TimeoutError on
                 hits = None                # 3.11+, distinct on 3.10
-            except DeviceFetchTimeout:
-                # a RuntimeError subclass — but re-running the wedged
-                # search on the direct path would just double the stall;
-                # let _wrap map it to UNAVAILABLE
-                raise
-            except RuntimeError:
-                # "batcher is closed": a request racing shutdown —
-                # the direct path below still works (ADVICE r2 #3)
+            except BatcherClosed:
+                # a request racing shutdown — the direct path below
+                # still works (ADVICE r2 #3). ONLY this case falls
+                # back: DeviceFetchTimeout and XLA failures (both
+                # RuntimeError subclasses) must surface via _wrap,
+                # not re-run against the same broken device
                 hits = None
         if hits is None:
             hits = self.cx.search(req.query, limit=limit, flt=flt,

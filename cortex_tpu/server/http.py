@@ -31,13 +31,40 @@ from ..graph import BOTH, PathRequest, TraversalRequest
 from ..prompt import (ContextSignals, PromptContent, observation_score,
                       score_variant, context_fit, update_edge_weight)
 from ..storage.base import NodeFilter
-from ..vector.shard import DeviceFetchTimeout
+# importing .shard already executes the full vector package __init__
+# (jax and friends), so take both names from the package surface
+from ..vector import DeviceFetchTimeout, VectorFilter
 from ..types import Edge, EdgeProvenance, Node, Source
 from ..query import parse_and_compile
+from .batcher import BatcherClosed
 from .state import ServerState
 from .viz import VIZ_HTML
 
 import numpy as np
+
+
+def q_int(request: web.Request, name: str, default: int) -> int:
+    """Query-param int with a 422 (ValidationError) on garbage instead
+    of an uncaught ValueError 500 — the JSON error contract covers
+    malformed client input ('never a naked 500')."""
+    raw = request.query.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValidationError(f"{name} must be an integer, got {raw!r}")
+
+
+def q_float(request: web.Request, name: str,
+            default: Optional[float]) -> Optional[float]:
+    raw = request.query.get(name)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        raise ValidationError(f"{name} must be a number, got {raw!r}")
 
 
 def json_ok(data: Any, status: int = 200) -> web.Response:
@@ -92,6 +119,14 @@ async def error_middleware(request: web.Request, handler):
                         headers={"Retry-After": "5"})
     except CortexError as e:
         return json_err(str(e), 500)
+    except Exception as e:  # noqa: BLE001 — keep the JSON contract
+        # a genuine server bug (or an XLA failure surfacing as a bare
+        # RuntimeError): still a 500, but logged with traceback and
+        # JSON-shaped — clients never see aiohttp's text/plain page
+        import logging
+        logging.getLogger("cortex.http").exception(
+            "unhandled error on %s %s", request.method, request.path)
+        return json_err(f"internal error: {e}", 500)
 
 
 def make_auth_middleware(state: ServerState):
@@ -260,7 +295,7 @@ def create_app(state: ServerState) -> web.Application:
 
     async def node_neighbors(request):
         nid = request.match_info["id"]
-        depth = int(request.query.get("depth", 1))
+        depth = q_int(request, "depth", 1)
         sub = cx.neighborhood(nid, depth=depth)
         return json_ok({
             "nodes": [node_json(n) for n in sub.nodes.values()],
@@ -297,34 +332,34 @@ def create_app(state: ServerState) -> web.Application:
         q = request.query.get("q", "")
         if not q:
             return json_err("missing q parameter", 400)
-        limit = int(request.query.get("limit", 10))
-        recency = request.query.get("recency_bias")
+        limit = q_int(request, "limit", 10)
         kinds = request.query.get("kind")
         agent_f = request.query.get("agent")
         flt = None
         if kinds or agent_f:
-            from ..vector import VectorFilter
             flt = VectorFilter(kinds=kinds.split(",") if kinds else None,
                                source_agent=agent_f)
         t0 = time.perf_counter()
-        rb = float(recency) if recency else None
+        rb = q_float(request, "recency_bias", None)
         hits = None
         if state.search_batcher is not None:
             # read-side coalescing: concurrent searches share one
             # embed_batch + search_batch device dispatch; the decay
             # re-rank + access recording stay per-request
+            raw_hits = None
             try:
                 raw_hits = await state.search_batcher.search(
                     q, cx.overfetch_k(limit), flt)
+            except BatcherClosed:
+                # a request racing shutdown — the direct path below
+                # still works (ADVICE r2 #3). ONLY this case falls
+                # back: any other error (XLA device failures are
+                # RuntimeError subclasses) must surface, not re-run
+                # against the same broken device
+                raw_hits = None
+            if raw_hits is not None:
                 hits = await asyncio.to_thread(
                     cx.finish_search, raw_hits, limit, recency_bias=rb)
-            except DeviceFetchTimeout:
-                raise                     # middleware maps to 503
-            except RuntimeError:
-                # "batcher is closed": a request racing shutdown — the
-                # direct path below still works (ADVICE r2 #3; the gRPC
-                # surface gained this fallback first)
-                hits = None
         if hits is None:
             hits = await asyncio.to_thread(
                 cx.search, q, limit=limit, flt=flt, recency_bias=rb)
@@ -338,15 +373,15 @@ def create_app(state: ServerState) -> web.Application:
             return json_err("missing q parameter", 400)
         anchors = [a for a in
                    request.query.get("anchors", "").split(",") if a]
-        limit = int(request.query.get("limit", 10))
-        w = float(request.query.get("vector_weight", 0.7))
+        limit = q_int(request, "limit", 10)
+        w = q_float(request, "vector_weight", 0.7)
         kinds = request.query.get("kind")
         t0 = time.perf_counter()
         res = await asyncio.to_thread(
             cx.search_hybrid,
             q, anchors=anchors, limit=limit, vector_weight=w,
             kind_filter=kinds.split(",") if kinds else None,
-            max_anchor_depth=int(request.query.get("max_anchor_depth", 3)))
+            max_anchor_depth=q_int(request, "max_anchor_depth", 3))
         state.metrics.record_search("hybrid", time.perf_counter() - t0)
         return json_ok([{
             "node": node_json(r.node),
@@ -531,7 +566,7 @@ def create_app(state: ServerState) -> web.Application:
         agent = _find_agent(request.match_info["name"])
         if agent is None:
             return json_err("agent not found", 404)
-        limit = int(request.query.get("limit", 20))
+        limit = q_int(request, "limit", 20)
         ctx_filter = _parse_context_filter(request.query.get("context"))
         obs = [cx.get_node(e.to_id)
                for e in cx.storage.edges_from(agent.id)

@@ -35,6 +35,10 @@ from ..types import Edge, EdgeProvenance, Node, Source
 from .base import (SCHEMA_VERSION, AuditEntry, NodeFilter, Storage,
                    StorageStats)
 
+#: IN-list chunk for batched point queries: stays under SQLite's
+#: per-statement variable limit (999 on pre-3.32 builds)
+_SQL_IN_CHUNK = 500
+
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS nodes (
     id TEXT PRIMARY KEY,
@@ -307,8 +311,8 @@ class SqliteStorage(Storage):
         ids = list(ids)
         out: Dict[str, Node] = {}
         with self._lock:
-            for s in range(0, len(ids), 500):
-                chunk = ids[s:s + 500]
+            for s in range(0, len(ids), _SQL_IN_CHUNK):
+                chunk = ids[s:s + _SQL_IN_CHUNK]
                 rows = self._db.execute(
                     "SELECT * FROM nodes WHERE id IN "
                     f"({','.join('?' * len(chunk))})", chunk).fetchall()
@@ -359,8 +363,8 @@ class SqliteStorage(Storage):
                 # chunk like get_nodes: an uncapped ?limit feeds this,
                 # and one variable per id overflows SQLite's binding
                 # limit (999 on older builds) into a 500 error
-                for s in range(0, len(ids), 500):
-                    chunk = ids[s:s + 500]
+                for s in range(0, len(ids), _SQL_IN_CHUNK):
+                    chunk = ids[s:s + _SQL_IN_CHUNK]
                     marks = ",".join("?" * len(chunk))
                     self._db.execute(
                         f"UPDATE nodes SET access_count=access_count+1, "

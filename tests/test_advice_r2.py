@@ -137,9 +137,11 @@ class TestGrpcBatcherClosedFallback:
         cx = Cortex.in_memory()
         cx.store(_node("searchable content for the fallback test"))
 
+        from cortex_tpu.server.batcher import BatcherClosed
+
         class ClosedBatcher:
             async def search(self, *a, **k):
-                raise RuntimeError("batcher is closed")
+                raise BatcherClosed("batcher is closed")
 
         state = ServerState(cortex=cx)
         state.search_batcher = ClosedBatcher()

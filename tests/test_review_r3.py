@@ -101,9 +101,11 @@ class TestHttpBatcherClosedFallback:
         from tests.test_http import scenario
 
         async def s(client, cx, state):
+            from cortex_tpu.server.batcher import BatcherClosed
+
             class ClosedBatcher:
                 async def search(self, *a, **k):
-                    raise RuntimeError("batcher is closed")
+                    raise BatcherClosed("batcher is closed")
             state.search_batcher = ClosedBatcher()
             _store(cx, 1, title="Fallback target fact")
             r = await client.get("/search",
@@ -111,6 +113,40 @@ class TestHttpBatcherClosedFallback:
             assert r.status == 200
             body = await r.json()
             assert body["ok"] and body["data"]
+        scenario(s)
+
+
+class TestHttpParamValidation:
+    def test_malformed_limit_is_422_not_500(self):
+        from tests.test_http import scenario
+
+        async def s(client, cx, state):
+            r = await client.get("/search",
+                                 params={"q": "x", "limit": "abc"})
+            assert r.status == 422
+            body = await r.json()
+            assert body["ok"] is False and "limit" in body["error"]
+            r2 = await client.get(
+                "/search", params={"q": "x", "recency_bias": "nope"})
+            assert r2.status == 422
+        scenario(s)
+
+    def test_other_runtime_errors_not_swallowed(self):
+        """Only BatcherClosed falls back to the direct path — an XLA
+        failure (a RuntimeError) must surface, not re-run the search
+        against the same broken device."""
+        from tests.test_http import scenario
+
+        async def s(client, cx, state):
+            class BrokenBatcher:
+                async def search(self, *a, **k):
+                    raise RuntimeError("INTERNAL: device program crash")
+            state.search_batcher = BrokenBatcher()
+            r = await client.get("/search", params={"q": "anything"})
+            assert r.status == 500
+            body = await r.json()      # JSON contract even for bugs
+            assert body["ok"] is False
+            assert "device program crash" in body["error"]
         scenario(s)
 
 

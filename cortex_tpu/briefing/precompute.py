@@ -38,5 +38,9 @@ class BriefingPrecomputer:
                 warmed += 1
             except Exception:
                 self.errors += 1
+                import logging
+                logging.getLogger("cortex.briefing").exception(
+                    "briefing precompute failed for agent %r "
+                    "(skipped; %d total errors)", agent, self.errors)
         self.runs += 1
         return warmed

@@ -137,6 +137,10 @@ def save_npz(path: str, params: Dict, cfg: BertEncoderConfig,
                           cfg.heads, cfg.intermediate, cfg.max_position,
                           cfg.type_vocab], np.int64),
         "_pooling": np.array([0 if cfg.pooling == "cls" else 1], np.int64),
+        # eps must round-trip: checkpoints with layer_norm_eps=1e-5
+        # would otherwise silently serve with the 1e-12 default and
+        # diverge from the torch reference the conversion verified
+        "_eps": np.array([cfg.layernorm_eps], np.float64),
     }
     if vocab is not None:
         flat["_vocab"] = np.array(list(vocab), dtype=np.str_)
@@ -159,7 +163,11 @@ def load_npz(path: str):
         vocab_size=int(c[0]), hidden=int(c[1]), layers=int(c[2]),
         heads=int(c[3]), intermediate=int(c[4]), max_position=int(c[5]),
         type_vocab=int(c[6]),
-        pooling="cls" if int(z["_pooling"][0]) == 0 else "mean")
+        pooling="cls" if int(z["_pooling"][0]) == 0 else "mean",
+        # older checkpoints predate _eps: they were produced from the
+        # 1e-12 default, so the fallback is faithful for them
+        layernorm_eps=(float(z["_eps"][0]) if "_eps" in z.files
+                       else 1e-12))
     params = {"layers": [dict() for _ in range(cfg.layers)]}
     for k in z.files:
         if k.startswith("_"):

@@ -68,22 +68,30 @@ DEVICE_SWEEP_MIN_EDGES = 65_536
 
 @jax.jit
 def retention_eligibility(created_at: jnp.ndarray, last_accessed_at: jnp.ndarray,
-                          importance: jnp.ndarray, has_inbound: jnp.ndarray,
+                          score: jnp.ndarray, has_inbound: jnp.ndarray,
                           now: jnp.ndarray, ttl_days: jnp.ndarray,
                           grace_days: jnp.ndarray, min_score: jnp.ndarray,
                           protect_inbound: jnp.ndarray) -> jnp.ndarray:
     """Vectorized retention sweep eligibility over packed node arrays
-    (policies/retention.rs sweep logic re-expressed as one masked op).
+    (RetentionEngine._should_delete re-expressed as one masked op).
     A node is expirable when:
       - its TTL has elapsed since creation (ttl_days > 0), and
       - it has been idle past the grace window, and
-      - its importance is below min_score, and
+      - its score is below min_score — `score` must be the DECAYED
+        score (apply_score_decay_batch), matching the engine, NOT raw
+        importance; pass min_score < 0 for kinds configured WITHOUT a
+        score floor (the engine's min_score=None: the score check is
+        skipped — any finite score is >= a negative floor is wrong,
+        so a negative sentinel DISABLES the keep-alive, making every
+        TTL+grace-expired node eligible exactly like the engine), and
       - it isn't protected by inbound edges (when protection is on).
     """
     age_days = (now - created_at) / 86400.0
     idle_days = (now - last_accessed_at) / 86400.0
     expired = (ttl_days > 0) & (age_days > ttl_days)
     idle = idle_days > grace_days
-    unimportant = importance < min_score
+    # min_score < 0 == engine's None: no score floor, never kept alive
+    # by score
+    unimportant = jnp.where(min_score < 0, True, score < min_score)
     protected = protect_inbound & has_inbound
     return expired & idle & unimportant & ~protected

@@ -105,7 +105,10 @@ class LocalBackend:
                      Source(agent=a.get("agent", "mcp")),
                      float(a.get("importance", 0.5)))
         n.tags = list(a.get("tags", []))
-        self.cx.store(n)
+        # ONE admission pipeline for every surface: the MCP tool runs
+        # the same 4-check gate + schema validation HTTP/gRPC enforce
+        # (a GateRejection propagates as the tool error)
+        self.cx.store(n, gate=True, actor="mcp")
         return {"id": n.id}
 
     def search(self, a: Dict[str, Any]) -> Any:
@@ -176,12 +179,43 @@ class LocalBackend:
                         "correction_count": corrections,
                         "task_outcome": outcome}
         self.cx.store(obs)
-        self.cx.create_edge(Edge.new(agent.id, obs.id, "performed", score,
-                                     EdgeProvenance.manual(agent_name)))
-        self.cx.create_edge(Edge.new(obs.id, a["variant_id"],
-                                     "observed_with", score,
-                                     EdgeProvenance.manual(agent_name)))
-        return {"observation_id": obs.id, "score": round(score, 4)}
+        variant_id = a["variant_id"]
+        from ..errors import DuplicateEdge, InvalidEdge
+        for from_id, to_id, rel, w in [
+                (agent.id, obs.id, "performed", 1.0),
+                (obs.id, variant_id, "informed_by", 1.0),
+                (obs.id, variant_id, "observed_with", score),
+                (obs.id, agent.id, "observed_by", 1.0)]:
+            try:
+                self.cx.create_edge(Edge.new(
+                    from_id, to_id, rel, w,
+                    EdgeProvenance.manual(agent_name)))
+            except (DuplicateEdge, InvalidEdge):
+                pass
+        # same selection/rollback bookkeeping as the HTTP observe path
+        # (http.py observe handler): the EMA on the uses edge, the
+        # active-variant marker, and the rollback monitor — without
+        # these, MCP-driven observations never influence variant
+        # selection and a degraded prompt never auto-rolls back
+        from ..prompt import update_edge_weight
+        old_w = new_w = None
+        for e in self.cx.storage.edges_from(agent.id):
+            if e.relation == "uses" and e.to_id == variant_id:
+                old_w = e.weight
+                new_w = update_edge_weight(e.weight, score)
+                self.cx.storage.update_edge_weight_atomic(e.id, new_w)
+                break
+        agent.metadata["active_variant_id"] = variant_id
+        self.cx.storage.put_node(agent)
+        cr = min(corrections * 0.1, 1.0)
+        rb = self.cx.rollback_monitor.process_observation(
+            obs.id, variant_id, cr, sentiment, score)
+        return {"observation_id": obs.id, "score": round(score, 4),
+                "old_weight": old_w, "new_weight": new_w,
+                "rollback": None if rb is None else {
+                    "trigger": rb.trigger.kind,
+                    "to_version": rb.to_version,
+                    "is_quarantined": rb.is_quarantined}}
 
     def stats(self) -> Any:
         s = self.cx.stats()
@@ -202,6 +236,14 @@ class RemoteBackend:
     def __init__(self, base_url: str, token: Optional[str] = None):
         self.base = base_url.rstrip("/")
         self.token = token
+
+    @staticmethod
+    def _seg(ident: Any) -> str:
+        """Percent-encode a caller-supplied id used as ONE path
+        segment — spaces/'/'/'?' would otherwise produce a malformed
+        request line or resolve to a different route."""
+        import urllib.parse
+        return urllib.parse.quote(str(ident), safe="")
 
     def _req(self, method: str, path: str, params=None, body=None) -> Any:
         import urllib.error
@@ -244,13 +286,15 @@ class RemoteBackend:
             "limit": a.get("limit", 10)})
 
     def briefing(self, a):
-        d = self._req("GET", f"/briefing/{a['agent_id']}", params={
+        d = self._req("GET", f"/briefing/{self._seg(a['agent_id'])}",
+                      params={
             "format": "json",
             "compact": "true" if a.get("compact") else None})
         return d.get("text", "") if isinstance(d, dict) else str(d)
 
     def traverse(self, a):
-        return self._req("GET", f"/nodes/{a['start']}/neighbors", params={
+        return self._req(
+            "GET", f"/nodes/{self._seg(a['start'])}/neighbors", params={
             "depth": a.get("depth", 2),
             "direction": a.get("direction", "outgoing")})
 
@@ -260,7 +304,8 @@ class RemoteBackend:
             "relation": a["relation"], "weight": a.get("weight", 0.5)})
 
     def observe(self, a):
-        return self._req("POST", f"/agents/{a['agent']}/observe", body={
+        return self._req(
+            "POST", f"/agents/{self._seg(a['agent'])}/observe", body={
             "variant_id": a["variant_id"],
             "sentiment_score": a.get("sentiment_score", 0.5),
             "correction_count": a.get("correction_count", 0),
@@ -270,7 +315,7 @@ class RemoteBackend:
         return self._req("GET", "/stats")
 
     def get_node(self, node_id):
-        return self._req("GET", f"/nodes/{node_id}")
+        return self._req("GET", f"/nodes/{self._seg(node_id)}")
 
 
 class McpServer:

@@ -36,15 +36,35 @@ class GraphEvent:
 
 
 class EventBus:
-    """Fan-out bus with per-subscriber bounded queues."""
+    """Fan-out bus with per-subscriber bounded queues.
+
+    Thread model: hooks fire inside cx.store, which the server runs on
+    WORKER THREADS (asyncio.to_thread, gRPC executors, linker cycles) —
+    but asyncio.Queue is not thread-safe, and waking a blocked SSE
+    getter from another thread schedules the callback without writing
+    the loop's self-pipe (delivery stalls until the next unrelated
+    wakeup, and a racing wait_for timeout can raise InvalidStateError).
+    `attach_loop` pins the serving loop; off-loop publishes then hop
+    through call_soon_threadsafe."""
 
     def __init__(self, capacity: int = 1024):
         self.capacity = capacity
         self._subs: List[asyncio.Queue] = []
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+
+    def attach_loop(self, loop: asyncio.AbstractEventLoop) -> None:
+        self._loop = loop
 
     def subscribe(self) -> asyncio.Queue:
         q: asyncio.Queue = asyncio.Queue(maxsize=self.capacity)
         self._subs.append(q)
+        if self._loop is None:
+            # first subscriber on an unattached bus (embedded/test use):
+            # adopt its running loop
+            try:
+                self._loop = asyncio.get_running_loop()
+            except RuntimeError:
+                pass
         return q
 
     def unsubscribe(self, q: asyncio.Queue) -> None:
@@ -56,6 +76,17 @@ class EventBus:
         return len(self._subs)
 
     def publish(self, event: GraphEvent) -> None:
+        loop = self._loop
+        try:
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if loop is not None and running is not loop and loop.is_running():
+            loop.call_soon_threadsafe(self._fanout, event)
+        else:
+            self._fanout(event)
+
+    def _fanout(self, event: GraphEvent) -> None:
         for q in list(self._subs):
             try:
                 q.put_nowait(event)

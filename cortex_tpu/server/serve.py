@@ -85,6 +85,9 @@ class Server:
         self.cortex, self.guard = open_embedded(config)
         self.state = ServerState(self.cortex)
         self.state.loop = asyncio.get_running_loop()
+        # SSE bus: hooks fire on worker threads; publishes must hop
+        # onto this loop thread-safely (observability.EventBus)
+        self.state.bus.attach_loop(self.state.loop)
         self.state.enable_batched_admission()
         if config.server.search_batching:
             self.state.enable_batched_search()
@@ -393,15 +396,19 @@ class Server:
 async def run_async(config: CortexConfig) -> None:
     """Boot, then block until SIGINT/SIGTERM (serve.rs ctrl_c)."""
     server = Server(config)
-    await server.start()
-    stop = asyncio.Event()
-    loop = asyncio.get_running_loop()
-    for sig in (signal.SIGINT, signal.SIGTERM):
-        with contextlib.suppress(NotImplementedError):
-            loop.add_signal_handler(sig, stop.set)
     try:
+        await server.start()
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            with contextlib.suppress(NotImplementedError):
+                loop.add_signal_handler(sig, stop.set)
         await stop.wait()
     finally:
+        # start() itself can fail AFTER open_embedded (port already
+        # bound, plugin error): stop() must still run so the
+        # encryption guard re-encrypts — a boot crash must never
+        # strand the decrypted working copy on disk
         await server.stop()
 
 

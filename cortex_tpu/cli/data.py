@@ -258,6 +258,17 @@ def _db_path(ctx) -> str:
     return os.path.join(ctx.config.server.data_dir, DB_FILENAME)
 
 
+def _store_path(ctx) -> str:
+    """The file that actually holds the data: cortex.db.enc under
+    encryption-at-rest (the engine never touches cortex.db then —
+    restore/migrate/doctor/repair against cortex.db would silently
+    no-op or fail on a healthy encrypted store)."""
+    db = _db_path(ctx)
+    if ctx.config.security.encryption_at_rest:
+        return db + ".enc"
+    return db
+
+
 def cmd_backup(ctx, args) -> int:
     cx = ctx.cortex()
     dest = args.output or (
@@ -269,18 +280,31 @@ def cmd_backup(ctx, args) -> int:
 
 def cmd_restore(ctx, args) -> int:
     db = _db_path(ctx)
+    target = _store_path(ctx)
     if not os.path.exists(args.backup):
         raise FileNotFoundError(args.backup)
-    if os.path.exists(db) and not args.force:
+    if os.path.exists(target) and not args.force:
         from .main import CliError
-        raise CliError(f"{db} exists; use --force to overwrite")
-    os.makedirs(os.path.dirname(db), exist_ok=True)
-    shutil.copyfile(args.backup, db)
-    for suffix in ("-wal", "-shm"):
-        side = db + suffix
-        if os.path.exists(side):
-            os.unlink(side)
-    _emit(args, {"restored": db}, f"restored {args.backup} -> {db}")
+        raise CliError(f"{target} exists; use --force to overwrite")
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    if ctx.config.security.encryption_at_rest:
+        # backups are plaintext sqlite snapshots; the store is the
+        # ciphertext — encrypt INTO it and clear any stale working
+        # copy, or the next boot resumes from the superseded plaintext
+        from ..storage.encrypted import derive_key, encrypt_file
+        encrypt_file(args.backup, target, derive_key())
+        for stale in (target + ".plain", target + ".plain-wal",
+                      target + ".plain-shm"):
+            if os.path.exists(stale):
+                os.unlink(stale)
+    else:
+        shutil.copyfile(args.backup, db)
+        for suffix in ("-wal", "-shm"):
+            side = db + suffix
+            if os.path.exists(side):
+                os.unlink(side)
+    _emit(args, {"restored": target},
+          f"restored {args.backup} -> {target}")
     return 0
 
 
@@ -292,10 +316,15 @@ def cmd_migrate(ctx, args) -> int:
     (migration/mod.rs:20-44). Current schema has a single version; a
     mismatched older store gets a backup then an in-place upgrade."""
     import sqlite3
-    db = _db_path(ctx)
-    if not os.path.exists(db):
+    if not os.path.exists(_store_path(ctx)):
         from .main import CliError
-        raise CliError(f"no store at {db}")
+        raise CliError(f"no store at {_store_path(ctx)}")
+    if ctx.config.security.encryption_at_rest:
+        # materialize the working copy; ctx.cortex() below reuses it
+        # and ctx.close() re-encrypts
+        db = ctx.cortex().storage.path
+    else:
+        db = _db_path(ctx)
     con = sqlite3.connect(db)
     try:
         row = con.execute(
@@ -331,7 +360,7 @@ def cmd_doctor(ctx, args) -> int:
     def check(name, ok, detail=""):
         checks.append({"check": name, "ok": bool(ok), "detail": detail})
 
-    db = _db_path(ctx)
+    db = _store_path(ctx)
     check("db_exists", os.path.exists(db), db)
     if not os.path.exists(db):
         _emit(args, checks, _render_doctor(checks))
@@ -388,10 +417,12 @@ def cmd_repair(ctx, args) -> int:
     re-serialize every node through current validation (clamping what
     can be clamped), drop edges with missing endpoints, rebuild the
     vector index from stored embeddings."""
-    db = _db_path(ctx)
+    db = _store_path(ctx)
     if not os.path.exists(db):
         from .main import CliError
         raise CliError(f"no store at {db}")
+    # the pre-repair backup copies the AUTHORITATIVE file (ciphertext
+    # under encryption-at-rest)
     backup = db + f".pre-repair-{time.strftime('%Y%m%d-%H%M%S')}"
     shutil.copyfile(db, backup)
     cx = ctx.cortex()

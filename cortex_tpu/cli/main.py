@@ -72,7 +72,7 @@ class CliContext:
 
     # ------------------------------------------------------------- remote
     def http(self, method: str, path: str, *, params=None,
-             body=None) -> Any:
+             body=None, headers=None) -> Any:
         import urllib.error
         import urllib.parse
         import urllib.request
@@ -83,6 +83,8 @@ class CliContext:
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
         req.add_header("content-type", "application/json")
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
         token = os.environ.get("CORTEX_AUTH_TOKEN") \
             or self.config.security.auth_token
         if token:
@@ -159,9 +161,17 @@ def cmd_node_create(ctx: CliContext, args) -> int:
         body = {"kind": args.kind, "title": args.title,
                 "body": args.body or args.title,
                 "importance": args.importance,
+                "agent": args.agent,
                 "tags": args.tag or []}
+        # the server's bypass requires BOTH ?gate=skip and the
+        # override header; --agent rides x-agent-id like the SDKs
         d = ctx.http("POST", "/nodes", body=body,
-                     params={"gate": "skip"} if args.no_gate else None)
+                     params={"gate": "skip"} if args.no_gate else None,
+                     headers={
+                         **({"x-agent-id": args.agent}
+                            if args.agent else {}),
+                         **({"x-gate-override": "true"}
+                            if args.no_gate else {})})
         emit(args, d, f"created {d['id']}")
         return 0
     n = Node.new(args.kind, args.title, args.body or args.title,
@@ -187,7 +197,8 @@ def cmd_node_get(ctx: CliContext, args) -> int:
 def cmd_node_list(ctx: CliContext, args) -> int:
     if ctx.remote:
         rows = ctx.http("GET", "/nodes", params={
-            "kind": args.kind, "agent": args.agent, "limit": args.limit})
+            "kind": args.kind, "agent": args.agent, "limit": args.limit,
+            "tags": ",".join(args.tag) if args.tag else None})
     else:
         f = NodeFilter(kinds=[args.kind] if args.kind else None,
                        source_agent=args.agent, limit=args.limit,
@@ -263,7 +274,8 @@ def cmd_edge_list(ctx: CliContext, args) -> int:
 def cmd_search(ctx: CliContext, args) -> int:
     if ctx.remote:
         rows = ctx.http("GET", "/search", params={
-            "q": args.query, "limit": args.limit})
+            "q": args.query, "limit": args.limit,
+            "decay": "false" if args.no_decay else None})
         human = "\n".join(f"{r['score']:.4f}  {node_brief(r['node'])}"
                           for r in rows)
     else:

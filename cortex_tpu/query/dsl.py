@@ -323,6 +323,19 @@ def _try_collect_kinds(e: FilterExpr, out: List[str]) -> bool:
     return False
 
 
+def _try_collect_tags(e: FilterExpr, out: List[str]) -> bool:
+    """Recursive OR-of-tags collector — 'tags:a OR tags:b OR tags:c'
+    parses left-associatively, so the binary-only merge rejected three
+    or more terms while the identical kind query compiled fine."""
+    if e.kind == "field" and e.field.field == "tags":
+        out.extend(e.field.values)
+        return True
+    if e.kind == "or":
+        return _try_collect_tags(e.left, out) and \
+            _try_collect_tags(e.right, out)
+    return False
+
+
 def _apply_field(f: FieldFilter, flt: NodeFilter) -> None:
     if f.field == "kind":
         for k in f.values:
@@ -336,8 +349,12 @@ def _apply_field(f: FieldFilter, flt: NodeFilter) -> None:
     elif f.field == "agent":
         flt.source_agent = f.values[0]
     elif f.field == "importance":
-        if f.op in (GT, GTE):
+        if f.op == GTE:
             flt.min_importance = f.number
+        elif f.op == GT:
+            # NodeFilter bounds are inclusive; step just above for
+            # strict > (the LT branch has had the symmetric step)
+            flt.min_importance = f.number + 1e-9
         elif f.op == EQ:
             flt.min_importance = f.number
             flt.max_importance = f.number
@@ -373,27 +390,18 @@ def _collect_into(e: FilterExpr, flt: NodeFilter) -> None:
         if _try_collect_kinds(e, lk):
             _apply_field(FieldFilter(field="kind", values=lk), flt)
             return
-        lt_ = e.left
-        rt = e.right
-        if (lt_.kind == "field" and rt.kind == "field"
-                and lt_.field.field == rt.field.field):
-            if lt_.field.field == "kind":
-                _apply_field(FieldFilter(field="kind",
-                                         values=lt_.field.values
-                                         + rt.field.values), flt)
-                return
-            if lt_.field.field == "tags":
-                if flt.tags_any is not None:
-                    # two separate OR-groups of tags can't merge into
-                    # one any-of list — that would turn (a OR b) AND
-                    # (c OR d) into (a OR b OR c OR d)
-                    raise CompileError(
-                        "multiple tag OR groups cannot be compiled to "
-                        "a single NodeFilter")
-                # OR of tags = match ANY (NodeFilter.tags is ALL-of)
-                flt.tags_any = (list(lt_.field.values)
-                                + list(rt.field.values))
-                return
+        tg: List[str] = []
+        if _try_collect_tags(e, tg):
+            if flt.tags_any is not None:
+                # two separate OR-groups of tags can't merge into
+                # one any-of list — that would turn (a OR b) AND
+                # (c OR d) into (a OR b OR c OR d)
+                raise CompileError(
+                    "multiple tag OR groups cannot be compiled to "
+                    "a single NodeFilter")
+            # OR of tags = match ANY (NodeFilter.tags is ALL-of)
+            flt.tags_any = tg
+            return
         raise CompileError(
             "OR is only supported between the same field type (e.g. kind:a "
             "OR kind:b). Complex OR expressions cannot be compiled to a "

@@ -341,6 +341,9 @@ def create_app(state: ServerState) -> web.Application:
                                source_agent=agent_f)
         t0 = time.perf_counter()
         rb = q_float(request, "recency_bias", None)
+        # ?decay=false disables the score-decay re-rank (the CLI's
+        # --no-decay; local library mode always had the knob)
+        decay = request.query.get("decay", "true").lower() != "false"
         hits = None
         if state.search_batcher is not None:
             # read-side coalescing: concurrent searches share one
@@ -349,7 +352,7 @@ def create_app(state: ServerState) -> web.Application:
             raw_hits = None
             try:
                 raw_hits = await state.search_batcher.search(
-                    q, cx.overfetch_k(limit), flt)
+                    q, cx.overfetch_k(limit, decay), flt)
             except BatcherClosed:
                 # a request racing shutdown — the direct path below
                 # still works (ADVICE r2 #3). ONLY this case falls
@@ -359,10 +362,12 @@ def create_app(state: ServerState) -> web.Application:
                 raw_hits = None
             if raw_hits is not None:
                 hits = await asyncio.to_thread(
-                    cx.finish_search, raw_hits, limit, recency_bias=rb)
+                    cx.finish_search, raw_hits, limit, decay=decay,
+                    recency_bias=rb)
         if hits is None:
             hits = await asyncio.to_thread(
-                cx.search, q, limit=limit, flt=flt, recency_bias=rb)
+                cx.search, q, limit=limit, flt=flt, decay=decay,
+                recency_bias=rb)
         state.metrics.record_search("search", time.perf_counter() - t0)
         return json_ok([{"score": s, "node": node_json(n)}
                         for s, n in hits])

@@ -56,8 +56,15 @@ def decrypt_file(enc_path: str, plain_path: str, key: bytes) -> None:
         raise StorageError("encrypted file too short")
     nonce, ct = blob[:NONCE_LEN], blob[NONCE_LEN:]
     data = AESGCM(key).decrypt(nonce, ct, None)
-    with open(plain_path, "wb") as f:
+    # tmp + rename: a crash mid-write must NEVER leave a truncated
+    # plaintext at the working path — the next boot would mistake it
+    # for a crash-orphan working copy (strictly-newer-than-.enc
+    # semantics), resume from it, and re-encrypt the truncated file
+    # over the only good ciphertext
+    tmp = plain_path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, plain_path)
 
 
 class EncryptedDbGuard:
@@ -123,6 +130,31 @@ class EncryptedDbGuard:
 
     def close(self) -> None:
         if os.path.exists(self.plain_path):
+            # merge any committed-but-unmerged WAL pages into the main
+            # file BEFORE encrypting: SqliteStorage runs WAL mode, and
+            # close() can be reached with the connection still open
+            # (guard-as-context-manager around a raised exception, CLI
+            # finally blocks) — encrypting the main file alone and
+            # deleting the -wal would silently drop those committed
+            # transactions
+            if os.path.exists(self.plain_path + "-wal"):
+                import sqlite3
+                try:
+                    db = sqlite3.connect(self.plain_path)
+                    try:
+                        db.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+                    finally:
+                        db.close()
+                except sqlite3.Error:
+                    # cannot merge: leave the plaintext + sidecars as a
+                    # crash orphan (next boot resumes from them) rather
+                    # than encrypt a main file missing committed pages
+                    import logging
+                    logging.getLogger(__name__).exception(
+                        "WAL checkpoint before re-encryption failed; "
+                        "leaving the working copy for next-boot "
+                        "recovery instead of encrypting a partial db")
+                    return
             encrypt_file(self.plain_path, self.enc_path, self.key)
             os.unlink(self.plain_path)
             for suffix in ("-wal", "-shm"):

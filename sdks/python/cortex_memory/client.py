@@ -47,9 +47,17 @@ class Cortex:
         """Embedded library mode: the engine runs in-process on a local
         data directory (reference client.py Cortex.open)."""
         from cortex_tpu.api import Cortex as Engine
-        os.makedirs(path, exist_ok=True)
-        db = path if path.endswith(".db") else os.path.join(path,
-                                                            "cortex.db")
+        if path.endswith(".db"):
+            # file form: create the PARENT, never a directory named
+            # like the db file (makedirs(path) broke both the new-file
+            # case — sqlite then can't open a directory — and the
+            # existing-file case — FileExistsError)
+            parent = os.path.dirname(os.path.abspath(path))
+            os.makedirs(parent, exist_ok=True)
+            db = path
+        else:
+            os.makedirs(path, exist_ok=True)
+            db = os.path.join(path, "cortex.db")
         return Cortex(_embedded=Engine.open(db, config))
 
     def close(self) -> None:
@@ -108,7 +116,14 @@ class Cortex:
                          Source(agent=agent or "sdk"), importance)
             n.tags = tags or []
             n.metadata = metadata or {}
-            return self._embedded.store(n, gate=gate)
+            # match the REMOTE semantics exactly: the server always
+            # runs the gate and gate=False only skips the quality
+            # check (http.py gate=skip) — embedded gate=False
+            # previously bypassed the whole gate, so code written
+            # against embedded mode broke with 422s against a server
+            return self._embedded.store(n, gate=True,
+                                        skip_quality=not gate,
+                                        actor="sdk")
         headers = {"x-agent-id": agent} if agent else {}
         d = self._request("POST", "/nodes", body={
             "kind": kind, "title": title, "body": body or title,

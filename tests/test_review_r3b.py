@@ -108,6 +108,141 @@ class TestBriefingCacheBound:
         assert "agent-49" in c._entries
 
 
+class TestEncryptedGuardDataSafety:
+    def _key(self, monkeypatch):
+        from cortex_tpu.storage.encrypted import generate_key
+        k = generate_key()
+        monkeypatch.setenv("CORTEX_ENCRYPTION_KEY", k)
+        return k
+
+    def test_truncated_decrypt_never_masquerades_as_orphan(
+            self, tmp_path, monkeypatch):
+        """decrypt_file must be tmp+rename atomic: a crash mid-decrypt
+        previously left a truncated .plain that the next boot resumed
+        from and re-encrypted OVER the only good ciphertext."""
+        import os
+        from cortex_tpu.storage.encrypted import (EncryptedDbGuard,
+                                                  decrypt_file,
+                                                  derive_key)
+        self._key(monkeypatch)
+        key = derive_key()
+        enc = str(tmp_path / "c.db.enc")
+        guard = EncryptedDbGuard(enc, key)      # fresh db
+        with open(guard.plain_path, "wb") as f:
+            f.write(b"precious database bytes here")
+        guard.close()
+        assert os.path.exists(enc)
+        # simulate the crash window: decrypt writes THROUGH a tmp, so
+        # interrupting before the rename leaves no .plain at all
+        captured = {}
+        real_replace = os.replace
+
+        def crash_replace(src, dst):
+            if dst.endswith(".plain"):
+                captured["tmp"] = src
+                raise KeyboardInterrupt("crash mid-decrypt (test)")
+            return real_replace(src, dst)
+        monkeypatch.setattr(os, "replace", crash_replace)
+        with pytest.raises(KeyboardInterrupt):
+            decrypt_file(enc, enc + ".plain", key)
+        monkeypatch.setattr(os, "replace", real_replace)
+        assert not os.path.exists(enc + ".plain"), \
+            "partial decrypt left a fake crash-orphan"
+        # next boot decrypts cleanly from the intact ciphertext
+        g2 = EncryptedDbGuard(enc, key)
+        assert not g2.recovered_from_crash
+        with open(g2.plain_path, "rb") as f:
+            assert f.read() == b"precious database bytes here"
+        g2.close()
+
+    def test_close_checkpoints_wal_before_encrypting(
+            self, tmp_path, monkeypatch):
+        """Committed rows still in the -wal must survive a guard close
+        that happens while the connection is open (context-manager
+        exception path) — previously the -wal was deleted unmerged."""
+        import sqlite3
+        from cortex_tpu.storage.encrypted import (EncryptedDbGuard,
+                                                  derive_key)
+        self._key(monkeypatch)
+        key = derive_key()
+        enc = str(tmp_path / "c.db.enc")
+        guard = EncryptedDbGuard(enc, key)
+        db = sqlite3.connect(guard.plain_path)
+        db.execute("PRAGMA journal_mode=WAL")
+        db.execute("CREATE TABLE t (v TEXT)")
+        db.execute("INSERT INTO t VALUES ('committed-in-wal')")
+        db.commit()                     # committed, but lives in -wal
+        guard.close()                   # connection still open!
+        db.close()
+        g2 = EncryptedDbGuard(enc, key)
+        db2 = sqlite3.connect(g2.plain_path)
+        rows = db2.execute("SELECT v FROM t").fetchall()
+        db2.close()
+        g2.close()
+        assert rows == [("committed-in-wal",)]
+
+
+class TestSdkClientFixes:
+    def test_open_with_db_file_path(self, tmp_path):
+        import sys
+        sys.path.insert(0, "sdks/python")
+        from cortex_memory import Cortex as Sdk
+        db = str(tmp_path / "nested" / "mem.db")
+        cx = Sdk.open(db)               # parent dir created, file form
+        nid = cx.store("fact", "SDK file-path open works",
+                       body="A body long enough for the write gate.")
+        cx.close()
+        cx2 = Sdk.open(db)              # existing FILE: no makedirs crash
+        assert cx2.get_node(nid) is not None
+        cx2.close()
+
+    def test_embedded_gate_matches_remote_semantics(self, tmp_path):
+        """gate=False now means what the server's gate=skip means:
+        quality checks skipped, SCHEMA still enforced (previously the
+        embedded path bypassed the whole gate while the remote path
+        ran it, so identical code behaved differently per mode); and
+        gate=True rejects duplicates in embedded mode like the server
+        does."""
+        import sys
+        sys.path.insert(0, "sdks/python")
+        from cortex_memory import Cortex as Sdk
+        from cortex_tpu.config import CortexConfig
+        from cortex_tpu.errors import GateRejection
+        from cortex_tpu.gate.schema import KindSchema
+        cfg = CortexConfig()
+        cfg.schemas["decision"] = KindSchema(
+            required_fields=["rationale"])
+        cx = Sdk.open(str(tmp_path / "g"), cfg)
+        # schema enforced even with gate=False (the gate=skip contract)
+        with pytest.raises(GateRejection):
+            cx.store("decision", "Decision missing its rationale",
+                     body="A body long enough for any check here.",
+                     gate=False)
+        # duplicates rejected under gate=True, matching the server
+        cx.store("fact", "Identical content stored twice here",
+                 body="The very same body text both times, yes.",
+                 gate=True)
+        with pytest.raises(GateRejection):
+            cx.store("fact", "Identical content stored twice here",
+                     body="The very same body text both times, yes.",
+                     gate=True)
+        cx.close()
+
+
+class TestDslFixes:
+    def test_importance_gt_is_strict(self):
+        from cortex_tpu.query import parse_and_compile
+        flt = parse_and_compile("importance>0.7")
+        assert flt.min_importance > 0.7
+        flt2 = parse_and_compile("importance>=0.7")
+        assert flt2.min_importance == pytest.approx(0.7)
+
+    def test_three_tag_or_terms_compile(self):
+        from cortex_tpu.query import parse_and_compile
+        flt = parse_and_compile("tags:a OR tags:b OR tags:c")
+        assert sorted(flt.tags_any) == ["a", "b", "c"]
+
+
 class TestBootFailureGuardCleanup:
     def test_stop_runs_when_start_raises(self, tmp_path, monkeypatch):
         """A boot failure after open_embedded (e.g. port bound) must

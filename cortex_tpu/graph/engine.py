@@ -53,6 +53,10 @@ class GraphEngine:
         common case); filtered / k-shortest queries take the Python
         implementation with its per-edge predicates."""
         if (req.max_paths != 1 or req.relation_filter is not None
+                # min_weight prunes edges below the floor, which the
+                # CSR doesn't encode — bail BEFORE the O(V+E)
+                # csr.ensure() below, not after
+                or req.min_weight is not None
                 or not native.available()):
             return None
         for nid in (req.from_id, req.to_id):
@@ -66,14 +70,14 @@ class GraphEngine:
         dst = csr.row_of.get(req.to_id)
         if src is None or dst is None:
             return PathResult()
-        if req.min_weight is not None:
-            # max-product Dijkstra; min_weight prunes edges below the
-            # floor, which the CSR doesn't encode — python path handles it
-            return None
-        out = native.bfs_depths(csr.indptr, csr.indices,
-                                np.array([src], np.int32),
-                                max_depth=(req.max_length or -1),
-                                want_parents=True)
+        out = native.bfs_depths(
+            csr.indptr, csr.indices, np.array([src], np.int32),
+            # explicit None check: max_length=0 is a real bound (the
+            # Python leg returns no paths for it), `or -1` treated it
+            # as UNBOUNDED
+            max_depth=(-1 if req.max_length is None
+                       else req.max_length),
+            want_parents=True)
         if out is None:
             return None
         depths, _, parents = out
@@ -174,34 +178,39 @@ class GraphEngine:
     def components(self) -> List[List[str]]:
         """Weakly-connected components (engine.rs:404-436). Native C++
         labeling over the undirected CSR when available; isolated
-        nodes become singleton components either way."""
+        nodes become singleton components either way. LIVE nodes only,
+        on BOTH legs: the CSR is built from edges, whose endpoints can
+        be tombstones (soft delete keeps edges) — the native leg used
+        to return components made of deleted nodes while the Python
+        leg omitted them, and both leaked deleted ids into mixed
+        components (find_cycles already excludes deleted)."""
+        live = {n.id for n in self.storage.list_nodes(NodeFilter())}
         if native.available():
             csr = self._csr.ensure()
             labels = native.components_native(csr.u_indptr, csr.u_indices)
             if labels is not None:
                 groups: Dict[int, List[str]] = {}
                 for r, lbl in enumerate(labels):
-                    groups.setdefault(int(lbl), []).append(csr.ids[r])
-                comps = [sorted(g) for g in groups.values()]
+                    if csr.ids[r] in live:
+                        groups.setdefault(int(lbl), []).append(csr.ids[r])
+                comps = [sorted(g) for g in groups.values() if g]
                 in_edge = set(csr.row_of)
-                comps.extend([n.id] for n in
-                             self.storage.list_nodes(NodeFilter())
-                             if n.id not in in_edge)
+                comps.extend([nid] for nid in live if nid not in in_edge)
                 comps.sort(key=len, reverse=True)
                 return comps
         seen: Set[str] = set()
         comps: List[List[str]] = []
-        for n in self.storage.list_nodes(NodeFilter()):
-            if n.id in seen:
+        for nid in sorted(live):
+            if nid in seen:
                 continue
             comp = []
-            frontier = [n.id]
-            seen.add(n.id)
+            frontier = [nid]
+            seen.add(nid)
             while frontier:
                 cur = frontier.pop()
                 comp.append(cur)
                 for a in (self.cache.outgoing(cur) + self.cache.incoming(cur)):
-                    if a.neighbor not in seen:
+                    if a.neighbor not in seen and a.neighbor in live:
                         seen.add(a.neighbor)
                         frontier.append(a.neighbor)
             comps.append(sorted(comp))

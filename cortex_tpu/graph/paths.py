@@ -37,12 +37,15 @@ def _adj(cache: AdjacencyCache, nid: str, req: PathRequest
 
 def find_paths(storage: Storage, cache: AdjacencyCache,
                req: PathRequest) -> PathResult:
-    if req.from_id == req.to_id:
-        return PathResult(paths=[Path([req.from_id], [], 1.0)])
+    # existence/liveness BEFORE the identity short-circuit: a missing
+    # or tombstoned node must not be "reachable from itself" (the
+    # native fast path checks in this order — results must agree)
     for nid in (req.from_id, req.to_id):
         n = storage.get_node(nid)
         if n is None or n.deleted:
             return PathResult()
+    if req.from_id == req.to_id:
+        return PathResult(paths=[Path([req.from_id], [], 1.0)])
     if req.max_paths > 1:
         return PathResult(paths=_yen(cache, req))
     if req.min_weight is not None:

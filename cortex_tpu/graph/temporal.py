@@ -77,4 +77,7 @@ def timeline(storage: Storage, node_id: str,
         out.append(TimelineEntry(ts=e.created_at, event="edge_created",
                                  target_id=e.id, title=e.relation))
     out.sort(key=lambda t: t.ts)
-    return out[:limit]
+    # keep the NEWEST `limit` entries (an activity timeline is queried
+    # for recent activity), presented chronologically — [:limit] kept
+    # the oldest and silently dropped everything recent
+    return out[-limit:] if limit else out

@@ -68,26 +68,33 @@ class _Collector:
         return (self.req.limit is not None
                 and len(self.included) >= self.req.limit)
 
-    def try_include(self, node_id: str, depth: int) -> bool:
-        """Hydrate + include node in results (subject to kind filter/limit).
-        Returns False when the limit is hit."""
+    def try_include(self, node_id: str, depth: int
+                    ) -> "tuple[bool, bool]":
+        """Hydrate + include node in results (subject to kind filter/
+        limit). Returns (keep_going, expand): keep_going is False when
+        the limit is hit; expand is False for missing/soft-deleted
+        nodes — a tombstone must not be traversed THROUGH (the module
+        invariant is 'deleted nodes are not traversed', and expanding
+        one surfaces its neighbors with no connecting edge in the
+        result). Kind-filtered nodes stay pass-through: the filter
+        shapes the RESULT set, not the walk (traversal.rs)."""
         if node_id in self.included:
-            return True
+            return True, True
         if self.over_limit():
             self.sub.truncated = True
-            return False
+            return False, False
         node = self.storage.get_node(node_id)
         if node is None or node.deleted:
-            return True
+            return True, False
         if self.req.kind_filter is not None and \
                 node.kind not in self.req.kind_filter:
             self.sub.depths.setdefault(node_id, depth)
-            return True
+            return True, True
         self.sub.nodes[node_id] = node
         self.sub.depths[node_id] = min(
             self.sub.depths.get(node_id, depth), depth)
         self.included.add(node_id)
-        return True
+        return True, True
 
     def finish(self, cache: AdjacencyCache) -> Subgraph:
         """Edge post-pass: keep edges with both endpoints in the result
@@ -151,9 +158,11 @@ def _bfs(storage: Storage, cache: AdjacencyCache, req: TraversalRequest,
                     break
                 visited.add(a.neighbor)
                 col.sub.visited_count += 1
-                if not col.try_include(a.neighbor, depth + 1):
+                go, expand = col.try_include(a.neighbor, depth + 1)
+                if not go:
                     break
-                nxt.append(a.neighbor)
+                if expand:
+                    nxt.append(a.neighbor)
                 if len(nxt) >= budget.max_nodes_per_level:
                     # circuit breaker (traversal.rs:132-137)
                     col.sub.truncated = True
@@ -186,9 +195,11 @@ def _dfs(storage: Storage, cache: AdjacencyCache, req: TraversalRequest,
                 continue
             visited.add(a.neighbor)
             col.sub.visited_count += 1
-            if not col.try_include(a.neighbor, depth + 1):
+            go, expand = col.try_include(a.neighbor, depth + 1)
+            if not go:
                 break
-            stack.append((a.neighbor, depth + 1))
+            if expand:
+                stack.append((a.neighbor, depth + 1))
     return col.finish(cache)
 
 
@@ -211,8 +222,11 @@ def _weighted(storage: Storage, cache: AdjacencyCache, req: TraversalRequest,
             break
         negw, depth, nid = heapq.heappop(heap)
         col.sub.visited_count += 1
-        if not col.try_include(nid, depth):     # include in pop (weight) order
+        go, expand = col.try_include(nid, depth)   # pop (weight) order
+        if not go:
             break
+        if not expand:
+            continue
         if req.max_depth is not None and depth >= req.max_depth:
             continue
         for a in _neighbors(cache, nid, req):

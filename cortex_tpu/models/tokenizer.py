@@ -116,12 +116,21 @@ class WordPieceTokenizer:
                 pieces[-1].append(ch)
         return ["".join(p) for p in pieces]
 
+    #: literal special tokens survive basic tokenization intact
+    #: (transformers passes all_special_tokens as never_split) — text
+    #: QUOTING one, e.g. 'see [SEP] above', must map to the special
+    #: token id, not the pieces '[', 'sep', ']'
+    NEVER_SPLIT = frozenset({PAD, UNK, CLS, SEP, MASK})
+
     def basic_tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
         if self.tokenize_chinese_chars:
             text = self._space_cjk(text)
         tokens: List[str] = []
         for tok in text.split():
+            if tok in self.NEVER_SPLIT:
+                tokens.append(tok)
+                continue
             if self.do_lower_case:
                 tok = self._strip_accents(tok.lower())
             tokens.extend(t for t in self._split_punct(tok) if t)

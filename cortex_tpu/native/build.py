@@ -30,9 +30,15 @@ def lib_path() -> str:
 
 def _compile() -> bool:
     out = lib_path()
-    if (os.path.exists(out)
-            and os.path.getmtime(out) >= os.path.getmtime(_SRC)):
-        return True
+    try:
+        if (os.path.exists(out)
+                and os.path.getmtime(out) >= os.path.getmtime(_SRC)):
+            return True
+    except OSError:
+        # .so present but the .cpp pruned (packaged deployment): the
+        # existing library is usable — never crash the Python fallback
+        # contract over a missing SOURCE file
+        return os.path.exists(out)
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",

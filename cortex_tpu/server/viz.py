@@ -60,6 +60,12 @@ const KIND_COLORS = {
   observation: "#74c7ec", prompt: "#eba0ac"
 };
 const color = k => KIND_COLORS[k] || "#9399b2";
+// node content is ARBITRARY API-written text: everything interpolated
+// into innerHTML must be escaped, or a stored title like
+// <img onerror=...> executes in the viz origin (stored XSS)
+const esc = s => String(s).replace(/[&<>"']/g, c => ({
+  "&": "&amp;", "<": "&lt;", ">": "&gt;",
+  '"': "&quot;", "'": "&#39;"}[c]));
 
 fetch("/graph/export").then(r => r.json()).then(({data}) => {
   const nodes = data.nodes.map(n => ({id: n.id, kind: n.kind,
@@ -72,7 +78,7 @@ fetch("/graph/export").then(r => r.json()).then(({data}) => {
   const kinds = [...new Set(nodes.map(n => n.kind))].sort();
   d3.select("#legend").selectAll("div").data(kinds).join("div")
     .attr("class", "legend-item")
-    .html(k => `<span class="dot" style="background:${color(k)}"></span>${k}`);
+    .html(k => `<span class="dot" style="background:${color(k)}"></span>${esc(k)}`);
 
   const svg = d3.select("svg");
   const W = innerWidth, H = innerHeight;
@@ -101,11 +107,11 @@ fetch("/graph/export").then(r => r.json()).then(({data}) => {
     .on("click", (ev, d) => {
       const p = d3.select("#panel");
       p.style("display", "block").html(
-        `<h3>${d.title}</h3>
-         <div class="muted">${d.kind} · importance ${d.importance.toFixed(2)}</div>
-         <p>${(d.raw.data.body || "").slice(0, 400)}</p>
-         <div class="muted">tags: ${(d.raw.data.tags || []).join(", ") || "-"}</div>
-         <div class="muted">id: ${d.id}</div>`);
+        `<h3>${esc(d.title)}</h3>
+         <div class="muted">${esc(d.kind)} · importance ${d.importance.toFixed(2)}</div>
+         <p>${esc((d.raw.data.body || "").slice(0, 400))}</p>
+         <div class="muted">tags: ${esc((d.raw.data.tags || []).join(", ") || "-")}</div>
+         <div class="muted">id: ${esc(d.id)}</div>`);
     });
 
   const label = g.append("g").selectAll("text").data(nodes).join("text")

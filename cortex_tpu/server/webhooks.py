@@ -93,7 +93,20 @@ class WebhookHook(MutationHook):
             pass
 
     def close(self) -> None:
-        self._q.put(None)
+        # never block shutdown behind a full backlog draining through
+        # slow endpoints: drop one queued event if needed to make room
+        # for the sentinel (delivery is already best-effort/lossy)
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self._q.put_nowait(None)
+            except queue.Full:
+                pass
         self._worker.join(timeout=2.0)
 
 

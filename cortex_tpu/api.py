@@ -681,9 +681,10 @@ class Cortex:
     def traverse(self, req: TraversalRequest) -> Subgraph:
         return self.graph.traverse(req)
 
-    def neighborhood(self, node_id: str, depth: int = 1) -> Subgraph:
+    def neighborhood(self, node_id: str, depth: int = 1,
+                     direction=BOTH) -> Subgraph:
         return self.graph.traverse(TraversalRequest(
-            start=[node_id], max_depth=depth, direction=BOTH))
+            start=[node_id], max_depth=depth, direction=direction))
 
     def find_paths(self, req: PathRequest):
         return self.graph.find_paths(req)

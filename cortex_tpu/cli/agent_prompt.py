@@ -47,6 +47,24 @@ def _require_agent(cx, name: str) -> Node:
 
 
 def cmd_agent_list(ctx, args) -> int:
+    if ctx.remote:
+        nodes = ctx.http("GET", "/nodes", params={"kind": "agent"})
+        rows = []
+        for n in nodes:
+            name = n.get("data", {}).get("title", "")
+            try:
+                bound = len(ctx.http(
+                    "GET", f"/agents/{name}/prompts"))
+            except Exception:  # noqa: BLE001 — count is best-effort
+                bound = 0
+            rows.append({"id": n["id"], "name": name,
+                         "bound_prompts": bound,
+                         "importance": n.get("importance")})
+        _emit(args, rows, "\n".join(
+            f"{r['id'][:13]}…  {r['name']:<24} "
+            f"prompts={r['bound_prompts']}" for r in rows)
+            or "(no agents)")
+        return 0
     cx = ctx.cortex()
     rows = []
     for n in cx.list_nodes(NodeFilter(kinds=["agent"])):
@@ -61,6 +79,22 @@ def cmd_agent_list(ctx, args) -> int:
 
 
 def cmd_agent_show(ctx, args) -> int:
+    if ctx.remote:
+        nodes = ctx.http("GET", "/nodes", params={"kind": "agent"})
+        match = [n for n in nodes
+                 if n.get("data", {}).get("title") == args.name
+                 or n.get("source", {}).get("agent") == args.name]
+        if not match:
+            _err(f"agent '{args.name}' not found")
+        n = match[0]
+        prompts = ctx.http("GET", f"/agents/{args.name}/prompts")
+        d = {"id": n["id"], "name": n["data"]["title"],
+             "body": n["data"].get("body"),
+             "importance": n.get("importance"),
+             "metadata": n["data"].get("metadata", {}),
+             "bound_prompts": prompts}
+        _emit(args, d, json.dumps(d, indent=2, default=str))
+        return 0
     cx = ctx.cortex()
     a = _require_agent(cx, args.name)
     prompts = []
@@ -219,6 +253,14 @@ def cmd_agent_observe(ctx, args) -> int:
     agent = _require_agent(cx, args.name)
     score = observation_score(args.sentiment, args.corrections,
                               args.outcome)
+    # resolve the variant's slug so history rows can display it (the
+    # HTTP path writes variant_slug; `agent history` reads it)
+    try:
+        vnode = cx.get_node(args.variant_id)
+        c = PromptContent.try_from_node(vnode) if vnode else None
+        variant_slug = c.slug if c else (vnode.title if vnode else "")
+    except Exception:  # noqa: BLE001 — unknown/foreign variant id
+        variant_slug = ""
     now = time.time()
     obs = Node.new("observation", f"obs:{args.name}:{int(now)}",
                    json.dumps({"agent": args.name,
@@ -226,15 +268,35 @@ def cmd_agent_observe(ctx, args) -> int:
                    Source(agent=args.name), 0.4)
     obs.metadata = {"observation_type": "performance",
                     "variant_id": args.variant_id,
+                    "variant_slug": variant_slug,
                     "observation_score": score,
                     "sentiment_score": args.sentiment,
                     "correction_count": args.corrections,
                     "task_outcome": args.outcome}
     cx.store(obs)
-    cx.create_edge(Edge.new(agent.id, obs.id, "performed", score,
-                            EdgeProvenance.manual(args.name)))
-    cx.create_edge(Edge.new(obs.id, args.variant_id, "observed_with",
-                            score, EdgeProvenance.manual(args.name)))
+    # edge writes tolerate a typo'd variant id (InvalidEdge) exactly
+    # like the HTTP handler — an orphan observation must not abort the
+    # command mid-bookkeeping
+    from ..errors import DuplicateEdge, InvalidEdge
+    for from_id, to_id, rel, w in [
+            (agent.id, obs.id, "performed", score),
+            (obs.id, args.variant_id, "observed_with", score)]:
+        try:
+            cx.create_edge(Edge.new(from_id, to_id, rel, w,
+                                    EdgeProvenance.manual(args.name)))
+        except (DuplicateEdge, InvalidEdge):
+            pass
+    # selection bookkeeping, mirroring http.record_observation: the
+    # uses-edge EMA and the active-variant marker — without them
+    # embedded `agent select` never learns from observations
+    from ..prompt import update_edge_weight
+    for e in cx.storage.edges_from(agent.id):
+        if e.relation == "uses" and e.to_id == args.variant_id:
+            cx.storage.update_edge_weight_atomic(
+                e.id, update_edge_weight(e.weight, score))
+            break
+    agent.metadata["active_variant_id"] = args.variant_id
+    cx.storage.put_node(agent)
     corr_rate = min(1.0, args.corrections / 10.0)
     outcome = cx.rollback_monitor.process_observation(
         obs.id, args.variant_id, corr_rate, args.sentiment, score)
@@ -249,6 +311,13 @@ def cmd_agent_observe(ctx, args) -> int:
 
 
 def cmd_prompt_list(ctx, args) -> int:
+    if ctx.remote:
+        rows = ctx.http("GET", "/prompts")
+        _emit(args, rows, "\n".join(
+            f"{r.get('slug', ''):<28} {r.get('prompt_type', ''):<10} "
+            f"{r.get('branch', '')}@v{r.get('version', '')}"
+            for r in rows) or "(no prompts)")
+        return 0
     cx = ctx.cortex()
     rows = [{"slug": p.slug, "type": p.prompt_type, "branch": p.branch,
              "version": p.version, "node_id": p.node_id}
@@ -260,6 +329,11 @@ def cmd_prompt_list(ctx, args) -> int:
 
 
 def cmd_prompt_get(ctx, args) -> int:
+    if ctx.remote:
+        d = ctx.http("GET", f"/prompts/{args.slug}/latest",
+                     params={"branch": args.branch})
+        _emit(args, d, json.dumps(d, indent=2, default=str))
+        return 0
     cx = ctx.cortex()
     head = cx.prompts.find_head(args.slug, args.branch)
     if head is None:
@@ -273,6 +347,13 @@ def cmd_prompt_get(ctx, args) -> int:
 
 
 def cmd_prompt_create(ctx, args) -> int:
+    if ctx.remote:
+        sections = json.loads(args.sections) if args.sections else {}
+        d = ctx.http("POST", "/prompts", body={
+            "slug": args.slug, "type": args.type,
+            "branch": args.branch, "sections": sections})
+        _emit(args, d, f"created prompt {args.slug}@{args.branch}")
+        return 0
     cx = ctx.cortex()
     sections = json.loads(args.sections) if args.sections else {}
     content = PromptContent(slug=args.slug, prompt_type=args.type,
@@ -309,10 +390,17 @@ def cmd_prompt_migrate(ctx, args) -> int:
                           []).append(v)
     created = skipped = 0
     for (slug, branch) in sorted(groups):
-        for mv in sorted(groups[(slug, branch)],
-                         key=lambda v: int(v.get("version", 1))):
+        ordered = sorted(groups[(slug, branch)],
+                         key=lambda v: int(v.get("version", 1)))
+        for ordinal, mv in enumerate(ordered, start=1):
             version = int(mv.get("version", 1))
-            if cx.prompts.get_version(slug, branch, version) is not None:
+            # idempotency keys on the ORDINAL, not the file's version
+            # number: the resolver assigns its own sequential versions
+            # (create_version always uses head+1), so a file with
+            # versions [2, 3] stores v1, v2 — re-running must skip the
+            # i-th file entry when stored version i exists, or
+            # non-contiguous files import duplicates forever
+            if cx.prompts.get_version(slug, branch, ordinal) is not None:
                 skipped += 1
                 continue
             raw = dict(mv.get("content", {}))
@@ -360,6 +448,10 @@ def cmd_prompt_migrate(ctx, args) -> int:
 def cmd_prompt_performance(ctx, args) -> int:
     """Aggregate observation scores for a prompt's versions
     (http prompts.rs performance endpoint behavior)."""
+    if ctx.remote:
+        d = ctx.http("GET", f"/prompts/{args.slug}/performance")
+        _emit(args, d, json.dumps(d, indent=2, default=str))
+        return 0
     cx = ctx.cortex()
     versions = cx.prompts.find_versions(args.slug, args.branch)
     if not versions:
@@ -388,6 +480,12 @@ def cmd_prompt_performance(ctx, args) -> int:
 
 
 def cmd_prompt_deploy(ctx, args) -> int:
+    if ctx.remote:
+        d = ctx.http("POST", f"/prompts/{args.slug}/deploy", body={
+            "branch": args.branch, "agent_name": args.agent or "system"})
+        _emit(args, d, f"deployed {args.slug}@{args.branch} "
+              f"v{d.get('version', '?')}")
+        return 0
     cx = ctx.cortex()
     head = cx.prompts.find_head(args.slug, args.branch)
     if head is None:
@@ -403,6 +501,11 @@ def cmd_prompt_deploy(ctx, args) -> int:
 
 
 def cmd_prompt_rollback_status(ctx, args) -> int:
+    if ctx.remote:
+        d = ctx.http("GET", f"/prompts/{args.slug}/rollback-status",
+                     params={"branch": args.branch})
+        _emit(args, d, json.dumps(d, indent=2, default=str))
+        return 0
     cx = ctx.cortex()
     st = cx.rollback_monitor.get_status(args.slug, args.branch)
     if st is None:
@@ -416,6 +519,11 @@ def cmd_prompt_rollback_status(ctx, args) -> int:
 
 
 def cmd_prompt_unquarantine(ctx, args) -> int:
+    if ctx.remote:
+        d = ctx.http("POST", f"/prompts/{args.slug}/unquarantine",
+                     body={"branch": args.branch})
+        _emit(args, d, f"unquarantined {args.slug}@{args.branch}")
+        return 0
     cx = ctx.cortex()
     head = cx.prompts.find_head(args.slug, args.branch)
     if head is None:

@@ -535,17 +535,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def main(argv: Optional[List[str]] = None, *,
+         reuse_ctx: Optional["CliContext"] = None) -> int:
+    """reuse_ctx: the shell passes its long-lived context so each REPL
+    line doesn't pay a full engine open (embedder init, index load,
+    encryption decrypt) AND a close-time re-encrypt."""
     parser = build_parser()
     args = parser.parse_args(argv)
     if getattr(args, "_shell", False):
         from .shell import run_shell
         return run_shell(args)
-    ctx = CliContext(args)
+    ctx = reuse_ctx if reuse_ctx is not None else CliContext(args)
     try:
         return args.fn(ctx, args)
     except (CliError, CortexError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     finally:
-        ctx.close()
+        if reuse_ctx is None:
+            ctx.close()

@@ -11,7 +11,7 @@ import sys
 
 
 def run_shell(parent_args) -> int:
-    from .main import main
+    from .main import CliContext, main
 
     try:
         import readline  # noqa: F401  (history + line editing)
@@ -28,6 +28,17 @@ def run_shell(parent_args) -> int:
 
     print("cortex shell — type a command ('node list', 'search ...'), "
           "'help', or 'exit'")
+    # ONE context for the whole session: opening the engine per line
+    # pays embedder init + index load + (under encryption-at-rest) a
+    # whole-store decrypt/re-encrypt per keystroke-line
+    ctx = CliContext(parent_args)
+    try:
+        return _loop(prefix, ctx, main)
+    finally:
+        ctx.close()
+
+
+def _loop(prefix, ctx, main) -> int:
     while True:
         try:
             line = input("cortex> ").strip()
@@ -50,9 +61,13 @@ def run_shell(parent_args) -> int:
             print(f"parse error: {e}", file=sys.stderr)
             continue
         try:
-            main(argv)
+            main(argv, reuse_ctx=ctx)
         except SystemExit:
             pass        # argparse errors shouldn't kill the shell
+        except KeyboardInterrupt:
+            # ^C during a slow COMMAND returns to the prompt; ^C at
+            # the prompt (handled above) exits the shell
+            print("\n(interrupted)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — REPL must survive
             print(f"error: {e}", file=sys.stderr)
     return 0

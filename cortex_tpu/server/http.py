@@ -296,7 +296,13 @@ def create_app(state: ServerState) -> web.Application:
     async def node_neighbors(request):
         nid = request.match_info["id"]
         depth = q_int(request, "depth", 1)
-        sub = cx.neighborhood(nid, depth=depth)
+        # the CLI and the MCP bridge both SEND ?direction= — the route
+        # silently ignored it, returning the BOTH subgraph for every
+        # enum value
+        from .conversions import parse_direction
+        direction = parse_direction(
+            request.query.get("direction", "both"))
+        sub = cx.neighborhood(nid, depth=depth, direction=direction)
         return json_ok({
             "nodes": [node_json(n) for n in sub.nodes.values()],
             "edges": [edge_json(e) for e in sub.edges],

@@ -130,6 +130,9 @@ async function rest(method, path, { params, body } = {}) {
     method,
     headers,
     body: body === undefined ? undefined : JSON.stringify(body),
+    // a hung server must not hang the MCP client forever (the TS SDK
+    // uses the same 30s abort)
+    signal: AbortSignal.timeout(30000),
   });
   const payload = await resp.json().catch(() => ({}));
   if (!resp.ok || payload.ok === false) {

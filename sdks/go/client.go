@@ -211,7 +211,15 @@ type wireHit struct {
 func (c *Client) CreateNode(ctx context.Context, kind, title, body string,
 	opts *StoreOptions) (string, error) {
 	if opts == nil {
-		opts = &StoreOptions{Importance: 0.5}
+		opts = &StoreOptions{}
+	}
+	importance := opts.Importance
+	if importance == 0 {
+		// Go zero value: callers building StoreOptions{Tags: ...}
+		// almost never mean literal minimum importance; match the
+		// nil-opts / TS-SDK / server default. An explicit floor can
+		// be expressed with any small positive value.
+		importance = 0.5
 	}
 	params := url.Values{}
 	headers := map[string]string{}
@@ -227,7 +235,7 @@ func (c *Client) CreateNode(ctx context.Context, kind, title, body string,
 	}
 	payload := map[string]interface{}{
 		"kind": kind, "title": title, "body": body,
-		"importance": opts.Importance, "tags": opts.Tags,
+		"importance": importance, "tags": opts.Tags,
 		"metadata": opts.Metadata,
 	}
 	var out struct {

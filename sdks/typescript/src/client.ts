@@ -159,8 +159,15 @@ export class Cortex {
   }
 
   async deleteNode(nodeId: string): Promise<boolean> {
-    await this.request("DELETE", `/nodes/${nodeId}`);
-    return true;
+    // MockCortex returns false for a missing node; the real client
+    // must match (a 404 is "not found", not an application error)
+    try {
+      await this.request("DELETE", `/nodes/${nodeId}`);
+      return true;
+    } catch (e) {
+      if (e instanceof CortexError && e.status === 404) return false;
+      throw e;
+    }
   }
 
   async relate(fromId: string, toId: string, relation: string, weight = 0.5): Promise<string> {

@@ -225,10 +225,13 @@ class ShardedCorpus(DeviceCorpus):
                 f"power-of-two submesh, e.g. build_mesh("
                 f"{1 << (self._n_dev.bit_length() - 1)})")
 
+    def _row_alignment(self) -> int:
+        # 1.25x gentle-growth steps strip the power-of-two factor; the
+        # even NamedSharding needs cap % n_dev == 0 at every rung
+        return max(8, self._n_dev)
+
     def _grow(self, need: int) -> None:
         super()._grow(need)
-        # capacity ladder is 1024*2^m, so divisibility follows from the
-        # power-of-two mesh enforced in __init__
         assert self._cap % self._n_dev == 0
 
     def _sync_quant_sharded(self, rows: Optional[np.ndarray]) -> None:

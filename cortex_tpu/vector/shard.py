@@ -134,6 +134,16 @@ def _scatter_update_masks(live, kind_code, agent_code, rows, lv, kc, ac):
             agent_code.at[rows].set(ac))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_quant_rows(i8, ri, rows, q, rinv):
+    """Donating int8-shadow scatter: the eager non-donating .at[].set
+    copied the entire [cap, d] shadow per dirty sync (~7.7 GB at
+    10Mx768) and transiently doubled its HBM footprint. Donation races
+    with in-flight captured snapshots are already handled by
+    _donated_buffer_race, same as the emb scatter."""
+    return i8.at[rows].set(q), ri.at[rows].set(rinv)
+
+
 @jax.jit
 def _build_bias(live, kind_code, agent_code, allowed_kinds, allowed_agent,
                 exclude_rows):
@@ -307,12 +317,20 @@ class DeviceCorpus:
     #: one XLA compile either way; 1.25x adds a handful of steps.
     GENTLE_GROWTH_ROWS = 4 << 20
 
+    def _row_alignment(self) -> int:
+        """Row-count alignment for capacity growth: 8 keeps blocks
+        sublane-aligned. ShardedCorpus overrides with the mesh size —
+        1.25x gentle steps strip the power-of-two factor and a cap not
+        divisible by n_dev breaks the even NamedSharding."""
+        return 8
+
     def _grow(self, need: int) -> None:
+        align = max(8, self._row_alignment())
         new_cap = max(MIN_CAP, self._cap)
         while new_cap < need:
             if new_cap >= self.GENTLE_GROWTH_ROWS:
-                # multiple of 8 keeps row blocks sublane-aligned
-                new_cap = ((new_cap + new_cap // 4) + 7) // 8 * 8
+                new_cap = ((new_cap + new_cap // 4) + align - 1) \
+                    // align * align
             else:
                 new_cap *= 2
         if new_cap == self._cap:
@@ -411,7 +429,11 @@ class DeviceCorpus:
             self._dirty.clear()
 
     # ---------------------------------------------------------------- device
-    def _emb_for_device(self, rows=None) -> np.ndarray:
+    def _emb_for_device(self, rows=None,
+                        mu: Optional[np.ndarray] = None) -> np.ndarray:
+        """mu: precomputed live-row mean (a full upload with bf16 AND
+        the int8 shadow otherwise computes the identical O(cap*d) mean
+        twice — see _upload_full)."""
         src = self._emb_h if rows is None else self._emb_h[rows]
         if self._storage_dtype == jnp.bfloat16:
             # CENTERED bf16 (cast on host so the wire/HBM cost is
@@ -425,9 +447,9 @@ class DeviceCorpus:
             # ranking-correct).
             if rows is None:
                 live = self._live_h
-                self._bf16_mu = (
+                self._bf16_mu = (mu if mu is not None else (
                     self._emb_h[live].mean(axis=0).astype(np.float32)
-                    if live.any() else None)
+                    if live.any() else None))
             if self._bf16_mu is not None:
                 src = src - self._bf16_mu[None, :]
             return src.astype(jax.dtypes.bfloat16)
@@ -449,9 +471,11 @@ class DeviceCorpus:
         quant_bytes = self._cap * self.dim
         return emb_bytes + quant_bytes <= self._hbm_budget
 
-    def _sync_quant(self, rows: Optional[np.ndarray]) -> None:
+    def _sync_quant(self, rows: Optional[np.ndarray],
+                    mu: Optional[np.ndarray] = None) -> None:
         """Refresh the int8 shadow (values + per-row dequant factors)
-        from the fp32 host mirror. rows=None -> full re-upload.
+        from the fp32 host mirror. rows=None -> full re-upload; mu:
+        precomputed live mean (see _emb_for_device).
 
         Quantization is CENTERED on the live-row mean (ranking-
         invariant — see ops.similarity.quantize_rows_centered): this is
@@ -460,9 +484,10 @@ class DeviceCorpus:
         reuse the μ of the last full sync (any fixed shift is correct;
         a stale μ only costs a sliver of quantization resolution)."""
         if rows is None:
-            live = self._live_h
-            mu = (self._emb_h[live].mean(axis=0).astype(np.float32)
-                  if live.any() else np.zeros(self.dim, np.float32))
+            if mu is None:
+                live = self._live_h
+                mu = (self._emb_h[live].mean(axis=0).astype(np.float32)
+                      if live.any() else np.zeros(self.dim, np.float32))
             q, rinv, self._quant_mu = quantize_rows_centered(
                 self._emb_h, mu)
             self._dev_q = (jnp.asarray(q), jnp.asarray(rinv))
@@ -470,12 +495,22 @@ class DeviceCorpus:
             q, rinv, _ = quantize_rows_centered(
                 self._emb_h[rows], self._quant_mu)
             i8, ri = self._dev_q
-            self._dev_q = (i8.at[jnp.asarray(rows)].set(jnp.asarray(q)),
-                           ri.at[jnp.asarray(rows)].set(jnp.asarray(rinv)))
+            self._dev_q = _scatter_quant_rows(
+                i8, ri, jnp.asarray(rows), jnp.asarray(q),
+                jnp.asarray(rinv))
 
     def _upload_full(self, quant: bool) -> None:
         self._emb_resident = self._emb_fits()
-        emb = (jnp.asarray(self._emb_for_device())
+        # ONE live-mean pass: bf16 centering and int8 centering use the
+        # identical mean; computing it in both legs doubled the O(cap*d)
+        # host traffic per full resync
+        mu_live = None
+        if quant or (self._emb_resident
+                     and self._storage_dtype == jnp.bfloat16):
+            live = self._live_h
+            mu_live = (self._emb_h[live].mean(axis=0).astype(np.float32)
+                       if live.any() else None)
+        emb = (jnp.asarray(self._emb_for_device(mu=mu_live))
                if self._emb_resident else None)
         if not self._emb_resident:
             log.info("corpus %d x %d exceeds the HBM budget with the "
@@ -484,7 +519,7 @@ class DeviceCorpus:
         self._dev = (emb, jnp.asarray(self._live_h),
                      jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
         if quant:
-            self._sync_quant(None)
+            self._sync_quant(None, mu=mu_live)
 
     def sync(self) -> None:
         """Push host diffs to device. Cheap when clean."""
@@ -681,9 +716,14 @@ class DeviceCorpus:
                                  k=k_bucket, path=path, over=over)
         return v, i, False
 
+    #: sentinel: "use the corpus's CURRENT bf16 mu" — callers on the
+    #: dispatch-outside-the-lock protocol must instead pass the mu
+    #: captured WITH their device snapshot (see _finish_topk)
+    _MU_CURRENT = object()
+
     def _finish_topk(self, v, i, k: int, kk: int, generation: int,
                      q_np: Optional[np.ndarray] = None,
-                     rescore: bool = False):
+                     rescore: bool = False, bf16_mu=_MU_CURRENT):
         """Fetch device results and map rows -> ids. If rows were freed
         AND reassigned while the device ran (generation changed), the
         row->id mapping is no longer the one the scores were computed
@@ -703,6 +743,14 @@ class DeviceCorpus:
                 return None     # caller retries
             if rescore:
                 valid = v > -1e29
+                # a row REMOVED after dispatch is zeroed in the host
+                # mirror but its old quant score still marks it valid;
+                # re-ranking it against the CURRENT mirror scores it
+                # q·0 = 0.0 — a ghost (id None) that outranks real
+                # negative-cosine hits. Mask dead-now rows so they
+                # surface as score <= -1e29 → id None → dropped,
+                # honoring the documented dead-hit contract.
+                valid &= self._live_h[np.where(valid, i, 0)]
                 nat = (rerank_topk_native(self._emb_h, q_np, i, valid, kk)
                        if _USE_NATIVE_RERANK else None)
                 if nat is not None:
@@ -727,12 +775,26 @@ class DeviceCorpus:
             else:
                 v = v[:, :kk]
                 i = i[:, :kk]
-                if self._bf16_mu is not None and q_np is not None:
-                    # add back the per-query q.mu the centered bf16
-                    # corpus dropped, so returned scores are absolute
-                    # cosines (thresholds/gate checks depend on them)
-                    comp = (q_np @ self._bf16_mu).astype(np.float32)
+                # add back the per-query q.mu the centered bf16 corpus
+                # dropped, so returned scores are absolute cosines
+                # (thresholds/gate checks depend on them). MUST be the
+                # mu the DISPATCHED snapshot was centered with — a
+                # full re-upload racing an in-flight search swaps
+                # self._bf16_mu, and compensating with the new mu
+                # corrupts scores by q·(mu_new − mu_old)
+                mu = (self._bf16_mu if bf16_mu is self._MU_CURRENT
+                      else bf16_mu)
+                if mu is not None and q_np is not None:
+                    comp = (q_np @ mu).astype(np.float32)
                     v = np.where(v > -1e29, v + comp[:, None], v)
+                # same dead-now masking as the rescore leg: the device
+                # re-rank (or exact scan) scored a snapshot where the
+                # row was live; a remove() landing before the fetch
+                # must surface as (<= -1e29, None), not a real score
+                # with a None id
+                alive = v > -1e29
+                alive &= self._live_h[np.where(alive, i, 0)]
+                v = np.where(alive, v, NEG_INF)
             if kk < k:
                 v = np.pad(v, ((0, 0), (0, k - kk)),
                            constant_values=NEG_INF)
@@ -776,6 +838,7 @@ class DeviceCorpus:
             kk, k_bucket = self._k_bucket(k)
             gen = self._generation
             dev, dev_q = self._dev, self._dev_q
+            mu = self._bf16_mu     # part of the snapshot (see finish)
         # dispatch OUTSIDE the lock: a cold (batch, k, path) program
         # blocks here for its XLA compile (~tens of seconds on a
         # tunneled device) — holding the lock across it would stall
@@ -795,32 +858,44 @@ class DeviceCorpus:
             v = i = None
             resc = False
 
-        def attempt():
+        def attempt(final: bool = False):
             """One dispatch+fetch; None when a row-reassignment or a
-            donating sync() raced."""
+            donating sync() raced. final=True (caller holds the lock,
+            so no race is possible by construction): re-raise instead
+            of classifying — the substring classifier would otherwise
+            swallow a persistent non-race error whose message merely
+            contains 'deleted'/'invalid buffer' and die on the bare
+            assert instead of surfacing it."""
             with self._lock:
                 self.sync()
                 a_ak, a_aa, a_ex, a_hb = self._filter_codes(kinds, agent,
                                                             exclude_ids)
+                # recompute k's bucket: a compact() since the first
+                # dispatch may have SHRUNK capacity below the captured
+                # bucket, and lax.top_k(k > N) is a hard error
+                a_kk, a_kb = self._k_bucket(k)
                 a_gen = self._generation
                 a_dev, a_dev_q = self._dev, self._dev_q
+                a_mu = self._bf16_mu
             try:
                 av, ai, a_resc = self._dispatch_search(
-                    q, a_ak, a_aa, a_ex, k_bucket, host_bias=a_hb,
+                    q, a_ak, a_aa, a_ex, a_kb, host_bias=a_hb,
                     dev=a_dev, dev_q=a_dev_q)
             except Exception as e:        # noqa: BLE001 — filtered below
-                if not _donated_buffer_race(e):
+                if final or not _donated_buffer_race(e):
                     raise
                 return None
-            return self._finish_topk(av, ai, k, kk, a_gen,
-                                     q_np=q_np, rescore=a_resc)
+            return self._finish_topk(av, ai, k, a_kk, a_gen,
+                                     q_np=q_np, rescore=a_resc,
+                                     bf16_mu=a_mu)
 
         def finish_full():
             out = None
             if v is not None:
                 try:
                     out = self._finish_topk(v, i, k, kk, gen,
-                                            q_np=q_np, rescore=resc)
+                                            q_np=q_np, rescore=resc,
+                                            bf16_mu=mu)
                 except DeviceFetchTimeout:
                     log.warning("device fetch wedged (>%.0fs); "
                                 "re-dispatching", FETCH_TIMEOUT_S)
@@ -855,7 +930,7 @@ class DeviceCorpus:
                         out = None
                     if out is not None:
                         return out
-                out = attempt()
+                out = attempt(final=True)
                 assert out is not None
                 return out
 
@@ -909,7 +984,7 @@ class DeviceCorpus:
                                                 np.float32)])
                 if pad else q_all)
 
-        def attempt():
+        def attempt(final: bool = False):
             with self._lock:
                 self.sync()
                 ak, aa, ex, hb = self._filter_codes(kinds, agent,
@@ -917,6 +992,7 @@ class DeviceCorpus:
                 kk, k_bucket = self._k_bucket(k)
                 gen = self._generation
                 dev, dev_q = self._dev, self._dev_q
+                mu = self._bf16_mu   # snapshot's centering shift
             # dispatch outside the lock (cold-compile head-of-line
             # blocking — see topk_async)
             vs, rs, resc = [], [], False
@@ -930,14 +1006,15 @@ class DeviceCorpus:
                     vs.append(v)
                     rs.append(i)
             except Exception as e:        # noqa: BLE001 — filtered below
-                if not _donated_buffer_race(e):
-                    raise
+                if final or not _donated_buffer_race(e):
+                    raise                 # see topk_async attempt()
                 return None               # raced a donating sync(): retry
             # device-side concat: still async, nothing fetched yet
             v_all = jnp.concatenate(vs, axis=0)
             i_all = jnp.concatenate(rs, axis=0)
             return self._finish_topk(v_all, i_all, k, kk, gen,
-                                     q_np=q_np, rescore=resc)
+                                     q_np=q_np, rescore=resc,
+                                     bf16_mu=mu)
 
         out = None
         for _ in range(3):
@@ -961,7 +1038,7 @@ class DeviceCorpus:
                     if out is not None:
                         break
                 if out is None:
-                    out = attempt()   # last try: a wedge raises loudly
+                    out = attempt(final=True)  # a wedge raises loudly
                 assert out is not None
         vv, ids = out
         return vv[:nq], ids[:nq]

@@ -78,9 +78,10 @@ class Cortex:
         self.briefing_engine = BriefingEngine(
             storage, self.graph, self.index, self.embedder, self.hybrid,
             self.graph_version, self.config.briefing)
-        self.linker = AutoLinker(storage, self.index, self.embedder,
-                                 self.config.auto_linker,
-                                 persist_lock=self._persist_lock)
+        self.linker = AutoLinker(
+            storage, self.index, self.embedder, self.config.auto_linker,
+            persist_lock=self._persist_lock,
+            on_index_pair_failure=self._index_pair_failed)
         self.retention = RetentionEngine(self.config.retention,
                                          self.config.score_decay)
         self.audit = AuditLog(storage)
@@ -109,7 +110,9 @@ class Cortex:
         see Cortex.warmup): on a cold XLA cache or a slow/tunneled
         device the first store/search otherwise blocks for the compile
         with no feedback (VERDICT r2 #5)."""
-        cx = Cortex(SqliteStorage(path), config)
+        sync_mode = (config.server.sqlite_synchronous
+                     if config is not None else "normal")
+        cx = Cortex(SqliteStorage(path, synchronous=sync_mode), config)
         if warmup:
             cx.warmup()
         return cx
@@ -276,6 +279,7 @@ class Cortex:
         minutes at 1M nodes); otherwise rebuild from stored embeddings
         (api.rs:54-69 / serve.rs:100-123 — the reference always takes
         the slow path)."""
+        self._index_diverged = False
         if self._try_load_index_snapshot():
             self._index_base_synced = True
             return
@@ -286,6 +290,13 @@ class Cortex:
         # and the crash is absent here but present in the base; a
         # {base, delta} pair would resurrect it at the next boot)
         self._index_base_synced = False
+        if len(self.index) > 0:
+            # a PARTIALLY applied snapshot load (base loaded, delta
+            # apply raised) left stale base rows — rebuilding on top
+            # would keep vectors of since-hard-deleted nodes and the
+            # next full-base checkpoint would certify the zombies;
+            # 'any corruption -> full rebuild' means from EMPTY
+            self.index = self._make_index()
         nodes = [n for n in self.storage.list_nodes(NodeFilter())
                  if n.embedding is not None
                  and len(n.embedding) == self.embedder.dimension]
@@ -364,9 +375,19 @@ class Cortex:
         mutation doesn't recopy and rewrite a million-row corpus
         every linker cycle; close() passes 0 (always save changes)."""
         import json as _json
+        import logging as _logging
         import os as _os
         path = self._index_snapshot_path()
         if path is None:
+            return
+        if getattr(self, "_index_diverged", False):
+            # a store+index pair half-failed earlier: the in-memory
+            # index diverges from storage at a bumped seq — certifying
+            # THIS state would make the missing row unsearchable across
+            # every future boot. Skip until a rebuild converges.
+            _logging.getLogger("cortex.api").warning(
+                "index snapshot skipped: index diverged from storage "
+                "after a failed store+index pair (rebuild to recover)")
             return
         dpath = self._index_delta_path()
         with self._snapshot_lock:       # one save at a time, start to end
@@ -424,6 +445,9 @@ class Cortex:
                         st = self.index.snapshot_state()
                         pending = self.index.begin_snapshot_base()
                 except Exception:  # noqa: BLE001 — an optimization only
+                    _logging.getLogger("cortex.api").exception(
+                        "index snapshot capture failed; live "
+                        "checkpointing degraded (next boot rebuilds)")
                     return
             try:
                 # atomic publication: tmp + rename, npz before marker —
@@ -451,6 +475,9 @@ class Cortex:
                     # swapped delta working set): deltas may pair again
                     self._index_base_synced = True
             except Exception:  # noqa: BLE001
+                _logging.getLogger("cortex.api").exception(
+                    "index snapshot write failed (disk full/permission?)"
+                    "; next boot takes the full-rebuild path")
                 if pending is not None:
                     self.index.abort_snapshot_base(pending)
 
@@ -502,15 +529,34 @@ class Cortex:
         self.hooks.notify_node("updated" if is_update else "created", node)
         return node.id
 
+    def _index_pair_failed(self) -> None:
+        """The storage half of a store+index pair committed but the
+        index half raised: the in-memory index now diverges from
+        storage at a seq the trigger already bumped. A checkpoint
+        written from this state would CERTIFY the divergence (marker
+        seq matches, node forever unsearchable across boots) — poison
+        the snapshot machinery until a rebuild converges."""
+        import logging
+        self._index_diverged = True
+        self._index_base_synced = False
+        logging.getLogger("cortex.api").exception(
+            "index mutation failed after its storage write committed; "
+            "index snapshots disabled until the next full rebuild "
+            "(reboot rebuilds from storage and recovers the row)")
+
     def _persist(self, node: Node, actor: str) -> bool:
         """Store + index + version bump (no hooks). Returns is_update."""
         with self._persist_lock:
             is_update = self.storage.get_node(node.id) is not None
             self.storage.put_node(node, actor=actor)
-            self.index.insert(node.id,
-                              np.asarray(node.embedding, np.float32),
-                              kind=node.kind,
-                              source_agent=node.source.agent)
+            try:
+                self.index.insert(node.id,
+                                  np.asarray(node.embedding, np.float32),
+                                  kind=node.kind,
+                                  source_agent=node.source.agent)
+            except BaseException:
+                self._index_pair_failed()
+                raise
         self._on_write()
         return is_update
 
@@ -529,12 +575,16 @@ class Cortex:
                 n.embedding = embs[j].tolist()
         with self._persist_lock:
             self.storage.put_nodes_batch(nodes, actor=actor)
-            self.index.insert_batch(
-                [n.id for n in nodes],
-                np.stack([np.asarray(n.embedding, np.float32)
-                          for n in nodes]),
-                kinds=[n.kind for n in nodes],
-                agents=[n.source.agent for n in nodes])
+            try:
+                self.index.insert_batch(
+                    [n.id for n in nodes],
+                    np.stack([np.asarray(n.embedding, np.float32)
+                              for n in nodes]),
+                    kinds=[n.kind for n in nodes],
+                    agents=[n.source.agent for n in nodes])
+            except BaseException:
+                self._index_pair_failed()
+                raise
         self._on_write()
         for n in nodes:
             self.hooks.notify_node("created", n)
@@ -546,10 +596,14 @@ class Cortex:
         node.updated_at = time.time()
         with self._persist_lock:
             self.storage.put_node(node, actor=actor)
-            self.index.insert(node.id,
-                              np.asarray(node.embedding, np.float32),
-                              kind=node.kind,
-                              source_agent=node.source.agent)
+            try:
+                self.index.insert(node.id,
+                                  np.asarray(node.embedding, np.float32),
+                                  kind=node.kind,
+                                  source_agent=node.source.agent)
+            except BaseException:
+                self._index_pair_failed()
+                raise
         self._on_write()
         self.hooks.notify_node("updated", node)
 
@@ -563,7 +617,11 @@ class Cortex:
                   if hard else
                   self.storage.delete_node(node_id, actor=actor))
             if ok:
-                self.index.remove(node_id)
+                try:
+                    self.index.remove(node_id)
+                except BaseException:
+                    self._index_pair_failed()
+                    raise
         if ok:
             self._on_write()
             self.hooks.notify_node("deleted", node)

@@ -41,6 +41,11 @@ class ServerConfig:
     # serving programs (measured 1.5s -> 0.2s per program across
     # processes). Relative paths resolve under data_dir; "" disables.
     compilation_cache_dir: str = ".jax-cache"
+    # SQLite durability: "normal" (WAL; survives process crashes, a
+    # power loss may roll back commits since the last checkpoint) or
+    # "full" (fsync per commit, like the reference redb's durable
+    # default, at ingest-throughput cost)
+    sqlite_synchronous: str = "normal"
 
 
 @dataclass
@@ -185,7 +190,8 @@ class CortexConfig:
             warmup=bool(s.get("warmup", True)),
             search_batching=bool(s.get("search_batching", True)),
             compilation_cache_dir=s.get("compilation_cache_dir",
-                                        ".jax-cache"))
+                                        ".jax-cache"),
+            sqlite_synchronous=s.get("sqlite_synchronous", "normal"))
         sc = raw.get("schema", {})
         cfg.schema = SchemaConfig(kinds=list(sc.get("kinds", [])),
                                   relations=list(sc.get("relations", [])))

@@ -63,7 +63,8 @@ class AutoLinker:
     def __init__(self, storage: Storage, index: VectorIndex,
                  embedder: EmbeddingService,
                  config: Optional[AutoLinkerConfig] = None,
-                 persist_lock: Optional[threading.Lock] = None):
+                 persist_lock: Optional[threading.Lock] = None,
+                 on_index_pair_failure=None):
         self.storage = storage
         self.index = index
         self.embedder = embedder
@@ -73,6 +74,10 @@ class AutoLinker:
         # whose index_seq bump it records, and the seq-equality
         # early-return would then pin the incomplete snapshot
         self.persist_lock = persist_lock or threading.Lock()
+        # notifies the owner that a storage write committed but its
+        # index mutation raised — checkpoints must stop certifying
+        # until a rebuild (Cortex._index_pair_failed)
+        self.on_index_pair_failure = on_index_pair_failure
         self.config = config or AutoLinkerConfig()
         self.config.validate()
         self.metrics = LinkerMetrics()
@@ -181,12 +186,17 @@ class AutoLinker:
                 # row — seconds per cycle at a full 500-node page)
                 self.storage.put_nodes_batch(missing)
             if to_index:
-                self.index.insert_batch(
-                    [n.id for n in to_index],
-                    np.stack([np.asarray(n.embedding, np.float32)
-                              for n in to_index]),
-                    kinds=[n.kind for n in to_index],
-                    agents=[n.source.agent for n in to_index])
+                try:
+                    self.index.insert_batch(
+                        [n.id for n in to_index],
+                        np.stack([np.asarray(n.embedding, np.float32)
+                                  for n in to_index]),
+                        kinds=[n.kind for n in to_index],
+                        agents=[n.source.agent for n in to_index])
+                except BaseException:
+                    if self.on_index_pair_failure is not None:
+                        self.on_index_pair_failure()
+                    raise
 
     # ---------------------------------------------------------------- rules
     def _apply_link_rules(self, node: Node, neighbor: Node, score: float,
@@ -364,9 +374,10 @@ class AutoLinker:
                 page = [n for n in page
                         if (n.created_at, n.id)
                         <= (self.cursor, self.cursor_id)]
-                scanner = DedupScanner(self.storage, self.index,
-                                       self.config.similarity,
-                                       persist_lock=self.persist_lock)
+                scanner = DedupScanner(
+                    self.storage, self.index, self.config.similarity,
+                    persist_lock=self.persist_lock,
+                    on_index_pair_failure=self.on_index_pair_failure)
                 result = scanner.scan(page)
                 self.metrics.add_duplicates_found(len(result.duplicates))
                 for pair in result.duplicates:

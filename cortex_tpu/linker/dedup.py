@@ -54,13 +54,15 @@ class DedupResult:
 class DedupScanner:
     def __init__(self, storage: Storage, index: VectorIndex,
                  config: SimilarityConfig,
-                 persist_lock: Optional[threading.Lock] = None):
+                 persist_lock: Optional[threading.Lock] = None,
+                 on_index_pair_failure=None):
         self.storage = storage
         self.index = index
         self.config = config
         # keeps the tombstone write + index removal atomic w.r.t. a
         # concurrent index-snapshot capture (see AutoLinker.persist_lock)
         self.persist_lock = persist_lock or threading.Lock()
+        self.on_index_pair_failure = on_index_pair_failure
 
     # ------------------------------------------------------------------ scan
     def scan(self, nodes: Optional[List[Node]] = None) -> DedupResult:
@@ -169,4 +171,9 @@ class DedupScanner:
             self.storage.delete_edge(e.id)
         with self.persist_lock:
             self.storage.delete_node(retire)
-            self.index.remove(retire)
+            try:
+                self.index.remove(retire)
+            except BaseException:
+                if self.on_index_pair_failure is not None:
+                    self.on_index_pair_failure()
+                raise

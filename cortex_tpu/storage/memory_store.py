@@ -7,6 +7,7 @@ behavioral contract to SqliteStorage, dict-backed.
 
 from __future__ import annotations
 
+import copy
 import shutil
 import time
 from typing import Any, Dict, List, Optional
@@ -30,13 +31,18 @@ class MemoryStorage(Storage):
     def put_node(self, node: Node, *, actor: str = "system") -> None:
         node.validate()
         action = "node_updated" if node.id in self._nodes else "node_created"
-        self._nodes[node.id] = node
+        # COPY boundary, like SQLite's serialization: storing the live
+        # reference let later caller-side mutations change stored state
+        # retroactively (no audit, no index_seq bump) — tests written
+        # against this seam then diverged from production behavior
+        self._nodes[node.id] = copy.deepcopy(node)
         self._index_seq += 1
         self._audit.append(AuditEntry(ts=time.time(), action=action,
                                       target_id=node.id, actor=actor))
 
     def get_node(self, node_id: str) -> Optional[Node]:
-        return self._nodes.get(node_id)
+        n = self._nodes.get(node_id)
+        return copy.deepcopy(n) if n is not None else None
 
     def record_access(self, node_id: str, *, now: Optional[float] = None,
                       reinforced_at: Optional[float] = None) -> bool:
@@ -75,9 +81,21 @@ class MemoryStorage(Storage):
                                       target_id=node_id, actor=actor))
         return True
 
+    def put_nodes_batch(self, nodes, *, actor: str = "system") -> int:
+        """Validate-then-apply: SQLite's batch is one transaction, so a
+        mid-batch ValidationError must not leave earlier nodes stored
+        here while SQLite rolls them all back."""
+        nodes = list(nodes)
+        for n in nodes:
+            n.validate()
+        for n in nodes:
+            self.put_node(n, actor=actor)
+        return len(nodes)
+
     def list_nodes(self, f: Optional[NodeFilter] = None) -> List[Node]:
         f = f or NodeFilter()
-        out = [n for n in self._nodes.values() if f.matches(n)]
+        out = [copy.deepcopy(n) for n in self._nodes.values()
+               if f.matches(n)]
         out.sort(key=lambda n: n.created_at, reverse=True)
         if f.offset:
             out = out[f.offset:]
@@ -112,7 +130,7 @@ class MemoryStorage(Storage):
         is_update = edge.id in self._edges
         if is_update:
             self._remove_edge_record(edge.id)
-        self._edges[edge.id] = edge
+        self._edges[edge.id] = copy.deepcopy(edge)   # copy boundary
         self._edges_from.setdefault(edge.from_id, []).append(edge.id)
         self._edges_to.setdefault(edge.to_id, []).append(edge.id)
         self._audit.append(AuditEntry(
@@ -129,7 +147,8 @@ class MemoryStorage(Storage):
                 lst.remove(edge_id)
 
     def get_edge(self, edge_id: str) -> Optional[Edge]:
-        return self._edges.get(edge_id)
+        e = self._edges.get(edge_id)
+        return copy.deepcopy(e) if e is not None else None
 
     def delete_edge(self, edge_id: str, *, actor: str = "system") -> bool:
         if edge_id not in self._edges:
@@ -140,10 +159,12 @@ class MemoryStorage(Storage):
         return True
 
     def edges_from(self, node_id: str) -> List[Edge]:
-        return [self._edges[eid] for eid in self._edges_from.get(node_id, [])]
+        return [copy.deepcopy(self._edges[eid])
+                for eid in self._edges_from.get(node_id, [])]
 
     def edges_to(self, node_id: str) -> List[Edge]:
-        return [self._edges[eid] for eid in self._edges_to.get(node_id, [])]
+        return [copy.deepcopy(self._edges[eid])
+                for eid in self._edges_to.get(node_id, [])]
 
     def edges_between(self, a: str, b: str) -> List[Edge]:
         out = [e for e in self.edges_from(a) if e.to_id == b]
@@ -151,7 +172,7 @@ class MemoryStorage(Storage):
         return out
 
     def all_edges(self) -> List[Edge]:
-        return list(self._edges.values())
+        return [copy.deepcopy(e) for e in self._edges.values()]
 
     def update_edge_weight_atomic(self, edge_id: str, weight: float,
                                   touch: bool = True) -> bool:

@@ -137,7 +137,8 @@ def _blob_to_emb(blob, dim) -> Optional[List[float]]:
 
 
 class SqliteStorage(Storage):
-    def __init__(self, path: str = ":memory:", *, audit_enabled: bool = True):
+    def __init__(self, path: str = ":memory:", *, audit_enabled: bool = True,
+                 synchronous: str = "normal"):
         self.path = path
         self.audit_enabled = audit_enabled
         self._lock = threading.RLock()
@@ -145,7 +146,13 @@ class SqliteStorage(Storage):
             os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
         self._db = sqlite3.connect(path, check_same_thread=False)
         self._db.execute("PRAGMA journal_mode=WAL")
-        self._db.execute("PRAGMA synchronous=NORMAL")
+        # durability/throughput tradeoff, explicit: WAL+NORMAL survives
+        # PROCESS crashes (the kill -9 torture tests) but a power loss
+        # can roll back commits since the last checkpoint; "full"
+        # fsyncs per commit like the reference redb's durable default,
+        # at ingest-throughput cost ([server] sqlite_synchronous)
+        self._db.execute("PRAGMA synchronous=" + (
+            "FULL" if str(synchronous).lower() == "full" else "NORMAL"))
         self._db.execute("PRAGMA foreign_keys=ON")
         self._db.executescript(_SCHEMA)
         self._check_schema_version()
@@ -384,28 +391,46 @@ class SqliteStorage(Storage):
 
     def delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         with self._lock:
-            cur = self._db.execute(
-                "UPDATE nodes SET deleted=1, updated_at=? WHERE id=? AND deleted=0",
-                (time.time(), node_id))
-            if cur.rowcount == 0:
+            try:
+                cur = self._db.execute(
+                    "UPDATE nodes SET deleted=1, updated_at=? "
+                    "WHERE id=? AND deleted=0",
+                    (time.time(), node_id))
+                if cur.rowcount == 0:
+                    self._db.commit()
+                    return False
+                self._audit("node_deleted", node_id, actor)
                 self._db.commit()
-                return False
-            self._audit("node_deleted", node_id, actor)
-            self._db.commit()
-            return True
+                return True
+            except BaseException:
+                # same rollback discipline as put_node: an exception
+                # mid-method must not leave a half transaction pending
+                # for the next unrelated commit() to publish
+                self._db.rollback()
+                raise
 
     def hard_delete_node(self, node_id: str, *, actor: str = "system") -> bool:
         with self._lock:
-            cur = self._db.execute("DELETE FROM nodes WHERE id=?", (node_id,))
-            if cur.rowcount == 0:
+            try:
+                cur = self._db.execute(
+                    "DELETE FROM nodes WHERE id=?", (node_id,))
+                if cur.rowcount == 0:
+                    self._db.commit()
+                    return False
+                self._db.execute(
+                    "DELETE FROM node_tags WHERE node_id=?", (node_id,))
+                self._db.execute(
+                    "DELETE FROM edges WHERE from_id=? OR to_id=?",
+                    (node_id, node_id))
+                self._audit("node_hard_deleted", node_id, actor)
                 self._db.commit()
-                return False
-            self._db.execute("DELETE FROM node_tags WHERE node_id=?", (node_id,))
-            self._db.execute(
-                "DELETE FROM edges WHERE from_id=? OR to_id=?", (node_id, node_id))
-            self._audit("node_hard_deleted", node_id, actor)
-            self._db.commit()
-            return True
+                return True
+            except BaseException:
+                # rollback: a failure AFTER the node DELETE but before
+                # the edge cleanup would otherwise be committed by the
+                # next caller, leaving dangling edges
+                self._db.rollback()
+                raise
 
     def _filter_sql(self, f: NodeFilter):
         where = []
@@ -433,18 +458,28 @@ class SqliteStorage(Storage):
             where.append("importance<=?")
             params.append(f.max_importance)
         if f.tags:
-            # node must have ALL tags
+            # node must have ALL tags. DEDUPE: duplicates in the
+            # filter (e.g. ?tags=a,a) made COUNT(DISTINCT tag) = len
+            # unsatisfiable — zero rows where the base matches()
+            # semantics return every node tagged 'a'
+            tags = sorted(set(f.tags))
             where.append(
                 "id IN (SELECT node_id FROM node_tags WHERE tag IN "
-                f"({','.join('?' * len(f.tags))}) "
+                f"({','.join('?' * len(tags))}) "
                 "GROUP BY node_id HAVING COUNT(DISTINCT tag)=?)")
-            params.extend(f.tags)
-            params.append(len(f.tags))
-        if f.tags_any:
-            where.append(
-                "id IN (SELECT node_id FROM node_tags WHERE tag IN "
-                f"({','.join('?' * len(f.tags_any))}))")
-            params.extend(f.tags_any)
+            params.extend(tags)
+            params.append(len(tags))
+        if f.tags_any is not None:
+            if f.tags_any:
+                where.append(
+                    "id IN (SELECT node_id FROM node_tags WHERE tag IN "
+                    f"({','.join('?' * len(f.tags_any))}))")
+                params.extend(f.tags_any)
+            else:
+                # explicit empty any-of list matches NOTHING (base
+                # matches(): any([]) is False); the old truthiness
+                # check silently matched everything
+                where.append("0")
         clause = (" WHERE " + " AND ".join(where)) if where else ""
         return clause, params
 
@@ -520,7 +555,9 @@ class SqliteStorage(Storage):
         self._db.execute(
             "INSERT INTO edges (id, from_id, to_id, relation, weight, "
             "provenance, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?) "
-            "ON CONFLICT(id) DO UPDATE SET weight=excluded.weight, "
+            "ON CONFLICT(id) DO UPDATE SET from_id=excluded.from_id, "
+            "to_id=excluded.to_id, relation=excluded.relation, "
+            "weight=excluded.weight, "
             "provenance=excluded.provenance, updated_at=excluded.updated_at",
             (edge.id, edge.from_id, edge.to_id, edge.relation, edge.weight,
              json.dumps(edge.provenance.to_dict()), edge.created_at,
@@ -567,12 +604,17 @@ class SqliteStorage(Storage):
 
     def delete_edge(self, edge_id: str, *, actor: str = "system") -> bool:
         with self._lock:
-            cur = self._db.execute("DELETE FROM edges WHERE id=?", (edge_id,))
-            ok = cur.rowcount > 0
-            if ok:
-                self._audit("edge_deleted", edge_id, actor)
-            self._db.commit()
-            return ok
+            try:
+                cur = self._db.execute(
+                    "DELETE FROM edges WHERE id=?", (edge_id,))
+                ok = cur.rowcount > 0
+                if ok:
+                    self._audit("edge_deleted", edge_id, actor)
+                self._db.commit()
+                return ok
+            except BaseException:
+                self._db.rollback()
+                raise
 
     def _edges_q(self, q: str, params) -> List[Edge]:
         with self._lock:

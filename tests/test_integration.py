@@ -104,11 +104,14 @@ class TestLifecycle:
                               EdgeProvenance.manual("it"))
         for e in (recent, old_auto, old_manual):
             cx.storage.put_edge(e)
-        # age the old edges 400 days (memory store hands back the live
-        # objects, so mutate updated_at directly)
+        # age the old edges 400 days: mutate a fetched copy and re-put
+        # (the memory store now copies at its boundary like SQLite —
+        # mutating a returned object no longer reaches stored state)
         past = time.time() - 400 * 86400
-        cx.storage.get_edge(old_auto.id).updated_at = past
-        cx.storage.get_edge(old_manual.id).updated_at = past
+        for eid in (old_auto.id, old_manual.id):
+            aged = cx.storage.get_edge(eid)
+            aged.updated_at = past
+            cx.storage.put_edge(aged)
 
         pruned, deleted = cx.linker.decay_engine.apply_decay()
         assert cx.storage.get_edge(recent.id).weight == pytest.approx(

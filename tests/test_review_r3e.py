@@ -141,3 +141,20 @@ class TestSqliteSynchronousKnob:
         s = SqliteStorage(str(tmp_path / "f.db"), synchronous="full")
         assert s._db.execute("PRAGMA synchronous").fetchone()[0] == 2
         s.close()
+
+
+class TestConfigDocDrift:
+    def test_every_server_and_embedding_key_is_documented(self):
+        """docs/reference/config.md claims an exhaustive key table; a
+        dataclass field missing from it is a documented-knob gap (the
+        r3 docs review found five such keys)."""
+        import dataclasses
+        from cortex_tpu.config import EmbeddingConfig, ServerConfig
+        doc = open("docs/reference/config.md").read()
+        missing = [
+            f"[{blk}] {f.name}"
+            for blk, cls in (("server", ServerConfig),
+                             ("embedding", EmbeddingConfig))
+            for f in dataclasses.fields(cls)
+            if f"`{f.name}`" not in doc]
+        assert not missing, missing

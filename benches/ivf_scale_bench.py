@@ -50,7 +50,7 @@ from cortex_tpu.vector.shard import NO_FILTER, PAD_CODE, MAX_EXCLUDE, \
 
 D = 768
 K = 10
-CHUNK = int(os.environ.get("IVF_CHUNK", 1_000_000))
+CHUNK = int(os.environ.get("IVF_CHUNK", 500_000))
 ROUNDS = int(os.environ.get("IVF_ROUNDS", 30))
 
 
@@ -63,13 +63,17 @@ def emit(metric, value, unit, vs=None):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "groups"))
-def _gen_chunk(key, n, groups, mu_centers):
-    """Clustered unit-norm chunk: rows = center[i % groups] + noise.
-    mu_centers [groups, D] is shared across chunks (same cluster
-    structure corpus-wide)."""
+def _gen_chunk(key, n, groups, ck, off):
+    """Clustered unit-norm chunk: global row i = center[i % groups] +
+    noise. Centers are drawn ON THE FLY from per-group threefry streams
+    (fold_in(ck, g)) — a materialized [groups, D] center table is
+    3.8 GB of HBM at 10M rows / 8-member groups, which is exactly the
+    headroom the 10 GB block layout needs (r3 OOM)."""
+    idx = (off + jnp.arange(n)) % groups
+    keys = jax.vmap(lambda g: jax.random.fold_in(ck, g))(idx)
+    ctr = jax.vmap(lambda k: jax.random.normal(k, (D,), jnp.float32))(keys)
     noise = 0.35 * jax.random.normal(key, (n, D), jnp.float32)
-    idx = jnp.arange(n) % groups
-    v = mu_centers[idx] + noise
+    v = ctr + noise
     return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
                            1e-12)
 
@@ -112,15 +116,13 @@ def main():
          f"platform={dev.platform} rows={n} nlist={c} nprobe={p}")
 
     key = jax.random.PRNGKey(7)
-    # shared cluster centers for the corpus generator (device-resident;
-    # groups can be ~1M so generate in slices)
+    # base key for the per-group center streams (no table resident)
     ck, key = jax.random.split(key)
-    centers = jax.random.normal(ck, (groups, D), jnp.float32)
 
     t0 = time.time()
     # pass 1: k-means on one sampled chunk (sample = first chunk rows)
     sk, key = jax.random.split(key)
-    sample = _gen_chunk(sk, min(131072, n), groups, centers)
+    sample = _gen_chunk(sk, min(131072, n), groups, ck, 0)
     init = sample[jax.random.choice(
         jax.random.PRNGKey(1), sample.shape[0], (c,),
         replace=sample.shape[0] < c)]
@@ -138,10 +140,11 @@ def main():
         m = min(CHUNK, rows_left)
         gk = jax.random.fold_in(key, off)
         chunk_keys.append((gk, off, m))
-        v = _gen_chunk(gk, m, groups, centers)
+        v = _gen_chunk(gk, m, groups, ck, off)
         assign[off:off + m] = np.asarray(_assign1(v, cent))
         off += m
         rows_left -= m
+    del v                                      # free the last chunk
     emit("ivf assignment pass", time.time() - t0, "seconds")
 
     # packing plan: first-choice capped, spill to least-filled
@@ -169,29 +172,40 @@ def main():
          f"spilled={len(spilled)})")
 
     # pass 3: regenerate chunks, center+quantize, scatter into the
-    # device block layout
+    # device block layout. Scatter buffers are DONATED (the functional
+    # form double-buffers a ~10 GB layout at 10M rows — the other half
+    # of the r3 OOM) and the final reshape donates too so XLA aliases
+    # instead of copying.
     t0 = time.time()
     mu = jnp.mean(sample, axis=0)          # corpus-mean estimate
+    del sample, init
     emb_flat = jnp.zeros((c * lcap, D), jnp.int8)
     rinv_flat = jnp.zeros((c * lcap,), jnp.float32)
     srows_flat = jnp.full((c * lcap,), -1, jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def _scatter(ef, rf, sf, pos, q, ri, rid):
         return (ef.at[pos].set(q), rf.at[pos].set(ri),
                 sf.at[pos].set(rid))
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("c", "lcap"))
+    def _finalize(ef, rf, sf, c, lcap):
+        sl = sf.reshape(c, lcap)
+        return (ef.reshape(c, lcap, D), rf.reshape(c, lcap), sl,
+                jnp.where(sl >= 0, 0, PAD_CODE).astype(jnp.int32))
+
     for gk, off, m in chunk_keys:
-        v = _gen_chunk(gk, m, groups, centers)
+        v = _gen_chunk(gk, m, groups, ck, off)
         q, ri = _center_quant(v, mu)
         pos = jnp.asarray(flat_pos[off:off + m])
         rid = jnp.arange(off, off + m, dtype=jnp.int32)
         emb_flat, rinv_flat, srows_flat = _scatter(
             emb_flat, rinv_flat, srows_flat, pos, q, ri, rid)
-    emb_i8 = emb_flat.reshape(c, lcap, D)
-    rinv_sl = rinv_flat.reshape(c, lcap)
-    slot_rows = srows_flat.reshape(c, lcap)
-    kind_sl = jnp.where(slot_rows >= 0, 0, PAD_CODE).astype(jnp.int32)
+    del v, q, ri, pos, rid
+    emb_i8, rinv_sl, slot_rows, kind_sl = _finalize(
+        emb_flat, rinv_flat, srows_flat, c=c, lcap=lcap)
+    del emb_flat, rinv_flat, srows_flat
     agent_sl = kind_sl
     emb_i8.block_until_ready()
     emit("ivf block build+upload", time.time() - t0, "seconds")
@@ -211,7 +225,7 @@ def main():
     rng = np.random.default_rng(0)
     for b in (1, 8, 64):
         qk = jax.random.fold_in(key, 999 + b)
-        qs = _gen_chunk(qk, max(b, 2), groups, centers)[:b]
+        qs = _gen_chunk(qk, max(b, 2), groups, ck, 0)[:b]
         searches(qs)[0].block_until_ready()          # compile
         t0 = time.time()
         outs = [searches(qs) for _ in range(ROUNDS)]
@@ -225,7 +239,7 @@ def main():
     for fam, make_q in (
             ("in-distribution",
              lambda: _gen_chunk(jax.random.fold_in(key, 555), 64,
-                                groups, centers)),
+                                groups, ck, 0)),
             ("iid-gaussian",
              lambda: jnp.asarray(np.linalg.qr(
                  rng.standard_normal((D, 64)))[0].T.astype(np.float32)))):
@@ -236,7 +250,7 @@ def main():
         best_v = np.full((64, K), -np.inf, np.float32)
         best_i = np.zeros((64, K), np.int64)
         for gk, off, m in chunk_keys:
-            v = _gen_chunk(gk, m, groups, centers)
+            v = _gen_chunk(gk, m, groups, ck, off)
             cv, ci = _exact_chunk_topk(v, qs, k=K)
             cv = np.asarray(cv)
             ci = np.asarray(ci) + off

@@ -64,6 +64,12 @@ MAX_AUTO_NLIST = 8192
 SLOT_SLACK = 1.3
 #: retrain when the live count drifts this far from the trained count
 RETRAIN_GROWTH = 2.0
+#: HBM budget for the in-kernel probed-block gather ([B, p, L, d] int8
+#: materializes before scoring — at 10M rows x nprobe=nlist/8 that is
+#: ~1.3 GB PER QUERY, so a batch-64 dispatch would want ~80 GB).
+#: Queries are processed in lax.map chunks sized to stay under this;
+#: small corpora fit one chunk and compile to the original fused form.
+GATHER_BUDGET_BYTES = 2 << 30
 
 
 # ---------------------------------------------------------------- training
@@ -144,21 +150,56 @@ def _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q):
     return s, sr.reshape(b, pl)
 
 
+def _query_chunk(b: int, p: int, l: int, d: int) -> int:
+    """Queries per lax.map step so the [qc, p, L, d] gather stays under
+    GATHER_BUDGET_BYTES (all shape math is static at trace time)."""
+    per_q = max(1, p * l * d)                 # int8 bytes gathered/query
+    return max(1, min(b, GATHER_BUDGET_BYTES // per_q))
+
+
+def _chunked_topk(body, q, probe, *, cand: int, pl: int):
+    """Run `body(q_chunk, probe_chunk) -> (v, rows)` over query chunks
+    with lax.map, concatenating on the batch axis. `body` must return
+    [qc, cand'] with cand' = min(cand, pl). One-chunk batches call the
+    body directly (the original fully-fused form)."""
+    b, d = q.shape
+    p = probe.shape[1]
+    qc = _query_chunk(b, p, pl // p, d)
+    if qc >= b:
+        v, rows = body(q, probe)
+    else:
+        nc = -(-b // qc)
+        pad = nc * qc - b
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        pp = jnp.pad(probe, ((0, pad), (0, 0)))
+        v, rows = jax.lax.map(
+            lambda args: body(*args),
+            (qp.reshape(nc, qc, d), pp.reshape(nc, qc, p)))
+        v = v.reshape(nc * qc, -1)[:b]
+        rows = rows.reshape(nc * qc, -1)[:b]
+    return v, jnp.where(v > -1e29, rows, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "cand"))
 def _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
                 ak, aa, ex, q, *, p: int, cand: int
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused IVF probe + scan + top-cand in ONE dispatch."""
+    """Fused IVF probe + scan + top-cand in ONE dispatch (query-chunked
+    internally when the probed-block gather would blow HBM)."""
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)           # [B, p]
-    s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q)
-    b, pl = s.shape
-    kc2 = kind_sl[probe].reshape(b, pl)
-    ac2 = agent_sl[probe].reshape(b, pl)
-    s = s + _ivf_bias(sr2, kc2, ac2, ak, aa, ex)
-    v, idx = jax.lax.top_k(s, min(cand, pl))
-    rows = jnp.take_along_axis(sr2, idx, axis=1)
-    return v, jnp.where(v > -1e29, rows, 0)
+    pl = p * emb_i8.shape[1]
+
+    def body(qq, pr):
+        s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, pr, qq)
+        bb = s.shape[0]
+        kc2 = kind_sl[pr].reshape(bb, pl)
+        ac2 = agent_sl[pr].reshape(bb, pl)
+        s = s + _ivf_bias(sr2, kc2, ac2, ak, aa, ex)
+        v, idx = jax.lax.top_k(s, min(cand, pl))
+        return v, jnp.take_along_axis(sr2, idx, axis=1)
+
+    return _chunked_topk(body, q, probe, cand=cand, pl=pl)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cand"))
@@ -170,12 +211,16 @@ def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
     (same posture as shard._fused_search_hostbias)."""
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)
-    s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q)
-    slot_bias = bias[jnp.clip(sr2, 0, bias.shape[0] - 1)]
-    s = s + jnp.where(sr2 >= 0, slot_bias, NEG_INF)
-    v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
-    rows = jnp.take_along_axis(sr2, idx, axis=1)
-    return v, jnp.where(v > -1e29, rows, 0)
+    pl = p * emb_i8.shape[1]
+
+    def body(qq, pr):
+        s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, pr, qq)
+        slot_bias = bias[jnp.clip(sr2, 0, bias.shape[0] - 1)]
+        s = s + jnp.where(sr2 >= 0, slot_bias, NEG_INF)
+        v, idx = jax.lax.top_k(s, min(cand, pl))
+        return v, jnp.take_along_axis(sr2, idx, axis=1)
+
+    return _chunked_topk(body, q, probe, cand=cand, pl=pl)
 
 
 @jax.jit

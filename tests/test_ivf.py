@@ -251,3 +251,41 @@ class TestEngineIntegration:
 
     # ivf+sharded was rejected for one commit; it is now a supported
     # combination — see tests/test_sharded_ivf.py
+
+
+class TestQueryChunking:
+    """The in-kernel probed-block gather materializes [B, p, L, d]
+    before scoring — at 10M rows x default nprobe that is ~1.3 GB PER
+    QUERY, so batch dispatches are lax.map-chunked to stay under
+    GATHER_BUDGET_BYTES (the r3 OOM). A tiny budget must force the
+    chunked trace and reproduce the fused form bit-for-bit."""
+
+    def _clear(self):
+        from cortex_tpu.vector import ivf as ivf_mod
+        ivf_mod._ivf_search.clear_cache()
+        ivf_mod._ivf_search_hostbias.clear_cache()
+
+    def test_chunked_matches_fused(self, monkeypatch):
+        from cortex_tpu.vector import ivf as ivf_mod
+        vecs = clustered(500, dim=48)         # shape unique to this test
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8)
+        q = clustered(7, dim=48, seed=5)
+        want = ivf.search_batch(q, 10)        # fused trace
+        excl = [f"n{i}" for i in range(80)]   # > MAX_EXCLUDE: hostbias
+        flt = VectorFilter(exclude_ids=excl)
+        want_hb = ivf.search_batch(q, 10, flt)
+        monkeypatch.setattr(ivf_mod, "GATHER_BUDGET_BYTES", 1)
+        self._clear()                         # budget is read at trace
+        try:
+            got = ivf.search_batch(q, 10)
+            got_hb = ivf.search_batch(q, 10, flt)
+            for b in range(len(q)):
+                assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+                np.testing.assert_allclose(
+                    [s for _, s in got[b]], [s for _, s in want[b]],
+                    atol=1e-6)
+                assert ([i for i, _ in got_hb[b]]
+                        == [i for i, _ in want_hb[b]])
+        finally:
+            monkeypatch.undo()
+            self._clear()                     # drop the budget-1 traces

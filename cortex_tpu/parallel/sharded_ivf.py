@@ -134,8 +134,15 @@ class ShardedIvfCorpus(IvfCorpus):
         return max(self._n_dev,
                    ((c + self._n_dev - 1) // self._n_dev) * self._n_dev)
 
+    def _use_pallas(self, cap: int) -> bool:
+        # the Mosaic gather kernel is single-device for now; the
+        # sharded layout keeps the XLA path (per-shard blocks are
+        # mesh-size-times smaller, so the gather pathology that
+        # motivates the kernel bites later)
+        return False
+
     def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
-                   agent_sl):
+                   agent_sl, meta):
         # device_put straight from the NUMPY arrays: each device then
         # receives only its shard. Wrapping in jnp.asarray first would
         # materialize the FULL block layout on device 0 before
@@ -148,7 +155,8 @@ class ShardedIvfCorpus(IvfCorpus):
                 jax.device_put(rinv_sl, row),
                 jax.device_put(slot_rows, row),
                 jax.device_put(kind_sl, row),
-                jax.device_put(agent_sl, row))
+                jax.device_put(agent_sl, row),
+                None)                         # meta: Pallas path off
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
                          host_bias=None, dev=None, dev_q=None):
@@ -157,7 +165,7 @@ class ShardedIvfCorpus(IvfCorpus):
             b = q.shape[0]
             return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
                     jnp.zeros((b, k_bucket), jnp.int32), False)
-        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl = ivf
+        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, _ = ivf
         c = cent.shape[0]
         # full nprobe budget PER SHARD: strict superset of the
         # single-chip probe set (see module docstring) — recall can

@@ -44,15 +44,18 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import ivf_gather
 from ..ops.similarity import NEG_INF, quantize_rows_centered
 from .index import TpuFlatIndex
-from .shard import (DeviceCorpus, NO_FILTER, PAD_CODE, _norm_rows)
+from .shard import (DeviceCorpus, MAX_EXCLUDE, MAX_FILTER_KINDS,
+                    NO_FILTER, PAD_CODE, _norm_rows)
 
 log = logging.getLogger("cortex.ivf")
 
@@ -69,7 +72,11 @@ RETRAIN_GROWTH = 2.0
 #: ~1.3 GB PER QUERY, so a batch-64 dispatch would want ~80 GB).
 #: Queries are processed in lax.map chunks sized to stay under this;
 #: small corpora fit one chunk and compile to the original fused form.
-GATHER_BUDGET_BYTES = 2 << 30
+#: Env-tunable: corpora near HBM capacity want a smaller budget.
+GATHER_BUDGET_BYTES = int(os.environ.get(
+    "CORTEX_IVF_GATHER_BUDGET", 2 << 30))
+#: CORTEX_IVF_PALLAS=0 forces the XLA gather path on TPU (debugging)
+PALLAS_ENABLED = os.environ.get("CORTEX_IVF_PALLAS", "1") != "0"
 
 
 # ---------------------------------------------------------------- training
@@ -150,21 +157,19 @@ def _ivf_candidates(emb_i8, rinv_sl, slot_rows, probe, q):
     return s, sr.reshape(b, pl)
 
 
-def _query_chunk(b: int, p: int, l: int, d: int) -> int:
-    """Queries per lax.map step so the [qc, p, L, d] gather stays under
-    GATHER_BUDGET_BYTES (all shape math is static at trace time)."""
-    per_q = max(1, p * l * d)                 # int8 bytes gathered/query
-    return max(1, min(b, GATHER_BUDGET_BYTES // per_q))
-
-
-def _chunked_topk(body, q, probe, *, cand: int, pl: int):
+def _chunked_topk(body, q, probe, *, cand: int, pl: int,
+                  per_q: Optional[int] = None):
     """Run `body(q_chunk, probe_chunk) -> (v, rows)` over query chunks
     with lax.map, concatenating on the batch axis. `body` must return
-    [qc, cand'] with cand' = min(cand, pl). One-chunk batches call the
-    body directly (the original fully-fused form)."""
+    [qc, cand'] columns. One-chunk batches call the body directly (the
+    original fully-fused form). per_q = HBM bytes a single query's
+    trace materializes (default: the XLA path's [p, L, d] int8 gather);
+    chunks are sized to keep qc * per_q under GATHER_BUDGET_BYTES."""
     b, d = q.shape
     p = probe.shape[1]
-    qc = _query_chunk(b, p, pl // p, d)
+    if per_q is None:
+        per_q = pl * d                        # int8 bytes gathered/query
+    qc = max(1, min(b, GATHER_BUDGET_BYTES // max(1, per_q)))
     if qc >= b:
         v, rows = body(q, probe)
     else:
@@ -223,6 +228,89 @@ def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
     return _chunked_topk(body, q, probe, cand=cand, pl=pl)
 
 
+def _descale_valid(v, qs):
+    """Divide the positive per-query quantization scale back out of
+    valid entries ONLY: dividing the NEG_INF mask sentinel by qs
+    (>= 127 for unit-norm queries) would lift it above the -1e29
+    dead-hit threshold every downstream consumer checks."""
+    return jnp.where(v > NEG_INF / 2, v / qs[:, None], v)
+
+
+def _quantize_queries(qq):
+    """Per-query symmetric int8 quantization (same scheme as
+    _ivf_candidates). Returns (qi8, qs) with qs the positive per-query
+    scale — ranking-invariant, divided back out of reported values."""
+    qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(qq), axis=1), 1e-12)
+    qi8 = jnp.clip(jnp.round(qq * qs[:, None]), -127, 127
+                   ).astype(jnp.int8)
+    return qi8, qs
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cand", "filtered"))
+def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
+                       p: int, cand: int, filtered: bool
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU path: probe selection in XLA, then the Mosaic scalar-prefetch
+    gather-score kernel (ops/ivf_gather.py) — XLA's block gather
+    materializes a relayout COPY of the whole [C, L, d] layout (the r3
+    10M OOM) and reads at ~7.5 GB/s; the kernel streams exactly the
+    probed blocks at ~400 GB/s. `filtered` statically compiles the
+    in-kernel filter compare chain out for unfiltered serving."""
+    cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cs, p)
+    l = emb_i8.shape[1]
+
+    def body(qq, pr):
+        qi8, qs = _quantize_queries(qq)
+        s, rows = ivf_gather.probed_scores(
+            emb_i8, meta, pr, qi8, ak, aa, ex, filtered=filtered)
+        v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
+        r = jnp.take_along_axis(rows, idx, axis=1)
+        return _descale_valid(v, qs), r
+
+    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
+                         per_q=_pallas_per_q(p, l))
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cand"))
+def _ivf_search_pallas_hostbias(cent, emb_i8, meta, bias, q, *,
+                                p: int, cand: int
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overflow-filter variant of the Pallas path: the kernel runs
+    unfiltered (liveness only) and the exact host-computed [cap] bias
+    is gathered per candidate slot by global row in XLA — a 1D
+    scalar-source gather, which (unlike the block gather) lowers
+    without relayout copies."""
+    cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cs, p)
+    l = emb_i8.shape[1]
+    nf_ak = jnp.full((MAX_FILTER_KINDS,), NO_FILTER, jnp.int32)
+    nf_aa = jnp.full((1,), NO_FILTER, jnp.int32)
+    nf_ex = jnp.full((MAX_EXCLUDE,), NO_FILTER, jnp.int32)
+
+    def body(qq, pr):
+        qi8, qs = _quantize_queries(qq)
+        s, rows = ivf_gather.probed_scores(
+            emb_i8, meta, pr, qi8, nf_ak, nf_aa, nf_ex, filtered=False)
+        slot_bias = bias[jnp.clip(rows, 0, bias.shape[0] - 1)]
+        s = s + jnp.where(s > NEG_INF / 2, slot_bias, 0.0)
+        v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
+        r = jnp.take_along_axis(rows, idx, axis=1)
+        return _descale_valid(v, qs), r
+
+    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
+                         per_q=_pallas_per_q(p, l))
+
+
+def _pallas_per_q(p: int, l: int) -> int:
+    """Per-query HBM bytes for the Pallas path's chunk budget: the
+    kernel never materializes the [p, L, d] gather — only the
+    [p_pad, L] f32 score + row planes (plus the same-size top_k
+    operand copies, hence the 2x safety factor)."""
+    p_pad = -(-p // ivf_gather.META_SUBLANES) * ivf_gather.META_SUBLANES
+    return 2 * 2 * 4 * p_pad * l
+
+
 @jax.jit
 def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
                    c_idx, s_idx, qv, ri, sr, kc, ac):
@@ -232,6 +320,18 @@ def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
             slot_rows.at[c_idx, s_idx].set(sr),
             kind_sl.at[c_idx, s_idx].set(kc),
             agent_sl.at[c_idx, s_idx].set(ac))
+
+
+@jax.jit
+def _scatter_meta(meta, c_idx, s_idx, sr, kc, ac, ri):
+    """Mirror of _scatter_slots for the Pallas kernel's packed [C, 8, L]
+    f32 metadata layout (one [n, 8] column scatter)."""
+    n = c_idx.shape[0]
+    vals = jnp.stack(
+        [sr.astype(jnp.float32), kc.astype(jnp.float32),
+         ac.astype(jnp.float32), ri] + [jnp.zeros((n,), jnp.float32)] * 4,
+        axis=1)
+    return meta.at[c_idx, :, s_idx].set(vals)
 
 
 class IvfCorpus(DeviceCorpus):
@@ -284,13 +384,36 @@ class IvfCorpus(DeviceCorpus):
         the mesh size."""
         return c
 
+    def _use_pallas(self, cap: int) -> bool:
+        """True when searches run the Mosaic gather-score kernel: TPU
+        backend, kernel enabled, and every row id / filter code exact
+        in the f32 metadata encoding. The f32 ceiling (2^24 rows)
+        coincides with the single-chip HBM ceiling (~16M int8 rows x
+        768d ~ 12 GB), so in practice it never gates first."""
+        return (PALLAS_ENABLED and self._on_tpu
+                and cap < ivf_gather.MAX_F32_EXACT_ROWS)
+
+    def _build_meta(self, rinv_sl, slot_rows, kind_sl, agent_sl
+                    ) -> np.ndarray:
+        """Pack per-slot metadata into the kernel's [C, 8, L] f32
+        sublane layout (ops/ivf_gather.py layout contract)."""
+        c, lcap = slot_rows.shape
+        meta = np.zeros((c, 8, lcap), np.float32)
+        meta[:, ivf_gather.META_ROW] = slot_rows
+        meta[:, ivf_gather.META_KIND] = kind_sl
+        meta[:, ivf_gather.META_AGENT] = agent_sl
+        meta[:, ivf_gather.META_RINV] = rinv_sl
+        return meta
+
     def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
-                   agent_sl) -> Tuple[jnp.ndarray, ...]:
+                   agent_sl, meta) -> Tuple[jnp.ndarray, ...]:
         """Subclass hook: device placement of the built block layout
-        (the sharded variant spreads the cluster axis over the mesh)."""
+        (the sharded variant spreads the cluster axis over the mesh).
+        meta is None when the Pallas path is off."""
         return (jnp.asarray(cent), jnp.asarray(emb_i8),
                 jnp.asarray(rinv_sl), jnp.asarray(slot_rows),
-                jnp.asarray(kind_sl), jnp.asarray(agent_sl))
+                jnp.asarray(kind_sl), jnp.asarray(agent_sl),
+                jnp.asarray(meta) if meta is not None else None)
 
     def _nprobe(self, c: int) -> int:
         if self._nprobe_cfg > 0:
@@ -381,8 +504,11 @@ class IvfCorpus(DeviceCorpus):
         self._centroids_h = cent
         self._slot_cap = lcap
         self._trained_live = n
+        meta = (self._build_meta(rinv_sl, slot_rows, kind_sl, agent_sl)
+                if self._use_pallas(self._cap) else None)
         self._ivf_dev = self._place_ivf(cent, emb_i8, rinv_sl,
-                                        slot_rows, kind_sl, agent_sl)
+                                        slot_rows, kind_sl, agent_sl,
+                                        meta)
         log.info("ivf build: %d rows -> %d clusters x %d slots "
                  "(fill %.2f)", n, c, lcap, n / (c * lcap))
 
@@ -458,11 +584,16 @@ class IvfCorpus(DeviceCorpus):
         qv[dead] = 0
         kc = np.where(dead, PAD_CODE, self._kind_h[src]).astype(np.int32)
         ac = np.where(dead, PAD_CODE, self._agent_h[src]).astype(np.int32)
-        cent, *arrs = self._ivf_dev
+        cent, *arrs, meta = self._ivf_dev
+        if meta is not None:
+            meta = _scatter_meta(meta, jnp.asarray(c_idx),
+                                 jnp.asarray(s_idx), jnp.asarray(sr),
+                                 jnp.asarray(kc), jnp.asarray(ac),
+                                 jnp.asarray(ri))
         self._ivf_dev = (cent, *_scatter_slots(
             *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
             jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
-            jnp.asarray(kc), jnp.asarray(ac)))
+            jnp.asarray(kc), jnp.asarray(ac)), meta)
         return True
 
     def sync(self) -> None:
@@ -502,11 +633,22 @@ class IvfCorpus(DeviceCorpus):
             b = q.shape[0]
             return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
                     jnp.zeros((b, k_bucket), jnp.int32), False)
-        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl = ivf
+        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, meta = ivf
         c = cent.shape[0]
         p = self._nprobe(c)
         cand = min(self._cand_count(k_bucket), p * self._slot_cap)
-        if host_bias is not None:
+        if meta is not None:                  # Mosaic gather-score path
+            if host_bias is not None:
+                v, rows = _ivf_search_pallas_hostbias(
+                    cent, emb_i8, meta, jnp.asarray(host_bias), q,
+                    p=p, cand=cand)
+            else:
+                filtered = bool(ak[0] != NO_FILTER or aa != NO_FILTER
+                                or ex[0] != NO_FILTER)
+                v, rows = _ivf_search_pallas(
+                    cent, emb_i8, meta, ak, aa, ex, q,
+                    p=p, cand=cand, filtered=filtered)
+        elif host_bias is not None:
             v, rows = _ivf_search_hostbias(
                 cent, emb_i8, rinv_sl, slot_rows,
                 jnp.asarray(host_bias), q, p=p, cand=cand)

@@ -597,7 +597,10 @@ class DeviceCorpus:
             rows = [self._row_of[i] for i in exclude_ids
                     if i in self._row_of]
             ex[:len(rows)] = rows
-        return jnp.asarray(ak), jnp.asarray(aa), jnp.asarray(ex), None
+        # returned as HOST arrays: jit converts at dispatch (324 bytes),
+        # and the IVF corpus reads filter presence off them without a
+        # device round-trip (static kernel specialization)
+        return ak, aa, ex, None
 
     def topk(self, queries: np.ndarray, k: int, *,
              kinds: Optional[Sequence[str]] = None,

@@ -44,7 +44,8 @@ import jax
 import jax.numpy as jnp
 
 from cortex_tpu.ops.similarity import NEG_INF
-from cortex_tpu.vector.ivf import _ivf_search, _kmeans_device
+from cortex_tpu.vector.ivf import (_ivf_search, _ivf_search_pallas,
+                                   _kmeans_device)
 from cortex_tpu.vector.shard import NO_FILTER, PAD_CODE, MAX_EXCLUDE, \
     MAX_FILTER_KINDS
 
@@ -104,6 +105,7 @@ def main():
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--nlist", type=int, default=0)
     ap.add_argument("--nprobe", type=int, default=0)
+    ap.add_argument("--cand", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     n, rows_left = args.rows, args.rows
@@ -212,14 +214,34 @@ def main():
 
     ak = np.full(MAX_FILTER_KINDS, PAD_CODE, np.int32)
     ak[0] = NO_FILTER
-    ak = jnp.asarray(ak)
-    aa = jnp.asarray(np.int32(NO_FILTER))
-    ex = jnp.asarray(np.full(MAX_EXCLUDE, NO_FILTER, np.int32))
-    cand = 64
+    aa = np.int32(NO_FILTER)
+    ex = np.full(MAX_EXCLUDE, NO_FILTER, np.int32)
+    cand = args.cand
 
-    def searches(qs):
-        return _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl,
-                           agent_sl, ak, aa, ex, qs, p=p, cand=cand)
+    if dev.platform == "tpu":
+        # serving path on TPU: the Mosaic gather-score kernel over a
+        # [C, 8, L] f32 metadata layout (XLA's block gather relayout-
+        # copies the whole 10 GB layout — the r3 OOM — and reads at
+        # ~7.5 GB/s; the kernel streams probed blocks at ~400+ GB/s)
+        @jax.jit
+        def _meta_dev(rinv, srows, kinds, agents):
+            z = jnp.zeros_like(rinv)
+            return jnp.stack(
+                [srows.astype(jnp.float32), kinds.astype(jnp.float32),
+                 agents.astype(jnp.float32), rinv, z, z, z, z], axis=1)
+
+        meta = _meta_dev(rinv_sl, slot_rows, kind_sl, agent_sl)
+        meta.block_until_ready()
+
+        def searches(qs):
+            return _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex,
+                                      qs, p=p, cand=cand,
+                                      filtered=False)
+    else:
+        def searches(qs):
+            return _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
+                               kind_sl, agent_sl, ak, aa, ex, qs,
+                               p=p, cand=cand)
 
     # ---- QPS: pipelined dispatch, single drain -----------------------
     rng = np.random.default_rng(0)

@@ -433,7 +433,12 @@ class Cortex:
                     and hasattr(self.index, "delta_size")
                     and self.index.delta_size()
                     <= max(_DELTA_FULL_REWRITE_FLOOR,
-                           len(self.index) // 20))
+                           len(self.index) // 20)
+                    # an IVF base written before training carries no
+                    # clustering — rewrite it once so boots skip the
+                    # k-means retrain (~90 s at 10M rows)
+                    and not getattr(self.index, "snapshot_base_stale",
+                                    lambda: False)())
                 pending = None
                 try:
                     # fast consistent copy under the lock; the slow

@@ -42,6 +42,7 @@ check.
 from __future__ import annotations
 
 import functools
+import json
 import logging
 import math
 import os
@@ -353,6 +354,23 @@ class IvfCorpus(DeviceCorpus):
         self._cluster_free: List[List[int]] = []
         self._slot_cap = 0                    # L
         self._trained_live = 0
+        # snapshot-restored clustering (TpuIvfIndex.load), consumed by
+        # the next _build_ivf so boot skips the k-means retrain
+        self._boot_cent: Optional[np.ndarray] = None
+        self._boot_cluster: Optional[np.ndarray] = None
+
+    def state(self):
+        """Host state + the trained clustering (centroids and per-id
+        cluster), so a snapshot-restored index boots without
+        re-running k-means + the full assignment pass (~90 s at 10M
+        rows, measured)."""
+        with self._lock:
+            st = super().state()
+            if self._centroids_h is not None:
+                st["ivf_centroids"] = self._centroids_h.copy()
+                rws = [self._row_of[i] for i in st["ids"]]
+                st["ivf_cluster"] = self._cluster_of[rws].copy()
+            return st
 
     # -------------------------------------------------------- bookkeeping
     def _grow(self, need: int) -> None:
@@ -438,24 +456,60 @@ class IvfCorpus(DeviceCorpus):
             self._cluster_free = []
             self._trained_live = 0
             return
-        c = self._auto_nlist(n)
         data = self._emb_h[rows]              # unit-norm fp32 [N, d]
-        rng = np.random.default_rng(n)        # deterministic per size
-        sample = data[rng.choice(n, size=min(n, 131072), replace=False)]
-        init = sample[rng.choice(len(sample), size=c,
-                                 replace=len(sample) < c)]
-        cent = np.asarray(_kmeans_device(
-            jnp.asarray(sample), jnp.asarray(init), c=c, iters=8),
-            np.float32)
-        # assign every live row: best-2 clusters, chunked device matmul
-        first = np.empty(n, np.int32)
-        second = np.empty(n, np.int32)
-        cent_dev = jnp.asarray(cent)
-        step = 1 << 18
-        for s in range(0, n, step):
-            a1, a2 = _assign_top2(jnp.asarray(data[s:s + step]), cent_dev)
-            first[s:s + step] = np.asarray(a1)
-            second[s:s + step] = np.asarray(a2)
+        # boot hints (snapshot-restored centroids + per-row clusters,
+        # TpuIvfIndex.load) skip the k-means retrain and the full
+        # assignment pass — one-shot: a real retrain (drift/rebuild)
+        # always re-trains from data
+        boot_cent, boot_cluster = self._boot_cent, self._boot_cluster
+        self._boot_cent = None
+        self._boot_cluster = None
+        if (boot_cent is not None and boot_cluster is not None
+                and boot_cent.ndim == 2
+                and boot_cent.shape[1] == self.dim
+                and boot_cent.shape[0]
+                == self._round_nlist(boot_cent.shape[0])):
+            c = boot_cent.shape[0]
+            cent = np.ascontiguousarray(boot_cent, np.float32)
+            # rows past the boot array's cap (inserted after load, e.g.
+            # via a boot-time delta replay that grew the corpus) have
+            # no hint — mask them instead of indexing out of bounds
+            first = np.full(n, -1, np.int32)
+            inb = rows < len(boot_cluster)
+            first[inb] = boot_cluster[rows[inb]]
+            miss = (first < 0) | (first >= c)
+            if miss.any():                    # delta rows: assign now
+                cent_dev = jnp.asarray(cent)
+                mrows = np.where(miss)[0]
+                step = 1 << 18
+                for s in range(0, len(mrows), step):
+                    sel = mrows[s:s + step]
+                    a1, _ = _assign_top2(jnp.asarray(data[sel]), cent_dev)
+                    first[sel] = np.asarray(a1)
+            second = None                     # spill -> least-filled
+            log.info("ivf build: snapshot-restored clustering "
+                     "(%d clusters, %d rows assigned fresh)",
+                     c, int(miss.sum()))
+        else:
+            c = self._auto_nlist(n)
+            rng = np.random.default_rng(n)    # deterministic per size
+            sample = data[rng.choice(n, size=min(n, 131072),
+                                     replace=False)]
+            init = sample[rng.choice(len(sample), size=c,
+                                     replace=len(sample) < c)]
+            cent = np.asarray(_kmeans_device(
+                jnp.asarray(sample), jnp.asarray(init), c=c, iters=8),
+                np.float32)
+            # assign every live row: best-2 clusters, chunked matmul
+            first = np.empty(n, np.int32)
+            second = np.empty(n, np.int32)
+            cent_dev = jnp.asarray(cent)
+            step = 1 << 18
+            for s in range(0, n, step):
+                a1, a2 = _assign_top2(jnp.asarray(data[s:s + step]),
+                                      cent_dev)
+                first[s:s + step] = np.asarray(a1)
+                second[s:s + step] = np.asarray(a2)
         # capped packing: first choice vectorized (rank-within-cluster
         # via one stable argsort — a 10M-row Python loop here would
         # cost tens of seconds); the spilled remainder (k-means
@@ -475,8 +529,8 @@ class IvfCorpus(DeviceCorpus):
         slot[order[ok]] = rank[ok]
         fill = np.bincount(fs[ok], minlength=c).astype(np.int32)
         for j in order[~ok]:
-            ch = int(second[j])
-            if fill[ch] >= lcap:
+            ch = int(second[j]) if second is not None else -1
+            if ch < 0 or fill[ch] >= lcap:
                 ch = int(np.argmin(fill))     # any cluster with room
             cluster[j] = ch
             slot[j] = fill[ch]
@@ -686,7 +740,55 @@ class TpuIvfIndex(TpuFlatIndex):
     def retrain(self) -> None:
         with self._corpus._lock:
             self._corpus._full_resync = True
+            self._corpus._boot_cent = None    # force a real k-means
+            self._corpus._boot_cluster = None
             self._corpus.sync()
+
+    def snapshot_base_stale(self) -> bool:
+        """True when the on-disk base snapshot predates training (no
+        clustering keys) but the corpus is trained now: the checkpoint
+        layer should rewrite the base once instead of appending deltas,
+        so the next boot skips the k-means retrain."""
+        return (self._corpus._centroids_h is not None
+                and not getattr(self, "_base_has_clustering", False))
+
+    def write_snapshot(self, path: str, st) -> None:
+        """Base snapshot + the trained clustering (extra npz keys —
+        older snapshots without them still load, paying the retrain)."""
+        self._base_has_clustering = "ivf_centroids" in st
+        if "ivf_centroids" not in st:
+            super().write_snapshot(path, st)
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        np.savez(path, vectors=st["vectors"],
+                 ivf_centroids=st["ivf_centroids"],
+                 ivf_cluster=st["ivf_cluster"],
+                 meta=json.dumps({
+                     "dim": self.dim,
+                     "ids": list(st["ids"]),
+                     "kinds": list(st["kinds"]),
+                     "agents": list(st["agents"]),
+                 }))
+
+    def load(self, path: str) -> None:
+        super().load(path)
+        z = np.load(path, allow_pickle=False)
+        self._base_has_clustering = "ivf_centroids" in z.files
+        if "ivf_centroids" not in z.files:
+            return                            # legacy snapshot: retrain
+        meta = json.loads(str(z["meta"]))
+        cl = z["ivf_cluster"]
+        co = self._corpus
+        with co._lock:
+            boot = np.full(co._cap, -1, np.int32)
+            row_of = co._row_of
+            for j, nid in enumerate(meta["ids"]):
+                r = row_of.get(nid)
+                if r is not None:
+                    boot[r] = cl[j]
+            co._boot_cent = z["ivf_centroids"].astype(np.float32)
+            co._boot_cluster = boot
 
     def _fresh_corpus(self) -> IvfCorpus:
         old = self._corpus

@@ -289,3 +289,141 @@ class TestQueryChunking:
         finally:
             monkeypatch.undo()
             self._clear()                     # drop the budget-1 traces
+
+
+class TestSnapshotBoot:
+    """Snapshots persist the trained clustering (centroids + per-id
+    cluster) so a restored index boots WITHOUT re-running k-means +
+    the full assignment pass (~90 s at 10M rows). Legacy snapshots
+    without the extra keys still load and retrain."""
+
+    def _no_kmeans(self, monkeypatch):
+        from cortex_tpu.vector import ivf as ivf_mod
+
+        def boom(*a, **k):
+            raise AssertionError("k-means ran on a restored boot")
+        monkeypatch.setattr(ivf_mod, "_kmeans_device", boom)
+
+    def test_restore_skips_kmeans_and_matches(self, tmp_path,
+                                              monkeypatch):
+        vecs = clustered(400, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8)
+        ivf._corpus.sync()                    # train now
+        path = str(tmp_path / "idx.npz")
+        ivf.save(path)
+        cent_saved = ivf._corpus._centroids_h.copy()
+
+        fresh = TpuIvfIndex(48, nlist=8, nprobe=8)
+        fresh.load(path)
+        self._no_kmeans(monkeypatch)          # must not retrain
+        q = clustered(5, dim=48, seed=3)
+        got = fresh.search_batch(q, 10)       # triggers the boot build
+        want = oracle.search_batch(q, 10)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+        np.testing.assert_allclose(fresh._corpus._centroids_h,
+                                   cent_saved)
+
+    def test_delta_rows_assigned_without_retrain(self, tmp_path,
+                                                 monkeypatch):
+        vecs = clustered(320, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8)
+        ivf._corpus.sync()
+        path = str(tmp_path / "idx.npz")
+        ivf.save(path)
+
+        fresh = TpuIvfIndex(48, nlist=8, nprobe=8)
+        fresh.load(path)
+        self._no_kmeans(monkeypatch)
+        extra = clustered(6, dim=48, seed=9) + 2.0
+        for i, v in enumerate(extra):         # post-load rows: no hint
+            fresh.insert(f"x{i}", v)
+            oracle.insert(f"x{i}", v, kind="", source_agent="")
+        got = fresh.search_batch(extra[:2], 8)
+        want = oracle.search_batch(extra[:2], 8)
+        for b in range(2):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_legacy_snapshot_retrains(self, tmp_path):
+        from cortex_tpu.vector.index import TpuFlatIndex
+        vecs = clustered(200, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        path = str(tmp_path / "legacy.npz")
+        # write WITHOUT the ivf keys (the pre-boot-hint format)
+        TpuFlatIndex.write_snapshot(ivf, path, ivf._corpus.state())
+        fresh = TpuIvfIndex(48, nlist=4, nprobe=4)
+        fresh.load(path)                      # no keys -> retrain path
+        q = clustered(3, dim=48, seed=2)
+        got = fresh.search_batch(q, 10)
+        want = oracle.search_batch(q, 10)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_retrain_discards_boot_hints(self, tmp_path):
+        vecs = clustered(200, dim=48)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        path = str(tmp_path / "idx.npz")
+        ivf.save(path)
+        fresh = TpuIvfIndex(48, nlist=4, nprobe=4)
+        fresh.load(path)
+        fresh.retrain()                       # explicit: real k-means
+        assert fresh._corpus._boot_cent is None
+        assert fresh._corpus._centroids_h is not None
+
+    def test_boot_hint_rows_past_cap_are_masked(self, tmp_path,
+                                                monkeypatch):
+        """Rows inserted after load can GROW the corpus past the boot
+        array's cap (e.g. a boot-time delta replay) — they must be
+        assigned fresh, not indexed out of bounds."""
+        vecs = clustered(96, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        path = str(tmp_path / "idx.npz")
+        ivf.save(path)
+
+        fresh = TpuIvfIndex(48, nlist=4, nprobe=4)
+        fresh.load(path)
+        self._no_kmeans(monkeypatch)
+        # overflow the restored cap so new rows land past len(boot)
+        cap0 = fresh._corpus._cap
+        extra = clustered(cap0, dim=48, seed=7) + 1.5
+        for i, v in enumerate(extra):
+            fresh.insert(f"g{i}", v)
+            oracle.insert(f"g{i}", v, kind="", source_agent="")
+        assert fresh._corpus._cap > cap0
+        got = fresh.search_batch(extra[:2], 8)    # boot build w/ growth
+        want = oracle.search_batch(extra[:2], 8)
+        for b in range(2):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_snapshot_base_stale_forces_one_base_rewrite(self):
+        """An on-disk base written BEFORE training carries no
+        clustering; once trained, the index reports the base stale so
+        the checkpoint layer rewrites it (then deltas resume)."""
+        vecs = clustered(120, dim=48)
+        ivf = TpuIvfIndex(48, nlist=4, nprobe=4)
+        st = ivf._corpus.state()              # untrained capture
+        assert "ivf_centroids" not in st
+        assert not ivf.snapshot_base_stale()  # untrained: nothing lost
+        ivf.insert_batch([f"n{i}" for i in range(len(vecs))], vecs)
+        ivf._corpus.sync()                    # trains
+        # the only base ever written predates training
+        assert ivf.snapshot_base_stale()
+
+    def test_base_rewrite_clears_stale_and_boots_fast(self, tmp_path,
+                                                      monkeypatch):
+        vecs = clustered(160, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        path = str(tmp_path / "idx.npz")
+        ivf.save(path)                        # trained base with keys
+        assert not ivf.snapshot_base_stale()
+        fresh = TpuIvfIndex(48, nlist=4, nprobe=4)
+        fresh.load(path)
+        assert not fresh.snapshot_base_stale()
+        self._no_kmeans(monkeypatch)
+        got = fresh.search_batch(clustered(2, dim=48, seed=5), 6)
+        want = oracle.search_batch(clustered(2, dim=48, seed=5), 6)
+        assert [i for i, _ in got[0]] == [i for i, _ in want[0]]

@@ -44,8 +44,8 @@ import jax
 import jax.numpy as jnp
 
 from cortex_tpu.ops.similarity import NEG_INF
-from cortex_tpu.vector.ivf import (_ivf_search, _ivf_search_pallas,
-                                   _kmeans_device)
+from cortex_tpu.vector.ivf import (_assign_top2, _ivf_search,
+                                   _ivf_search_pallas, _kmeans_device)
 from cortex_tpu.vector.shard import NO_FILTER, PAD_CODE, MAX_EXCLUDE, \
     MAX_FILTER_KINDS
 
@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--nlist", type=int, default=0)
     ap.add_argument("--nprobe", type=int, default=0)
     ap.add_argument("--cand", type=int, default=64)
+    ap.add_argument("--spill", type=float, default=1.0,
+                    help="fraction of post-reserve slack filled with "
+                         "spilled boundary-row duplicates (engine "
+                         "ivf_spill semantics); 0 = r3 baseline")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     n, rows_left = args.rows, args.rows
@@ -133,9 +137,12 @@ def main():
     emit("ivf k-means train (131k sample)", time.time() - t0, "seconds")
 
     # pass 2: assign all rows chunk-wise; assignments land on host
-    # (n * 4 bytes), packing plan computed there
+    # (n * 4 bytes), packing plan computed there. Top-2 + margin when
+    # spill packing is on (engine _build_ivf semantics).
     t0 = time.time()
     assign = np.empty(n, np.int32)
+    second = np.empty(n, np.int32)
+    margin = np.empty(n, np.float32)
     chunk_keys = []
     off = 0
     while rows_left > 0:
@@ -143,7 +150,13 @@ def main():
         gk = jax.random.fold_in(key, off)
         chunk_keys.append((gk, off, m))
         v = _gen_chunk(gk, m, groups, ck, off)
-        assign[off:off + m] = np.asarray(_assign1(v, cent))
+        if args.spill > 0:
+            a1, a2, v1, v2 = _assign_top2(v, cent)
+            assign[off:off + m] = np.asarray(a1)
+            second[off:off + m] = np.asarray(a2)
+            margin[off:off + m] = np.asarray(v1) - np.asarray(v2)
+        else:
+            assign[off:off + m] = np.asarray(_assign1(v, cent))
         off += m
         rows_left -= m
     del v                                      # free the last chunk
@@ -169,9 +182,28 @@ def main():
         slot[j] = fill[ch]
         fill[ch] += 1
     flat_pos = cluster.astype(np.int64) * lcap + slot
+    # spill plan: boundary rows (smallest top-2 margin) duplicate into
+    # their second-choice cluster's post-reserve slack — the engine's
+    # SOAR-style packing (vector/ivf.py _build_ivf)
+    spill_pos = np.full(n, -1, np.int64)
+    if args.spill > 0 and c > 1:
+        room = lcap - fill
+        avail = np.floor(np.maximum(0, room - np.maximum(room // 4, 1))
+                         * args.spill).astype(np.int64)
+        elig = np.where(second != cluster)[0]
+        sec = second[elig]
+        o = np.lexsort((margin[elig], sec))
+        secs = sec[o]
+        st2 = np.searchsorted(secs, np.arange(c))
+        rank2 = np.arange(len(o)) - st2[secs]
+        ok2 = rank2 < avail[secs]
+        sel = elig[o[ok2]]
+        spill_pos[sel] = (secs[ok2].astype(np.int64) * lcap
+                          + fill[secs[ok2]] + rank2[ok2])
+    n_spill = int((spill_pos >= 0).sum())
     emit("ivf packing plan", time.time() - t0,
          f"seconds (lcap={lcap} fill={n / (c * lcap):.2f} "
-         f"spilled={len(spilled)})")
+         f"spilled={len(spilled)} spill-dups={n_spill})")
 
     # pass 3: regenerate chunks, center+quantize, scatter into the
     # device block layout. Scatter buffers are DONATED (the functional
@@ -197,6 +229,19 @@ def main():
         return (ef.reshape(c, lcap, D), rf.reshape(c, lcap), sl,
                 jnp.where(sl >= 0, 0, PAD_CODE).astype(jnp.int32))
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def _scatter_spill(ef, rf, sf, idx, pos, q, ri, rid):
+        # padded entries carry pos = c*lcap (out of bounds) -> dropped
+        return (ef.at[pos].set(q[idx], mode="drop"),
+                rf.at[pos].set(ri[idx], mode="drop"),
+                sf.at[pos].set(rid[idx], mode="drop"))
+
+    # fixed spill bucket so the spill scatter compiles once
+    sp_bucket = 0
+    if n_spill:
+        per_chunk = [int((spill_pos[off:off + m] >= 0).sum())
+                     for _, off, m in chunk_keys]
+        sp_bucket = 1 << (max(1, max(per_chunk)) - 1).bit_length()
     for gk, off, m in chunk_keys:
         v = _gen_chunk(gk, m, groups, ck, off)
         q, ri = _center_quant(v, mu)
@@ -204,6 +249,16 @@ def main():
         rid = jnp.arange(off, off + m, dtype=jnp.int32)
         emb_flat, rinv_flat, srows_flat = _scatter(
             emb_flat, rinv_flat, srows_flat, pos, q, ri, rid)
+        if sp_bucket:
+            sp = spill_pos[off:off + m]
+            sidx = np.where(sp >= 0)[0]
+            pad = sp_bucket - len(sidx)
+            idx2 = np.concatenate([sidx, np.zeros(pad, np.int64)])
+            pos2 = np.concatenate(
+                [sp[sidx], np.full(pad, c * lcap, np.int64)])
+            emb_flat, rinv_flat, srows_flat = _scatter_spill(
+                emb_flat, rinv_flat, srows_flat, jnp.asarray(idx2),
+                jnp.asarray(pos2), q, ri, rid)
     del v, q, ri, pos, rid
     emb_i8, rinv_sl, slot_rows, kind_sl = _finalize(
         emb_flat, rinv_flat, srows_flat, c=c, lcap=lcap)

@@ -189,6 +189,26 @@ class Cortex:
             dq = rng.normal(size=(min(_DD_B, nq), dim)).astype(np.float32)
             self.index.search_batch(dq, _DD_K)
             progress("warmup: dedup scan bucket compiled")
+            # warm the incremental-scatter buckets at SERVING capacity:
+            # dirty-row scatters pad to powers of two (_bucket_rows)
+            # and each bucket's donating scatter is its own XLA
+            # program. Left cold, the first write wave of each size
+            # compiles mid-serving — the mixed-workload bench measured
+            # multi-minute p99 search stalls from exactly this.
+            # Re-scattering live rows with their current host-mirror
+            # values is a semantic no-op. IVF corpora are skipped: a
+            # dirty-row pass there drops the rows' spill copies (a
+            # real, if small, recall change — not a no-op).
+            from .vector.ivf import IvfCorpus
+            co = getattr(self.index, "_corpus", None)
+            if co is not None and not isinstance(co, IvfCorpus):
+                b = 1
+                while b <= min(1024, co._cap):
+                    with co._lock:
+                        co._dirty.update(range(b))
+                    co.sync()
+                    progress(f"warmup: scatter bucket {b} compiled")
+                    b *= 2
         self.embedder.embed("warmup text")
         progress(f"device warmup done in {_time.monotonic() - t0:.1f}s")
 
@@ -253,6 +273,7 @@ class Cortex:
                         self.embedder.dimension, build_mesh(pow2),
                         nlist=self.config.embedding.ivf_nlist,
                         nprobe=self.config.embedding.ivf_nprobe,
+                        spill=self.config.embedding.ivf_spill,
                         search_path=self.config.embedding.search_path,
                         storage_dtype=self.config.embedding.device_dtype)
                 from .parallel import ShardedFlatIndex
@@ -266,6 +287,7 @@ class Cortex:
                 self.embedder.dimension,
                 nlist=self.config.embedding.ivf_nlist,
                 nprobe=self.config.embedding.ivf_nprobe,
+                spill=self.config.embedding.ivf_spill,
                 search_path=self.config.embedding.search_path,
                 storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(

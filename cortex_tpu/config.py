@@ -89,6 +89,12 @@ class EmbeddingConfig:
     index: str = "flat"
     ivf_nlist: int = 0                # 0 = auto (~sqrt(N), <= 8192)
     ivf_nprobe: int = 0               # 0 = auto (nlist/8, >= 8)
+    # fraction of the IVF layout's spare slots (the SLOT_SLACK padding
+    # it allocates anyway) filled with spilled duplicates of boundary
+    # rows — each lands in its second-choice cluster too, lifting
+    # recall for neighbors whose home cluster ranks low against the
+    # query. Zero extra device memory; 0.0 disables.
+    ivf_spill: float = 1.0
 
 
 @dataclass
@@ -206,7 +212,8 @@ class CortexConfig:
             snapshot_min_delta=int(e.get("snapshot_min_delta", 64)),
             index=e.get("index", "flat"),
             ivf_nlist=int(e.get("ivf_nlist", 0)),
-            ivf_nprobe=int(e.get("ivf_nprobe", 0)))
+            ivf_nprobe=int(e.get("ivf_nprobe", 0)),
+            ivf_spill=float(e.get("ivf_spill", 1.0)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(
@@ -358,6 +365,9 @@ class CortexConfig:
         if self.embedding.ivf_nlist < 0 or self.embedding.ivf_nprobe < 0:
             raise ConfigError(
                 "[embedding] ivf_nlist/ivf_nprobe must be >= 0")
+        if not 0.0 <= self.embedding.ivf_spill <= 1.0:
+            raise ConfigError(
+                "[embedding] ivf_spill must be in [0, 1]")
         if self.briefing.max_total_items <= 0:
             raise ConfigError("[briefing] max_total_items must be positive")
         for w in self.webhooks:

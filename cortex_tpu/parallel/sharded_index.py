@@ -283,7 +283,8 @@ class ShardedCorpus(DeviceCorpus):
                 # small diffs: jit scatter on the sharded arrays (GSPMD
                 # keeps the output layout) instead of re-uploading the
                 # whole corpus per write->search cycle
-                rows = np.fromiter(self._dirty, np.int32)
+                from ..vector.shard import _bucket_rows
+                rows = _bucket_rows(np.fromiter(self._dirty, np.int32))
                 self._dev = _scatter_update(
                     *self._dev, jnp.asarray(rows),
                     jnp.asarray(self._emb_for_device(rows)),

@@ -42,8 +42,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.similarity import NEG_INF
-from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _ivf_bias,
-                          _ivf_candidates)
+from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _dedup_rows,
+                          _ivf_bias, _ivf_candidates)
 from .sharding import SHARD_AXIS, build_mesh
 
 
@@ -69,7 +69,10 @@ def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
         av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
         ar = jax.lax.all_gather(rows, SHARD_AXIS, axis=1, tiled=True)
         gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
-        return gv, jnp.take_along_axis(ar, sel, axis=1)
+        # spill copies can land on a DIFFERENT shard than the primary
+        # slot, so duplicates survive the per-shard scan and must be
+        # masked after the global merge
+        return _dedup_rows(gv, jnp.take_along_axis(ar, sel, axis=1))
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -104,7 +107,7 @@ def _sharded_ivf_hostbias_topk(mesh: Mesh, cent, emb_i8, rinv_sl,
         av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
         ar = jax.lax.all_gather(rows, SHARD_AXIS, axis=1, tiled=True)
         gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
-        return gv, jnp.take_along_axis(ar, sel, axis=1)
+        return _dedup_rows(gv, jnp.take_along_axis(ar, sel, axis=1))
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -120,10 +123,10 @@ class ShardedIvfCorpus(IvfCorpus):
     """IvfCorpus whose cluster axis spans the mesh."""
 
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
-                 nlist: int = 0, nprobe: int = 0,
+                 nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
                  search_path: str = "auto"):
-        super().__init__(dim, nlist=nlist, nprobe=nprobe,
+        super().__init__(dim, nlist=nlist, nprobe=nprobe, spill=spill,
                          storage_dtype=storage_dtype,
                          search_path=search_path)
         self.mesh = mesh or build_mesh()
@@ -194,12 +197,12 @@ class ShardedIvfIndex(TpuIvfIndex):
     ([embedding] index = "ivf" + sharded = true)."""
 
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
-                 nlist: int = 0, nprobe: int = 0,
+                 nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
                  search_path: str = "auto"):
         self.dim = dim
         self._corpus = ShardedIvfCorpus(dim, mesh, nlist=nlist,
-                                        nprobe=nprobe,
+                                        nprobe=nprobe, spill=spill,
                                         storage_dtype=storage_dtype,
                                         search_path=search_path)
         self._delta_ids: set = set()
@@ -213,5 +216,6 @@ class ShardedIvfIndex(TpuIvfIndex):
         return ShardedIvfCorpus(self.dim, old.mesh,
                                 nlist=old._nlist_cfg,
                                 nprobe=old._nprobe_cfg,
+                                spill=old._spill,
                                 storage_dtype=self._storage_dtype_str(),
                                 search_path=old._search_path)

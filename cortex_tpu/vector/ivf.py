@@ -110,17 +110,36 @@ def _kmeans_device(data: jnp.ndarray, init: jnp.ndarray, *,
 
 @jax.jit
 def _assign_top2(data: jnp.ndarray, cent: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row best-2 clusters (spill candidates for capped packing)."""
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray, jnp.ndarray]:
+    """Per-row best-2 clusters and their scores — overflow fallback for
+    capped packing, and the (choice, margin) inputs of spill packing."""
     s = jnp.dot(data, cent.T, preferred_element_type=jnp.float32)
     k = min(2, cent.shape[0])
-    _, idx = jax.lax.top_k(s, k)
+    v, idx = jax.lax.top_k(s, k)
     if k == 1:
         idx = jnp.concatenate([idx, idx], axis=1)
-    return idx[:, 0], idx[:, 1]
+        v = jnp.concatenate([v, v], axis=1)
+    return idx[:, 0], idx[:, 1], v[:, 0], v[:, 1]
 
 
 # ----------------------------------------------------------------- search
+
+
+def _dedup_rows(v, rows):
+    """Suppress spilled duplicates in a candidate list. A row packed
+    into TWO clusters (spill) can surface twice when both are probed;
+    the exact re-rank scores both copies identically, so without this
+    mask a node could appear twice in the final top-k. Keep the first
+    (highest-int8-score) occurrence, send later ones to NEG_INF.
+    O(cand^2) compare — candidate lists are <= ~1k wide, and this fuses
+    into the search dispatch (no extra round trip)."""
+    cand = rows.shape[1]
+    earlier = jnp.tril(jnp.ones((cand, cand), jnp.bool_), -1)
+    dup = jnp.any((rows[:, :, None] == rows[:, None, :])
+                  & earlier[None], axis=2)
+    v = jnp.where(dup, NEG_INF, v)
+    return v, jnp.where(v > -1e29, rows, 0)
 
 
 def _ivf_bias(sr2, kc2, ac2, ak, aa, ex):
@@ -205,7 +224,7 @@ def _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
         v, idx = jax.lax.top_k(s, min(cand, pl))
         return v, jnp.take_along_axis(sr2, idx, axis=1)
 
-    return _chunked_topk(body, q, probe, cand=cand, pl=pl)
+    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand, pl=pl))
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cand"))
@@ -226,7 +245,7 @@ def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
         v, idx = jax.lax.top_k(s, min(cand, pl))
         return v, jnp.take_along_axis(sr2, idx, axis=1)
 
-    return _chunked_topk(body, q, probe, cand=cand, pl=pl)
+    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand, pl=pl))
 
 
 def _descale_valid(v, qs):
@@ -269,8 +288,8 @@ def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
         r = jnp.take_along_axis(rows, idx, axis=1)
         return _descale_valid(v, qs), r
 
-    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
-                         per_q=_pallas_per_q(p, l))
+    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand,
+                                      pl=p * l, per_q=_pallas_per_q(p, l)))
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cand"))
@@ -299,8 +318,8 @@ def _ivf_search_pallas_hostbias(cent, emb_i8, meta, bias, q, *,
         r = jnp.take_along_axis(rows, idx, axis=1)
         return _descale_valid(v, qs), r
 
-    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
-                         per_q=_pallas_per_q(p, l))
+    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand,
+                                      pl=p * l, per_q=_pallas_per_q(p, l)))
 
 
 def _pallas_per_q(p: int, l: int) -> int:
@@ -341,16 +360,27 @@ class IvfCorpus(DeviceCorpus):
     everything downstream is inherited."""
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
-                 storage_dtype: str = "float32",
+                 spill: float = 1.0, storage_dtype: str = "float32",
                  search_path: str = "auto"):
         super().__init__(dim, search_path=search_path,
                          storage_dtype=storage_dtype)
         self._nlist_cfg = int(nlist)          # 0 = auto (~sqrt(N))
         self._nprobe_cfg = int(nprobe)        # 0 = auto (C/8, >= 8)
+        #: fraction of the block layout's post-reserve slack filled
+        #: with SPILLED duplicates — each boundary row (smallest
+        #: first-vs-second centroid margin) is packed into its
+        #: second-choice cluster too, so a true neighbor whose home
+        #: cluster ranks low against the query gets a second chance to
+        #: be probed (the SOAR insight, scaled to the slack the layout
+        #: already allocates: ZERO extra HBM). 0 disables.
+        self._spill = min(1.0, max(0.0, float(spill)))
         self._ivf_dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._centroids_h: Optional[np.ndarray] = None
         self._cluster_of = np.full((0,), -1, np.int32)   # [cap] by row
         self._slot_of = np.full((0,), -1, np.int32)      # [cap] by row
+        # spill copy placement, -1 when a row has no second slot
+        self._cluster_of2 = np.full((0,), -1, np.int32)
+        self._slot_of2 = np.full((0,), -1, np.int32)
         self._cluster_free: List[List[int]] = []
         self._slot_cap = 0                    # L
         self._trained_live = 0
@@ -358,6 +388,7 @@ class IvfCorpus(DeviceCorpus):
         # the next _build_ivf so boot skips the k-means retrain
         self._boot_cent: Optional[np.ndarray] = None
         self._boot_cluster: Optional[np.ndarray] = None
+        self._boot_cluster2: Optional[np.ndarray] = None
 
     def state(self):
         """Host state + the trained clustering (centroids and per-id
@@ -370,6 +401,7 @@ class IvfCorpus(DeviceCorpus):
                 st["ivf_centroids"] = self._centroids_h.copy()
                 rws = [self._row_of[i] for i in st["ids"]]
                 st["ivf_cluster"] = self._cluster_of[rws].copy()
+                st["ivf_cluster2"] = self._cluster_of2[rws].copy()
             return st
 
     # -------------------------------------------------------- bookkeeping
@@ -382,11 +414,17 @@ class IvfCorpus(DeviceCorpus):
                 [self._cluster_of, np.full(pad, -1, np.int32)])
             self._slot_of = np.concatenate(
                 [self._slot_of, np.full(pad, -1, np.int32)])
+            self._cluster_of2 = np.concatenate(
+                [self._cluster_of2, np.full(pad, -1, np.int32)])
+            self._slot_of2 = np.concatenate(
+                [self._slot_of2, np.full(pad, -1, np.int32)])
 
     def compact(self) -> None:
         super().compact()                     # every row index moved
         self._cluster_of = np.full(self._cap, -1, np.int32)
         self._slot_of = np.full(self._cap, -1, np.int32)
+        self._cluster_of2 = np.full(self._cap, -1, np.int32)
+        self._slot_of2 = np.full(self._cap, -1, np.int32)
         self._ivf_dev = None                  # rebuilt on next sync
 
     def _auto_nlist(self, n_live: int) -> int:
@@ -453,6 +491,8 @@ class IvfCorpus(DeviceCorpus):
             self._centroids_h = None
             self._cluster_of[:] = -1
             self._slot_of[:] = -1
+            self._cluster_of2[:] = -1
+            self._slot_of2[:] = -1
             self._cluster_free = []
             self._trained_live = 0
             return
@@ -462,8 +502,10 @@ class IvfCorpus(DeviceCorpus):
         # assignment pass — one-shot: a real retrain (drift/rebuild)
         # always re-trains from data
         boot_cent, boot_cluster = self._boot_cent, self._boot_cluster
+        boot_cluster2 = self._boot_cluster2
         self._boot_cent = None
         self._boot_cluster = None
+        self._boot_cluster2 = None
         if (boot_cent is not None and boot_cluster is not None
                 and boot_cent.ndim == 2
                 and boot_cent.shape[1] == self.dim
@@ -484,9 +526,11 @@ class IvfCorpus(DeviceCorpus):
                 step = 1 << 18
                 for s in range(0, len(mrows), step):
                     sel = mrows[s:s + step]
-                    a1, _ = _assign_top2(jnp.asarray(data[sel]), cent_dev)
+                    a1, _, _, _ = _assign_top2(jnp.asarray(data[sel]),
+                                               cent_dev)
                     first[sel] = np.asarray(a1)
             second = None                     # spill -> least-filled
+            margin = None                     # boot spill: hints only
             log.info("ivf build: snapshot-restored clustering "
                      "(%d clusters, %d rows assigned fresh)",
                      c, int(miss.sum()))
@@ -503,13 +547,15 @@ class IvfCorpus(DeviceCorpus):
             # assign every live row: best-2 clusters, chunked matmul
             first = np.empty(n, np.int32)
             second = np.empty(n, np.int32)
+            margin = np.empty(n, np.float32)  # spill priority
             cent_dev = jnp.asarray(cent)
             step = 1 << 18
             for s in range(0, n, step):
-                a1, a2 = _assign_top2(jnp.asarray(data[s:s + step]),
-                                      cent_dev)
+                a1, a2, v1, v2 = _assign_top2(
+                    jnp.asarray(data[s:s + step]), cent_dev)
                 first[s:s + step] = np.asarray(a1)
                 second[s:s + step] = np.asarray(a2)
+                margin[s:s + step] = np.asarray(v1) - np.asarray(v2)
         # capped packing: first choice vectorized (rank-within-cluster
         # via one stable argsort — a 10M-row Python loop here would
         # cost tens of seconds); the spilled remainder (k-means
@@ -552,6 +598,55 @@ class IvfCorpus(DeviceCorpus):
         self._slot_of[:] = -1
         self._cluster_of[rows] = cluster
         self._slot_of[rows] = slot
+        # --- spill packing (SOAR-style, slack-bounded): duplicate
+        # boundary rows — smallest first-vs-second centroid margin —
+        # into their SECOND-choice cluster's remaining free slots, so
+        # a true neighbor whose home cluster ranks low against a query
+        # gets a second chance to be probed. The r3 10M measurement
+        # showed the recall curve FLAT in nprobe because misses are
+        # exactly such rows; spilling attacks the cause instead of
+        # paying 8x probes for +0.05. Costs ZERO extra HBM (the slots
+        # exist as SLOT_SLACK padding); each cluster keeps
+        # max(room//4, 1) spare slots in reserve for incremental
+        # inserts between retrains. Duplicate candidates are masked on
+        # device (_dedup_rows). Selection is vectorized like the
+        # primary pack: per target cluster, smallest-margin rows win.
+        self._cluster_of2[:] = -1
+        self._slot_of2[:] = -1
+        if self._spill > 0 and c > 1:
+            if second is not None:
+                sec_c, prio = second, margin
+            elif boot_cluster2 is not None and len(boot_cluster2):
+                sec_c = np.full(n, -1, np.int32)
+                inb2 = rows < len(boot_cluster2)
+                sec_c[inb2] = boot_cluster2[rows[inb2]]
+                prio = np.zeros(n, np.float32)  # hint set, no margins
+            else:
+                sec_c = None
+            if sec_c is not None:
+                elig = np.where((sec_c >= 0) & (sec_c < c)
+                                & (sec_c != cluster))[0]
+                if len(elig):
+                    room = lcap - fill
+                    avail = np.floor(
+                        np.maximum(0, room - np.maximum(room // 4, 1))
+                        * self._spill).astype(np.int64)
+                    sec = sec_c[elig]
+                    o = np.lexsort((prio[elig], sec))
+                    secs = sec[o]
+                    st2 = np.searchsorted(secs, np.arange(c))
+                    rank2 = np.arange(len(o)) - st2[secs]
+                    ok2 = rank2 < avail[secs]
+                    sel = elig[o[ok2]]
+                    sc = secs[ok2].astype(np.int32)
+                    ss = (fill[sc] + rank2[ok2]).astype(np.int32)
+                    emb_i8[sc, ss] = qv[sel]
+                    rinv_sl[sc, ss] = rinv[sel]
+                    slot_rows[sc, ss] = rows[sel]
+                    kind_sl[sc, ss] = self._kind_h[rows[sel]]
+                    agent_sl[sc, ss] = self._agent_h[rows[sel]]
+                    self._cluster_of2[rows[sel]] = sc
+                    self._slot_of2[rows[sel]] = ss
         free_mask = slot_rows < 0
         self._cluster_free = [list(np.where(free_mask[ci])[0][::-1])
                               for ci in range(c)]
@@ -564,7 +659,8 @@ class IvfCorpus(DeviceCorpus):
                                         slot_rows, kind_sl, agent_sl,
                                         meta)
         log.info("ivf build: %d rows -> %d clusters x %d slots "
-                 "(fill %.2f)", n, c, lcap, n / (c * lcap))
+                 "(fill %.2f, %d spilled)", n, c, lcap, n / (c * lcap),
+                 int((self._cluster_of2[rows] >= 0).sum()))
 
     def _free_slots(self) -> int:
         return sum(len(f) for f in self._cluster_free)
@@ -592,6 +688,16 @@ class IvfCorpus(DeviceCorpus):
             pref = np.argsort(-sc, axis=1)[:, :take]
         li = 0
         for r in rows:
+            # a dirty row's SPILL copy is always dropped: a delete must
+            # not leave a live-looking duplicate slot, and an update's
+            # stale int8 copy would keep scoring the old embedding.
+            # Spill copies are only (re)created at build time.
+            cl2, sl2 = int(self._cluster_of2[r]), int(self._slot_of2[r])
+            if sl2 >= 0:
+                writes[(cl2, sl2)] = -1
+                self._cluster_free[cl2].append(sl2)
+                self._cluster_of2[r] = -1
+                self._slot_of2[r] = -1
             cl, sl = int(self._cluster_of[r]), int(self._slot_of[r])
             if not self._live_h[r]:
                 if sl >= 0:                   # clear the vacated slot
@@ -630,6 +736,19 @@ class IvfCorpus(DeviceCorpus):
         c_idx = np.fromiter((c for c, _ in writes), np.int32)
         s_idx = np.fromiter((s for _, s in writes), np.int32)
         sr = np.fromiter(writes.values(), np.int32)
+        # bucket the write count to a power of two by repeating the
+        # first write (idempotent: duplicate (c, s) with identical
+        # values) — same compile-churn guard as shard._bucket_rows
+        b = 1
+        while b < len(c_idx):
+            b *= 2
+        if b != len(c_idx):
+            pad = b - len(c_idx)
+            c_idx = np.concatenate(
+                [c_idx, np.full(pad, c_idx[0], np.int32)])
+            s_idx = np.concatenate(
+                [s_idx, np.full(pad, s_idx[0], np.int32)])
+            sr = np.concatenate([sr, np.full(pad, sr[0], np.int32)])
         dead = sr < 0
         src = np.where(dead, 0, sr)           # dead slots: value ignored
         qv, ri, _ = quantize_rows_centered(self._emb_h[src],
@@ -729,10 +848,11 @@ class TpuIvfIndex(TpuFlatIndex):
     analog for a drifted corpus)."""
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
-                 storage_dtype: str = "float32",
+                 spill: float = 1.0, storage_dtype: str = "float32",
                  search_path: str = "auto"):
         self.dim = dim
         self._corpus = IvfCorpus(dim, nlist=nlist, nprobe=nprobe,
+                                 spill=spill,
                                  storage_dtype=storage_dtype,
                                  search_path=search_path)
         self._delta_ids: set = set()
@@ -742,6 +862,7 @@ class TpuIvfIndex(TpuFlatIndex):
             self._corpus._full_resync = True
             self._corpus._boot_cent = None    # force a real k-means
             self._corpus._boot_cluster = None
+            self._corpus._boot_cluster2 = None
             self._corpus.sync()
 
     def snapshot_base_stale(self) -> bool:
@@ -764,6 +885,9 @@ class TpuIvfIndex(TpuFlatIndex):
         np.savez(path, vectors=st["vectors"],
                  ivf_centroids=st["ivf_centroids"],
                  ivf_cluster=st["ivf_cluster"],
+                 ivf_cluster2=st.get(
+                     "ivf_cluster2",
+                     np.full(len(st["ids"]), -1, np.int32)),
                  meta=json.dumps({
                      "dim": self.dim,
                      "ids": list(st["ids"]),
@@ -779,20 +903,25 @@ class TpuIvfIndex(TpuFlatIndex):
             return                            # legacy snapshot: retrain
         meta = json.loads(str(z["meta"]))
         cl = z["ivf_cluster"]
+        cl2 = (z["ivf_cluster2"] if "ivf_cluster2" in z.files
+               else np.full(len(cl), -1, np.int32))
         co = self._corpus
         with co._lock:
             boot = np.full(co._cap, -1, np.int32)
+            boot2 = np.full(co._cap, -1, np.int32)
             row_of = co._row_of
             for j, nid in enumerate(meta["ids"]):
                 r = row_of.get(nid)
                 if r is not None:
                     boot[r] = cl[j]
+                    boot2[r] = cl2[j]
             co._boot_cent = z["ivf_centroids"].astype(np.float32)
             co._boot_cluster = boot
+            co._boot_cluster2 = boot2
 
     def _fresh_corpus(self) -> IvfCorpus:
         old = self._corpus
         return IvfCorpus(self.dim, nlist=old._nlist_cfg,
-                         nprobe=old._nprobe_cfg,
+                         nprobe=old._nprobe_cfg, spill=old._spill,
                          storage_dtype=self._storage_dtype_str(),
                          search_path=old._search_path)

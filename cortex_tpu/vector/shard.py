@@ -118,6 +118,25 @@ def _donated_buffer_race(e: Exception) -> bool:
     return "delet" in m or "donat" in m or "invalid buffer" in m
 
 
+def _bucket_rows(rows: np.ndarray) -> np.ndarray:
+    """Pad a dirty-row list to the next power of two by REPEATING the
+    first row: the scatter stays idempotent (duplicate indices carry
+    identical values), and every dirty count shares one of ~log2(cap)
+    compiled programs instead of compiling its own. Without this a
+    mixed write workload produces arbitrary dirty counts wave by wave
+    and every novel count pays a cold XLA compile (~tens of seconds on
+    a tunneled device) INSIDE the serving path — measured as
+    multi-minute p99 search stalls in benches/mixed_workload_bench.py."""
+    n = len(rows)
+    b = 1
+    while b < n:
+        b *= 2
+    if b != n:
+        rows = np.concatenate(
+            [rows, np.full(b - n, rows[0], rows.dtype)])
+    return rows
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _scatter_update(emb, live, kind_code, agent_code, rows, vecs, lv, kc, ac):
     emb = emb.at[rows].set(vecs)
@@ -538,7 +557,7 @@ class DeviceCorpus:
             if len(self._dirty) > max(4096, self._cap // 8):
                 self._upload_full(quant)
             else:
-                rows = np.fromiter(self._dirty, np.int32)
+                rows = _bucket_rows(np.fromiter(self._dirty, np.int32))
                 if self._dev[0] is not None:
                     self._dev = _scatter_update(
                         *self._dev, jnp.asarray(rows),

@@ -264,7 +264,23 @@ class JaxEncoderEmbedder(EmbeddingService):
             pad = b - ids.shape[1]
             ids = np.pad(ids, ((0, 0), (0, pad)))
             mask = np.pad(mask, ((0, 0), (0, pad)))
-        return bert_encode(self._params, self._cfg, ids, mask)
+        # bucket the BATCH dim too: a write-admission wave has an
+        # arbitrary node count, and every distinct count would compile
+        # its own (expensive) encoder program — same churn class as
+        # shard._bucket_rows. Pad by REPEATING the last sequence (a
+        # valid row; an all-zero attention mask would softmax NaN) and
+        # slice the copies back off.
+        n = ids.shape[0]
+        nb = 1
+        while nb < n:
+            nb *= 2
+        if nb != n:
+            reps = np.repeat(ids[-1:], nb - n, axis=0)
+            ids = np.concatenate([ids, reps])
+            mask = np.concatenate([mask, np.repeat(mask[-1:],
+                                                   nb - n, axis=0)])
+        out = bert_encode(self._params, self._cfg, ids, mask)
+        return np.asarray(out)[:n]
 
 
 def _model_cache_dir() -> str:

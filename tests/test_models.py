@@ -224,3 +224,36 @@ class TestEmbedderWrapper:
         # default_embedder falls back to hashing when tokenizer missing
         fb = default_embedder(f"flax:{path}")
         assert fb.model_name.startswith("hash")
+
+    def test_batch_bucketing_is_value_transparent_and_reuses_programs(
+            self, tmp_path):
+        """Odd batch counts pad to powers of two (write-admission
+        waves have arbitrary sizes; every distinct count would compile
+        its own encoder program) — values must match the singleton
+        path exactly and distinct counts must share bucket programs."""
+        from cortex_tpu.models.encoder import _forward
+        from cortex_tpu.vector.embedding import JaxEncoderEmbedder
+        params = init_params(TINY, seed=6)
+        path = str(tmp_path / "enc.npz")
+        save_npz(path, params, TINY)
+
+        def toy_tokenizer(texts):
+            ids = np.zeros((len(texts), 12), np.int32)
+            mask = np.zeros((len(texts), 12), np.int32)
+            for r, t in enumerate(texts):
+                toks = [(hash(w) % (TINY.vocab_size - 1)) + 1
+                        for w in t.split()][:12]
+                ids[r, :len(toks)] = toks
+                mask[r, :len(toks)] = 1
+            return ids, mask
+
+        emb = JaxEncoderEmbedder(path, tokenizer=toy_tokenizer)
+        texts = [f"text number {i} about thing {i % 3}" for i in range(7)]
+        singles = np.stack([emb.embed(t) for t in texts])
+        before = _forward._cache_size()
+        for n in (3, 5, 7, 6):                 # buckets: 4, 8, 8, 8
+            out = emb.embed_batch(texts[:n])
+            assert out.shape == (n, TINY.hidden)
+            np.testing.assert_allclose(out, singles[:n], atol=1e-5)
+        added = _forward._cache_size() - before
+        assert added <= 2, f"{added} encoder programs for 4 batch sizes"

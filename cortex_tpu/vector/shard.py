@@ -153,6 +153,44 @@ def _scatter_update_masks(live, kind_code, agent_code, rows, lv, kc, ac):
             agent_code.at[rows].set(ac))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("pad",))
+def _pad_device(emb, live, kind_code, agent_code, *, pad):
+    """Device-side capacity growth: extend the resident arrays with
+    dead rows IN HBM (~ms memcpy) instead of re-uploading the whole
+    corpus from the host mirror. The old full-resync path shipped a
+    3 GB transfer through the (possibly tunneled) device link on every
+    capacity-ladder step — measured as a recurring ~150-190 s p99
+    search stall in benches/mixed_workload_bench.py whenever streaming
+    writes crossed a ladder boundary mid-serving."""
+    z = jnp.zeros((pad, emb.shape[1]), emb.dtype)
+    return (jnp.concatenate([emb, z]),
+            jnp.concatenate([live, jnp.zeros((pad,), live.dtype)]),
+            jnp.concatenate([kind_code,
+                             jnp.full((pad,), PAD_CODE, jnp.int32)]),
+            jnp.concatenate([agent_code,
+                             jnp.full((pad,), PAD_CODE, jnp.int32)]))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("pad",))
+def _pad_masks(live, kind_code, agent_code, *, pad):
+    """Mask-only growth for quant-only residency (no device emb)."""
+    return (jnp.concatenate([live, jnp.zeros((pad,), live.dtype)]),
+            jnp.concatenate([kind_code,
+                             jnp.full((pad,), PAD_CODE, jnp.int32)]),
+            jnp.concatenate([agent_code,
+                             jnp.full((pad,), PAD_CODE, jnp.int32)]))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("pad",))
+def _pad_quant(i8, ri, *, pad):
+    return (jnp.concatenate([i8, jnp.zeros((pad, i8.shape[1]),
+                                           jnp.int8)]),
+            jnp.concatenate([ri, jnp.zeros((pad,), jnp.float32)]))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _scatter_quant_rows(i8, ri, rows, q, rinv):
     """Donating int8-shadow scatter: the eager non-donating .at[].set
@@ -292,6 +330,7 @@ class DeviceCorpus:
         self._recycled: set[int] = set()   # freed rows, not yet reassigned
         self._generation = 0               # bumps when a row is reassigned
         self._full_resync = True
+        self._grow_pad = 0                 # rows to pad ON DEVICE at sync
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._dev_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._quant_mu = np.zeros(dim, np.float32)   # int8 centering shift
@@ -365,7 +404,25 @@ class DeviceCorpus:
         self._free.extend(range(self._cap, new_cap))
         self._id_of.extend([None] * pad)
         self._cap = new_cap
-        self._full_resync = True
+        if self._can_grow_on_device():
+            # extend the resident arrays in HBM at next sync instead
+            # of re-uploading the corpus (see _pad_device)
+            self._grow_pad += pad
+        else:
+            self._full_resync = True
+
+    def _can_grow_on_device(self) -> bool:
+        """Growth can pad the device arrays in place when this is the
+        plain single-device corpus with resident arrays whose residency
+        decision doesn't flip at the new capacity. Subclasses (sharded,
+        IVF) keep the full-resync path: their layouts re-place on
+        growth (GSPMD sharding / cluster re-pack)."""
+        if type(self) is not DeviceCorpus or self._dev is None:
+            return False
+        if self._dev[0] is not None:
+            return self._emb_fits()           # at the NEW self._cap
+        # quant-only residency: the int8 shadow alone must still fit
+        return self._cap * self.dim <= self._hbm_budget
 
     def upsert(self, node_id: str, vector: np.ndarray, kind: str,
                agent: str) -> None:
@@ -537,6 +594,7 @@ class DeviceCorpus:
                      "re-rank)", self._cap, self.dim)
         self._dev = (emb, jnp.asarray(self._live_h),
                      jnp.asarray(self._kind_h), jnp.asarray(self._agent_h))
+        self._grow_pad = 0                    # arrays now at full cap
         if quant:
             self._sync_quant(None, mu=mu_live)
 
@@ -552,6 +610,21 @@ class DeviceCorpus:
                 self._full_resync = False
                 self._dirty.clear()
                 return
+            if self._grow_pad:
+                # capacity-ladder growth: pad the RESIDENT arrays in
+                # HBM (~ms) — the data is already on device; only the
+                # new (dead) rows change, and those are in self._dirty
+                # for the scatter below
+                pad = self._grow_pad
+                emb, live, kc, ac = self._dev
+                if emb is not None:
+                    self._dev = _pad_device(emb, live, kc, ac, pad=pad)
+                else:
+                    self._dev = (None, *_pad_masks(live, kc, ac,
+                                                   pad=pad))
+                if quant and self._dev_q is not None:
+                    self._dev_q = _pad_quant(*self._dev_q, pad=pad)
+                self._grow_pad = 0
             if not self._dirty:
                 return
             if len(self._dirty) > max(4096, self._cap // 8):

@@ -1,0 +1,128 @@
+"""Device-side capacity growth (r3 mixed-workload fix #2).
+
+Crossing a capacity-ladder boundary used to set _full_resync, which
+re-uploads the ENTIRE corpus from the host mirror at the new capacity —
+a 3 GB transfer through a tunneled device, measured as a recurring
+~150-190 s p99 search stall in benches/mixed_workload_bench.py whenever
+streaming writes crossed the boundary mid-serving. Growth now pads the
+resident device arrays in HBM (the data is already there) and lets the
+normal bucketed scatter fill the new rows.
+"""
+
+import numpy as np
+import pytest
+
+from cortex_tpu.vector.index import TpuFlatIndex
+from cortex_tpu.vector.shard import DeviceCorpus, MIN_CAP
+
+
+def build(n, dim=16, **kw):
+    idx = TpuFlatIndex(dim, **kw)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    idx.insert_batch([f"n{i}" for i in range(n)], vecs)
+    return idx, vecs
+
+
+class TestGrowOnDevice:
+    def test_growth_does_not_full_reupload(self, monkeypatch):
+        idx, vecs = build(MIN_CAP)             # exactly at capacity
+        idx.search_batch(vecs[:1], 5)          # resident now
+        co = idx._corpus
+        calls = []
+        orig = DeviceCorpus._upload_full
+
+        def spy(self, quant):
+            calls.append(True)
+            return orig(self, quant)
+
+        monkeypatch.setattr(DeviceCorpus, "_upload_full", spy)
+        rng = np.random.default_rng(1)
+        nv = rng.normal(size=(8, co.dim)).astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(8)], nv)  # crosses cap
+        idx.search_batch(nv[:1], 3)
+        assert co._cap > MIN_CAP, "capacity must have grown"
+        assert not calls, "growth must pad on device, not re-upload"
+
+    def test_grown_corpus_searches_old_and_new_rows(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)
+        rng = np.random.default_rng(2)
+        nv = rng.normal(size=(5, 16)).astype(np.float32) + 3.0
+        idx.insert_batch([f"g{i}" for i in range(5)], nv)
+        # new rows searchable
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"
+        # old rows intact with exact scores
+        hits = idx.search_batch(vecs[7:8], 3)[0]
+        assert hits[0][0] == "n7"
+        q = vecs[7] / np.linalg.norm(vecs[7])
+        want = float(q @ (vecs[7] / np.linalg.norm(vecs[7])))
+        assert abs(hits[0][1] - want) < 1e-5
+
+    def test_growth_with_quant_shadow(self):
+        # search_path="quant" maintains the int8 shadow on CPU too
+        idx, vecs = build(MIN_CAP, search_path="quant")
+        idx.search_batch(vecs[:1], 5)
+        co = idx._corpus
+        assert co._dev_q is not None
+        nv = np.random.default_rng(3).normal(size=(4, 16)) \
+            .astype(np.float32) + 2.0
+        idx.insert_batch([f"g{i}" for i in range(4)], nv)
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"
+        assert co._dev_q[0].shape[0] == co._cap
+
+    def test_multiple_ladder_steps_accumulate(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)
+        co = idx._corpus
+        rng = np.random.default_rng(4)
+        # enough to cross SEVERAL doublings before the next sync
+        n_new = MIN_CAP * 3
+        nv = rng.normal(size=(n_new, 16)).astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(n_new)], nv)
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"
+        assert len(co._live_h) == co._cap
+        assert co._dev[1].shape[0] == co._cap
+
+    def test_removal_then_growth_keeps_dead_rows_dead(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)
+        idx.remove("n3")
+        nv = np.random.default_rng(5).normal(size=(6, 16)) \
+            .astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(6)], nv)
+        hits = idx.search_batch(vecs[3:4], MIN_CAP)[0]
+        assert "n3" not in {h for h, _ in hits}
+
+
+class TestSubclassesKeepFullResync:
+    def test_sharded_growth_full_resyncs(self):
+        from cortex_tpu.parallel import ShardedFlatIndex
+        idx = ShardedFlatIndex(16)
+        rng = np.random.default_rng(6)
+        vecs = rng.normal(size=(MIN_CAP, 16)).astype(np.float32)
+        idx.insert_batch([f"n{i}" for i in range(MIN_CAP)], vecs)
+        idx.search_batch(vecs[:1], 5)
+        co = idx._corpus
+        nv = rng.normal(size=(4, 16)).astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(4)], nv)
+        # the sharded layout re-places on growth (GSPMD) — the device
+        # pad shortcut must not engage
+        assert co._grow_pad == 0
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"
+
+    def test_ivf_growth_keeps_rebuild_path(self):
+        from cortex_tpu.vector.ivf import TpuIvfIndex
+        idx = TpuIvfIndex(16, nlist=4, nprobe=4)
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(MIN_CAP, 16)).astype(np.float32)
+        idx.insert_batch([f"n{i}" for i in range(MIN_CAP)], vecs)
+        idx.search_batch(vecs[:1], 5)
+        nv = rng.normal(size=(4, 16)).astype(np.float32) + 2.0
+        idx.insert_batch([f"g{i}" for i in range(4)], nv)
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"

@@ -209,6 +209,11 @@ class Cortex:
                     co.sync()
                     progress(f"warmup: scatter bucket {b} compiled")
                     b *= 2
+            # pre-compile the NEXT capacity-ladder growth programs
+            # (shape-only AOT, no HBM): a mid-serving ladder crossing
+            # otherwise pays its one-time pad compile on the live path
+            if co is not None and co.warm_growth_programs():
+                progress("warmup: next-ladder growth programs compiled")
         self.embedder.embed("warmup text")
         progress(f"device warmup done in {_time.monotonic() - t0:.1f}s")
 

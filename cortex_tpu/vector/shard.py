@@ -283,6 +283,24 @@ def _fused_search_quant_exact_hostbias(emb_i8, rinv, emb_f32, bias, q,
                                    bias, over=over)
 
 
+#: Programs whose compiled form is capacity-shaped and therefore goes
+#: cold at every ladder crossing. DeviceCorpus._logged records each
+#: (program, arg shapes, statics) combination actually dispatched, and
+#: warm_growth_programs re-lowers the set at the NEXT capacity so the
+#: crossing's compile storm happens at warmup time, shape-only.
+_WARMABLE = {
+    "search": _fused_search,
+    "search_hostbias": _fused_search_hostbias,
+    "search_quant": _fused_search_quant,
+    "search_quant_hostbias": _fused_search_quant_hostbias,
+    "search_quant_exact": _fused_search_quant_exact,
+    "search_quant_exact_hostbias": _fused_search_quant_exact_hostbias,
+    "scatter_update": _scatter_update,
+    "scatter_update_masks": _scatter_update_masks,
+    "scatter_quant_rows": _scatter_quant_rows,
+}
+
+
 class Interner:
     """string <-> int32 code, append-only."""
 
@@ -331,6 +349,11 @@ class DeviceCorpus:
         self._generation = 0               # bumps when a row is reassigned
         self._full_resync = True
         self._grow_pad = 0                 # rows to pad ON DEVICE at sync
+        #: (name, arg-shape spec, statics) -> cap at record time; the
+        #: replay set for pre-compiling the next ladder step's programs
+        self._dispatch_log: Dict[tuple, int] = {}
+        self._warm_pending = False         # one background warm at a time
+        self._last_warm_key = None         # (target cap, log size) memo
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._dev_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._quant_mu = np.zeros(dim, np.float32)   # int8 centering shift
@@ -382,7 +405,9 @@ class DeviceCorpus:
         divisible by n_dev breaks the even NamedSharding."""
         return 8
 
-    def _grow(self, need: int) -> None:
+    def _next_cap(self, need: int) -> int:
+        """The capacity-ladder step that covers `need` rows: doubling
+        up to GENTLE_GROWTH_ROWS, then 1.25x aligned steps."""
         align = max(8, self._row_alignment())
         new_cap = max(MIN_CAP, self._cap)
         while new_cap < need:
@@ -391,6 +416,10 @@ class DeviceCorpus:
                     // align * align
             else:
                 new_cap *= 2
+        return new_cap
+
+    def _grow(self, need: int) -> None:
+        new_cap = self._next_cap(need)
         if new_cap == self._cap:
             return
         pad = new_cap - self._cap
@@ -423,6 +452,103 @@ class DeviceCorpus:
             return self._emb_fits()           # at the NEW self._cap
         # quant-only residency: the int8 shadow alone must still fit
         return self._cap * self.dim <= self._hbm_budget
+
+    def _logged(self, name: str, *args, **statics):
+        """Dispatch a capacity-shaped jitted program, recording its
+        (arg shapes, statics) so warm_growth_programs can re-lower the
+        same program at the next ladder capacity. Recording costs one
+        small tuple build per dispatch; the dict is bounded by the
+        distinct program set XLA already caches."""
+        spec = tuple((tuple(a.shape), a.dtype) for a in args)
+        key = (name, spec, tuple(sorted(statics.items())))
+        if key not in self._dispatch_log:
+            self._dispatch_log[key] = self._cap
+            # a program family just went live (first dispatch of this
+            # combo — e.g. the quant path enabling at QUANT_MIN_CAP):
+            # get its next-cap twin compiled off the serving path.
+            # Repeat warms of already-compiled shapes are ~1 ms (jit
+            # cache hits), so over-triggering costs nothing.
+            self._warm_next_step_async()
+        return _WARMABLE[name](*args, **statics)
+
+    def warm_growth_programs(self) -> bool:
+        """AOT-compile the NEXT capacity-ladder step's device programs
+        — the growth pads AND every capacity-shaped program observed so
+        far (search paths, scatter buckets), re-lowered at the next cap
+        from ShapeDtypeStructs: no HBM allocated, results land in the
+        jit dispatch cache. A ladder crossing otherwise invalidates
+        every shape-specialized program at once and the compile storm
+        lands mid-serving (~20-40 s PER program through a tunneled
+        device, head-of-line-blocking the shared transport; measured as
+        an 80 s p99 in the 1M mixed-workload bench). Compiles run
+        OUTSIDE the corpus lock. Returns False when growth would take
+        the full-resync path (sharded/IVF layouts, non-resident
+        corpus)."""
+        with self._lock:
+            if not self._can_grow_on_device():
+                return False
+            cap = self._cap
+            new_cap = self._next_cap(cap + 1)
+            pad = new_cap - cap
+            warm_key = (new_cap, len(self._dispatch_log))
+            if warm_key == self._last_warm_key:
+                return True               # this target is already warm
+            self._last_warm_key = warm_key
+            emb, live, kc, ac = self._dev
+            sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            pads = []
+            if emb is not None:
+                pads.append((_pad_device,
+                             (sds(emb), sds(live), sds(kc), sds(ac))))
+            else:
+                pads.append((_pad_masks, (sds(live), sds(kc), sds(ac))))
+            if self._dev_q is not None:
+                pads.append((_pad_quant, (sds(self._dev_q[0]),
+                                          sds(self._dev_q[1]))))
+            replay = list(self._dispatch_log.items())
+        for fn, args in pads:
+            fn.lower(*args, pad=pad).compile()
+        seen = set()
+        for (name, spec, statics), rec_cap in replay:
+            if rec_cap == new_cap:
+                continue                   # already compiled at target
+            shapes = tuple(tuple(new_cap if d == rec_cap else d
+                                 for d in shape) for shape, _ in spec)
+            if (name, shapes, statics) in seen:
+                continue   # an older-cap entry mapping to the same target
+            seen.add((name, shapes, statics))
+            args = [jax.ShapeDtypeStruct(shape, dtype)
+                    for shape, (_, dtype) in zip(shapes, spec)]
+            try:
+                _WARMABLE[name].lower(*args, **dict(statics)).compile()
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("growth warm failed for %s", name,
+                          exc_info=True)
+        return True
+
+    def _warm_next_step_async(self) -> None:
+        """After a growth lands, pre-compile the FOLLOWING step's
+        programs off the serving path so the system stays one ladder
+        step ahead (boot warmup covers the first step)."""
+        if self._warm_pending:
+            return
+        self._warm_pending = True
+
+        def run():
+            try:
+                while True:
+                    before = len(self._dispatch_log)
+                    self.warm_growth_programs()
+                    if len(self._dispatch_log) == before:
+                        break    # log stable: every combo has its twin
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("background growth warm failed",
+                          exc_info=True)
+            finally:
+                self._warm_pending = False
+
+        threading.Thread(target=run, daemon=True,
+                         name="cortex-growth-warm").start()
 
     def upsert(self, node_id: str, vector: np.ndarray, kind: str,
                agent: str) -> None:
@@ -571,7 +697,8 @@ class DeviceCorpus:
             q, rinv, _ = quantize_rows_centered(
                 self._emb_h[rows], self._quant_mu)
             i8, ri = self._dev_q
-            self._dev_q = _scatter_quant_rows(
+            self._dev_q = self._logged(
+                "scatter_quant_rows",
                 i8, ri, jnp.asarray(rows), jnp.asarray(q),
                 jnp.asarray(rinv))
 
@@ -609,6 +736,10 @@ class DeviceCorpus:
                 self._upload_full(quant)
                 self._full_resync = False
                 self._dirty.clear()
+                # a full upload lands shape-fresh programs too (boot
+                # residency, quant-enable flip): warm the next ladder
+                # step off the serving path
+                self._warm_next_step_async()
                 return
             if self._grow_pad:
                 # capacity-ladder growth: pad the RESIDENT arrays in
@@ -625,6 +756,9 @@ class DeviceCorpus:
                 if quant and self._dev_q is not None:
                     self._dev_q = _pad_quant(*self._dev_q, pad=pad)
                 self._grow_pad = 0
+                # stay one ladder step ahead: pre-compile the NEXT
+                # step's programs off the serving path
+                self._warm_next_step_async()
             if not self._dirty:
                 return
             if len(self._dirty) > max(4096, self._cap // 8):
@@ -632,14 +766,16 @@ class DeviceCorpus:
             else:
                 rows = _bucket_rows(np.fromiter(self._dirty, np.int32))
                 if self._dev[0] is not None:
-                    self._dev = _scatter_update(
+                    self._dev = self._logged(
+                        "scatter_update",
                         *self._dev, jnp.asarray(rows),
                         jnp.asarray(self._emb_for_device(rows)),
                         jnp.asarray(self._live_h[rows]),
                         jnp.asarray(self._kind_h[rows]),
                         jnp.asarray(self._agent_h[rows]))
                 else:
-                    self._dev = (None, *_scatter_update_masks(
+                    self._dev = (None, *self._logged(
+                        "scatter_update_masks",
                         *self._dev[1:], jnp.asarray(rows),
                         jnp.asarray(self._live_h[rows]),
                         jnp.asarray(self._kind_h[rows]),
@@ -779,21 +915,25 @@ class DeviceCorpus:
                 # below remains for bf16 and quant-only residency,
                 # where no exact device copy exists)
                 if hb is not None:
-                    v, i = _fused_search_quant_exact_hostbias(
+                    v, i = self._logged(
+                        "search_quant_exact_hostbias",
                         dev_q[0], dev_q[1], dev[0],
                         hb, q, k=k_bucket, cand=cand, over=over)
                 else:
-                    v, i = _fused_search_quant_exact(
+                    v, i = self._logged(
+                        "search_quant_exact",
                         dev_q[0], dev_q[1], dev[0],
                         dev[1], dev[2], dev[3],
                         ak, aa, ex, q, k=k_bucket, cand=cand, over=over)
                 return v, i, False
             if hb is not None:
-                v, i = _fused_search_quant_hostbias(
+                v, i = self._logged(
+                    "search_quant_hostbias",
                     dev_q[0], dev_q[1], hb, q,
                     cand=cand, over=over)
             else:
-                v, i = _fused_search_quant(
+                v, i = self._logged(
+                    "search_quant",
                     dev_q[0], dev_q[1], dev[1],
                     dev[2], dev[3], ak, aa, ex, q,
                     cand=cand, over=over)
@@ -803,12 +943,12 @@ class DeviceCorpus:
         else:
             path, over = "xla", 0
         if hb is not None:
-            v, i = _fused_search_hostbias(dev[0], hb, q,
-                                          k=k_bucket, path=path, over=over)
+            v, i = self._logged("search_hostbias", dev[0], hb, q,
+                                k=k_bucket, path=path, over=over)
         else:
-            v, i = _fused_search(dev[0], dev[1], dev[2],
-                                 dev[3], ak, aa, ex, q,
-                                 k=k_bucket, path=path, over=over)
+            v, i = self._logged("search", dev[0], dev[1], dev[2],
+                                dev[3], ak, aa, ex, q,
+                                k=k_bucket, path=path, over=over)
         return v, i, False
 
     #: sentinel: "use the corpus's CURRENT bf16 mu" — callers on the

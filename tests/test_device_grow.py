@@ -126,3 +126,73 @@ class TestSubclassesKeepFullResync:
         idx.insert_batch([f"g{i}" for i in range(4)], nv)
         hits = idx.search_batch(nv[:1], 3)[0]
         assert hits[0][0] == "g0"
+
+
+class TestGrowthWarmup:
+    def test_warm_then_grow(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)          # resident
+        co = idx._corpus
+        assert co.warm_growth_programs() is True
+        # the warmed step then executes correctly
+        nv = np.random.default_rng(8).normal(size=(4, 16)) \
+            .astype(np.float32) + 3.0
+        idx.insert_batch([f"g{i}" for i in range(4)], nv)
+        hits = idx.search_batch(nv[:1], 3)[0]
+        assert hits[0][0] == "g0"
+
+    def test_warm_is_shape_only_noop_on_state(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)
+        co = idx._corpus
+        cap, grow_pad = co._cap, co._grow_pad
+        co.warm_growth_programs()
+        assert (co._cap, co._grow_pad) == (cap, grow_pad)
+
+    def test_warm_declines_for_nonresident_and_subclasses(self):
+        from cortex_tpu.vector.ivf import TpuIvfIndex
+        idx = TpuFlatIndex(16)
+        rng = np.random.default_rng(9)
+        idx.insert_batch(["a"], rng.normal(size=(1, 16)).astype(np.float32))
+        assert idx._corpus.warm_growth_programs() is False  # not resident
+        ivf = TpuIvfIndex(16, nlist=2, nprobe=2)
+        ivf.insert_batch([f"n{i}" for i in range(64)],
+                         rng.normal(size=(64, 16)).astype(np.float32))
+        ivf.search_batch(rng.normal(size=(1, 16)).astype(np.float32), 3)
+        assert ivf._corpus.warm_growth_programs() is False  # IVF layout
+
+
+class TestWarmAhead:
+    def test_warm_covers_the_crossing_search_programs(self):
+        """After warm_growth_programs, the post-growth search at the
+        new capacity must hit the jit dispatch cache — no new compile
+        of the search program on the serving path."""
+        from cortex_tpu.vector import shard as sh
+        idx, vecs = build(MIN_CAP)
+        q = vecs[:1]
+        idx.search_batch(q, 5)                 # resident + logged
+        co = idx._corpus
+        assert co._dispatch_log, "dispatch log must record the search"
+        assert co.warm_growth_programs() is True
+        fn = sh._WARMABLE["search"]
+        before = fn._cache_size()
+        nv = np.random.default_rng(10).normal(size=(8, 16)) \
+            .astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(8)], nv)  # crosses cap
+        idx.search_batch(q, 5)                 # same combo at new cap
+        assert fn._cache_size() == before, \
+            "post-growth search compiled a program the warm missed"
+
+    def test_replay_dedups_stale_cap_entries(self):
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)
+        co = idx._corpus
+        # grow twice so the log holds entries at two old capacities
+        rng = np.random.default_rng(11)
+        for step in range(2):
+            nv = rng.normal(size=(co._cap, 16)).astype(np.float32)
+            idx.insert_batch([f"s{step}-{i}" for i in range(len(nv))], nv)
+            idx.search_batch(vecs[:1], 5)
+        caps = set(co._dispatch_log.values())
+        assert len(caps) >= 2
+        assert co.warm_growth_programs() is True  # replays without error

@@ -28,8 +28,11 @@ from __future__ import annotations
 
 import functools
 import logging
+import atexit
 import os
 import threading
+import time
+import weakref
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -38,11 +41,18 @@ import numpy as np
 
 from ..errors import IndexError_
 from ..native import rerank_topk_native
+from ..utils import tracing
 from ..ops.similarity import (NEG_INF, cosine_topk_approx,
                               cosine_topk_quant, cosine_topk_quant_exact,
                               cosine_topk_xla, quantize_rows_centered)
 
 MIN_CAP = 1024
+#: Largest dirty-row scatter issued as one dispatch; bigger sets chunk.
+#: Bounds the scatter program family to log2(MAX_SCATTER_ROWS) buckets
+#: so capacity warm-ahead can pre-compile every one (an unseen bucket
+#: compiles mid-serving under the corpus lock — measured as a ~29 s
+#: outage at 1M rows through a tunneled device).
+MAX_SCATTER_ROWS = 32768
 # Watchdog for device result fetches: through a network-tunneled TPU a
 # cold-compile fetch can (rarely) lose its response and block forever
 # (observed: array._value wedged with an idle process; the identical
@@ -283,6 +293,31 @@ def _fused_search_quant_exact_hostbias(emb_i8, rinv, emb_f32, bias, q,
                                    bias, over=over)
 
 
+#: Set at interpreter exit: background warm threads (daemon) must stop
+#: issuing compiles once teardown starts — a compile RPC in flight
+#: while the runtime unloads can abort the process from C++
+#: ("FATAL: exception not rethrown").
+_SHUTDOWN = threading.Event()
+_WARM_THREADS: "weakref.WeakSet[threading.Thread]" = weakref.WeakSet()
+
+
+def _drain_warm_threads() -> None:
+    """atexit: stop background warms and wait out any compile already
+    in flight — a compile RPC running while the runtime unloads can
+    abort the process from C++ ("FATAL: exception not rethrown")."""
+    _SHUTDOWN.set()
+    for t in list(_WARM_THREADS):
+        t.join(timeout=120.0)
+
+
+atexit.register(_drain_warm_threads)
+
+
+class _WarmAborted(BaseException):
+    """Raised inside a background warm when interpreter shutdown
+    begins; unwinds the warm loop without issuing further compiles."""
+
+
 #: Programs whose compiled form is capacity-shaped and therefore goes
 #: cold at every ladder crossing. DeviceCorpus._logged records each
 #: (program, arg shapes, statics) combination actually dispatched, and
@@ -463,15 +498,23 @@ class DeviceCorpus:
         key = (name, spec, tuple(sorted(statics.items())))
         if key not in self._dispatch_log:
             self._dispatch_log[key] = self._cap
-            # a program family just went live (first dispatch of this
-            # combo — e.g. the quant path enabling at QUANT_MIN_CAP):
-            # get its next-cap twin compiled off the serving path.
-            # Repeat warms of already-compiled shapes are ~1 ms (jit
-            # cache hits), so over-triggering costs nothing.
-            self._warm_next_step_async()
+            # A SEARCH program family just went live (first dispatch
+            # at a new capacity, or the quant path enabling at
+            # QUANT_MIN_CAP): schedule its next-cap twin. DELAYED and
+            # PACED — an immediate burst right after a crossing was
+            # measured as a 29 s serving outage at 1M (every compile
+            # RPC head-of-line-blocks serving through a tunneled
+            # device), while the next crossing needs occupancy to
+            # double, so a short quiet-period delay always wins the
+            # race at production scale. Scatter keys don't trigger:
+            # bulk-load phases cross many ladder steps with no serving
+            # traffic, and warm compiles were measured to slow the 1M
+            # index seed 229 s -> 569 s when they fired from writes.
+            if name.startswith("search"):
+                self._warm_next_step_async()
         return _WARMABLE[name](*args, **statics)
 
-    def warm_growth_programs(self) -> bool:
+    def warm_growth_programs(self, *, pace_s: float = 0.0) -> bool:
         """AOT-compile the NEXT capacity-ladder step's device programs
         — the growth pads AND every capacity-shaped program observed so
         far (search paths, scatter buckets), re-lowered at the next cap
@@ -505,9 +548,27 @@ class DeviceCorpus:
             if self._dev_q is not None:
                 pads.append((_pad_quant, (sds(self._dev_q[0]),
                                           sds(self._dev_q[1]))))
+            has_quant = self._dev_q is not None
             replay = list(self._dispatch_log.items())
+
+        def paced():
+            """Gap between compiles: through a tunneled device every
+            compile RPC head-of-line-blocks serving dispatches, so the
+            background warm spreads them out instead of bursting
+            (a burst was measured as a 29 s serving outage at 1M).
+            Raises at interpreter shutdown so no further compile is
+            issued while the runtime tears down."""
+            if _SHUTDOWN.is_set():
+                raise _WarmAborted
+            if pace_s > 0:
+                _SHUTDOWN.wait(pace_s)
+
         for fn, args in pads:
-            fn.lower(*args, pad=pad).compile()
+            try:
+                fn.lower(*args, pad=pad).compile()
+                paced()
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("pad warm failed", exc_info=True)
         seen = set()
         for (name, spec, statics), rec_cap in replay:
             if rec_cap == new_cap:
@@ -521,9 +582,45 @@ class DeviceCorpus:
                     for shape, (_, dtype) in zip(shapes, spec)]
             try:
                 _WARMABLE[name].lower(*args, **dict(statics)).compile()
+                paced()
             except Exception:   # noqa: BLE001 — warm is best-effort
                 log.debug("growth warm failed for %s", name,
                           exc_info=True)
+        # synthesize the scatter buckets the boot warmup doesn't
+        # execute (2048..MAX_SCATTER_ROWS) at both capacities: a write
+        # backlog can land any bucket up to the bound, and a cold one
+        # compiles under the corpus lock on the serving path
+        S = jax.ShapeDtypeStruct
+        d = self.dim
+        for cap_t in (cap, new_cap):
+            b = 2048
+            limit = min(MAX_SCATTER_ROWS, max(4096, cap_t // 8))
+            while b <= limit:
+                rows = S((b,), jnp.int32)
+                lv, kc_r, ac_r = (S((b,), jnp.bool_),
+                                  S((b,), jnp.int32), S((b,), jnp.int32))
+                masks = (S((cap_t,), jnp.bool_), S((cap_t,), jnp.int32),
+                         S((cap_t,), jnp.int32))
+                try:
+                    if emb is not None:
+                        _scatter_update.lower(
+                            S((cap_t, d), emb.dtype), *masks, rows,
+                            S((b, d), emb.dtype), lv, kc_r,
+                            ac_r).compile()
+                    else:
+                        _scatter_update_masks.lower(
+                            *masks, rows, lv, kc_r, ac_r).compile()
+                    if has_quant:
+                        _scatter_quant_rows.lower(
+                            S((cap_t, d), jnp.int8), S((cap_t,),
+                                                       jnp.float32),
+                            rows, S((b, d), jnp.int8),
+                            S((b,), jnp.float32)).compile()
+                    paced()
+                except Exception:   # noqa: BLE001 — best-effort
+                    log.debug("scatter-bucket warm failed at %d/%d",
+                              b, cap_t, exc_info=True)
+                b *= 2
         return True
 
     def _warm_next_step_async(self) -> None:
@@ -534,21 +631,33 @@ class DeviceCorpus:
             return
         self._warm_pending = True
 
+        pace = float(os.environ.get("CORTEX_GROWTH_WARM_PACE_S", "0.75"))
+        delay = float(os.environ.get("CORTEX_GROWTH_WARM_DELAY_S", "45"))
+
         def run():
             try:
-                while True:
+                # quiet-period delay: let the crossing's own traffic
+                # burst settle before spending the device link on
+                # compiles (interruptible at shutdown)
+                if _SHUTDOWN.wait(delay):
+                    return
+                while not _SHUTDOWN.is_set():
                     before = len(self._dispatch_log)
-                    self.warm_growth_programs()
+                    self.warm_growth_programs(pace_s=pace)
                     if len(self._dispatch_log) == before:
                         break    # log stable: every combo has its twin
+            except _WarmAborted:
+                pass             # interpreter shutdown mid-warm
             except Exception:   # noqa: BLE001 — warm is best-effort
                 log.debug("background growth warm failed",
                           exc_info=True)
             finally:
                 self._warm_pending = False
 
-        threading.Thread(target=run, daemon=True,
-                         name="cortex-growth-warm").start()
+        t = threading.Thread(target=run, daemon=True,
+                             name="cortex-growth-warm")
+        _WARM_THREADS.add(t)
+        t.start()
 
     def upsert(self, node_id: str, vector: np.ndarray, kind: str,
                agent: str) -> None:
@@ -733,13 +842,10 @@ class DeviceCorpus:
             quant = self._quant_enabled()
             if (self._dev is None or self._full_resync
                     or (quant and self._dev_q is None)):
-                self._upload_full(quant)
+                with tracing.span("shard.upload_full"):
+                    self._upload_full(quant)
                 self._full_resync = False
                 self._dirty.clear()
-                # a full upload lands shape-fresh programs too (boot
-                # residency, quant-enable flip): warm the next ladder
-                # step off the serving path
-                self._warm_next_step_async()
                 return
             if self._grow_pad:
                 # capacity-ladder growth: pad the RESIDENT arrays in
@@ -748,40 +854,54 @@ class DeviceCorpus:
                 # for the scatter below
                 pad = self._grow_pad
                 emb, live, kc, ac = self._dev
-                if emb is not None:
-                    self._dev = _pad_device(emb, live, kc, ac, pad=pad)
-                else:
-                    self._dev = (None, *_pad_masks(live, kc, ac,
-                                                   pad=pad))
-                if quant and self._dev_q is not None:
-                    self._dev_q = _pad_quant(*self._dev_q, pad=pad)
+                with tracing.span("shard.grow_pad"):
+                    if emb is not None:
+                        self._dev = _pad_device(emb, live, kc, ac,
+                                                pad=pad)
+                    else:
+                        self._dev = (None, *_pad_masks(live, kc, ac,
+                                                       pad=pad))
+                    if quant and self._dev_q is not None:
+                        self._dev_q = _pad_quant(*self._dev_q, pad=pad)
                 self._grow_pad = 0
-                # stay one ladder step ahead: pre-compile the NEXT
-                # step's programs off the serving path
-                self._warm_next_step_async()
+                # the next step's pre-compile fires from the first
+                # post-growth SEARCH (_logged), not here: growth during
+                # a bulk write phase must not spend the link on warms
             if not self._dirty:
                 return
             if len(self._dirty) > max(4096, self._cap // 8):
-                self._upload_full(quant)
+                with tracing.span("shard.upload_full"):
+                    self._upload_full(quant)
             else:
-                rows = _bucket_rows(np.fromiter(self._dirty, np.int32))
-                if self._dev[0] is not None:
-                    self._dev = self._logged(
-                        "scatter_update",
-                        *self._dev, jnp.asarray(rows),
-                        jnp.asarray(self._emb_for_device(rows)),
-                        jnp.asarray(self._live_h[rows]),
-                        jnp.asarray(self._kind_h[rows]),
-                        jnp.asarray(self._agent_h[rows]))
-                else:
-                    self._dev = (None, *self._logged(
-                        "scatter_update_masks",
-                        *self._dev[1:], jnp.asarray(rows),
-                        jnp.asarray(self._live_h[rows]),
-                        jnp.asarray(self._kind_h[rows]),
-                        jnp.asarray(self._agent_h[rows])))
-                if quant:
-                    self._sync_quant(rows)
+                all_rows = np.fromiter(self._dirty, np.int32)
+                # bound the scatter bucket at MAX_SCATTER_ROWS: the
+                # program set stays finite (log2 buckets up to the
+                # bound) so warm_growth_programs can pre-compile EVERY
+                # scatter program at the next capacity — an unseen
+                # larger bucket would compile mid-serving under the
+                # corpus lock (a measured ~29 s serving outage at 1M
+                # when a 32k-row backlog scattered through a cold
+                # program on a tunneled device)
+                for s in range(0, len(all_rows), MAX_SCATTER_ROWS):
+                    rows = _bucket_rows(all_rows[s:s + MAX_SCATTER_ROWS])
+                    with tracing.span(f"shard.scatter[{len(rows)}]"):
+                        if self._dev[0] is not None:
+                            self._dev = self._logged(
+                                "scatter_update",
+                                *self._dev, jnp.asarray(rows),
+                                jnp.asarray(self._emb_for_device(rows)),
+                                jnp.asarray(self._live_h[rows]),
+                                jnp.asarray(self._kind_h[rows]),
+                                jnp.asarray(self._agent_h[rows]))
+                        else:
+                            self._dev = (None, *self._logged(
+                                "scatter_update_masks",
+                                *self._dev[1:], jnp.asarray(rows),
+                                jnp.asarray(self._live_h[rows]),
+                                jnp.asarray(self._kind_h[rows]),
+                                jnp.asarray(self._agent_h[rows])))
+                        if quant:
+                            self._sync_quant(rows)
             self._dirty.clear()
 
     def _host_bias(self, kinds, agent, exclude_ids) -> np.ndarray:

@@ -196,3 +196,25 @@ class TestWarmAhead:
         caps = set(co._dispatch_log.values())
         assert len(caps) >= 2
         assert co.warm_growth_programs() is True  # replays without error
+
+
+class TestScatterChunking:
+    def test_large_dirty_sets_scatter_in_chunks(self, monkeypatch):
+        from cortex_tpu.vector import shard as sh
+        idx, vecs = build(MIN_CAP)
+        idx.search_batch(vecs[:1], 5)          # resident
+        monkeypatch.setattr(sh, "MAX_SCATTER_ROWS", 64)
+        co = idx._corpus
+        rng = np.random.default_rng(12)
+        # re-write 300 existing rows (> 4 chunks of 64) in one wave
+        ids = [f"n{i}" for i in range(300)]
+        nv = rng.normal(size=(300, 16)).astype(np.float32)
+        idx.insert_batch(ids, nv)
+        # every rewritten row must serve its NEW vector exactly
+        hits = idx.search_batch(nv[7:8], 1)[0]
+        assert hits[0][0] == "n7"
+        q = nv[7] / np.linalg.norm(nv[7])
+        assert abs(hits[0][1] - 1.0) < 1e-5
+        # untouched rows unchanged
+        hits = idx.search_batch(vecs[500:501], 1)[0]
+        assert hits[0][0] == "n500"

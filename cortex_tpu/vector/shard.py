@@ -389,6 +389,12 @@ class DeviceCorpus:
         self._dispatch_log: Dict[tuple, int] = {}
         self._warm_pending = False         # one background warm at a time
         self._last_warm_key = None         # (target cap, log size) memo
+        #: host-mirror pre-growth: (base_cap, new_cap, emb, live, kind,
+        #: agent) built in the background so _grow swaps instead of
+        #: copying gigabytes under the corpus lock
+        self._pregrown: Optional[tuple] = None
+        self._pregrow_touched: Optional[set] = None  # rows mutated mid-build
+        self._pregrow_pending = False
         self._dev: Optional[Tuple[jnp.ndarray, ...]] = None
         self._dev_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._quant_mu = np.zeros(dim, np.float32)   # int8 centering shift
@@ -458,13 +464,34 @@ class DeviceCorpus:
         if new_cap == self._cap:
             return
         pad = new_cap - self._cap
-        self._emb_h = np.vstack([self._emb_h,
-                                 np.zeros((pad, self.dim), np.float32)])
-        self._live_h = np.concatenate([self._live_h, np.zeros(pad, bool)])
-        self._kind_h = np.concatenate(
-            [self._kind_h, np.full(pad, PAD_CODE, np.int32)])
-        self._agent_h = np.concatenate(
-            [self._agent_h, np.full(pad, PAD_CODE, np.int32)])
+        pg, touched = self._pregrown, self._pregrow_touched
+        self._pregrown = self._pregrow_touched = None
+        if pg is not None and pg[0] == self._cap and pg[1] == new_cap:
+            # background-built mirrors: swap + catch-up copy of rows
+            # mutated during the build, instead of copying the whole
+            # multi-GB mirror here under the corpus lock (measured
+            # 24-37 s at 1M x 384 on this contended 1-vCPU host — a
+            # total serving outage; the catch-up is a few thousand
+            # rows)
+            _, _, emb2, live2, kind2, agent2 = pg
+            rows = np.fromiter(touched or (), np.int32)
+            if len(rows):
+                emb2[rows] = self._emb_h[rows]
+                live2[rows] = self._live_h[rows]
+                kind2[rows] = self._kind_h[rows]
+                agent2[rows] = self._agent_h[rows]
+            self._emb_h, self._live_h = emb2, live2
+            self._kind_h, self._agent_h = kind2, agent2
+        else:
+            with tracing.span("shard.grow_host_copy"):
+                self._emb_h = np.vstack(
+                    [self._emb_h, np.zeros((pad, self.dim), np.float32)])
+                self._live_h = np.concatenate(
+                    [self._live_h, np.zeros(pad, bool)])
+                self._kind_h = np.concatenate(
+                    [self._kind_h, np.full(pad, PAD_CODE, np.int32)])
+                self._agent_h = np.concatenate(
+                    [self._agent_h, np.full(pad, PAD_CODE, np.int32)])
         self._free.extend(range(self._cap, new_cap))
         self._id_of.extend([None] * pad)
         self._cap = new_cap
@@ -512,6 +539,10 @@ class DeviceCorpus:
             # index seed 229 s -> 569 s when they fired from writes.
             if name.startswith("search"):
                 self._warm_next_step_async()
+        if name.startswith("search"):
+            # host-mirror pre-growth has its own occupancy gate and
+            # must fire even when no new program appears
+            self._maybe_pregrow_host()
         return _WARMABLE[name](*args, **statics)
 
     def warm_growth_programs(self, *, pace_s: float = 0.0) -> bool:
@@ -623,6 +654,73 @@ class DeviceCorpus:
                 b *= 2
         return True
 
+    def _maybe_pregrow_host(self) -> None:
+        """Kick the background host-mirror pre-growth when occupancy
+        reaches 85 % of capacity. Triggered from search dispatches
+        (serving phases); bulk loads take the synchronous copy in
+        _grow, where nothing serves concurrently."""
+        if self._pregrow_pending or _SHUTDOWN.is_set():
+            return
+        cap = self._cap
+        if cap == 0 or (cap - len(self._free)) < (cap * 85) // 100:
+            return
+        pg = self._pregrown
+        if pg is not None and pg[0] == cap:
+            return                        # already built for this cap
+        self._pregrow_pending = True
+        t = threading.Thread(target=self._pregrow_host, daemon=True,
+                             name="cortex-host-pregrow")
+        _WARM_THREADS.add(t)
+        t.start()
+
+    def _pregrow_host(self) -> None:
+        """Build the next capacity's host mirrors in the background:
+        allocate at the next ladder cap and copy the current mirrors
+        across in small chunks, holding the corpus lock only per chunk
+        (~12 MB) so searches and writers interleave. Rows mutated
+        during the build are tracked (_pregrow_touched) and re-copied
+        by _grow at swap time. Memory-bandwidth cost is the same as
+        the synchronous copy; the point is WHERE it's paid — off the
+        serving path, before the crossing."""
+        try:
+            with self._lock:
+                cap = self._cap
+                new_cap = self._next_cap(cap + 1)
+                if new_cap == cap:
+                    return
+                self._pregrow_touched = set()
+            emb2 = np.zeros((new_cap, self.dim), np.float32)
+            live2 = np.zeros(new_cap, bool)
+            kind2 = np.full(new_cap, PAD_CODE, np.int32)
+            agent2 = np.full(new_cap, PAD_CODE, np.int32)
+            chunk = 8192
+            for s in range(0, cap, chunk):
+                if _SHUTDOWN.is_set():
+                    return
+                with self._lock:
+                    if self._cap != cap:
+                        return            # grew mid-build; abandon
+                    e = min(s + chunk, cap)
+                    emb2[s:e] = self._emb_h[s:e]
+                    live2[s:e] = self._live_h[s:e]
+                    kind2[s:e] = self._kind_h[s:e]
+                    agent2[s:e] = self._agent_h[s:e]
+            with self._lock:
+                if self._cap != cap:
+                    return
+                self._pregrown = (cap, new_cap, emb2, live2, kind2,
+                                  agent2)
+                log.info("host mirrors pre-grown %d -> %d rows "
+                         "(background)", cap, new_cap)
+        except Exception:   # noqa: BLE001 — best-effort
+            log.debug("host pre-grow failed", exc_info=True)
+        finally:
+            self._pregrow_pending = False
+            with self._lock:
+                pg = self._pregrown
+                if pg is None or pg[0] != self._cap:
+                    self._pregrow_touched = None   # nothing to catch up
+
     def _warm_next_step_async(self) -> None:
         """After a growth lands, pre-compile the FOLLOWING step's
         programs off the serving path so the system stays one ladder
@@ -693,6 +791,8 @@ class DeviceCorpus:
                 self._kind_h[row] = self.kinds.code(kinds[j])
                 self._agent_h[row] = self.agents.code(agents[j])
                 self._dirty.add(row)
+                if self._pregrow_touched is not None:
+                    self._pregrow_touched.add(row)
 
     def remove(self, node_id: str) -> bool:
         with self._lock:
@@ -707,6 +807,8 @@ class DeviceCorpus:
             self._free.append(row)
             self._recycled.add(row)   # reassignment invalidates in-flight maps
             self._dirty.add(row)
+            if self._pregrow_touched is not None:
+                self._pregrow_touched.add(row)
             return True
 
     def compact(self) -> None:
@@ -714,6 +816,7 @@ class DeviceCorpus:
         with self._lock:
             self._generation += 1      # every row may move
             self._recycled.clear()
+            self._pregrown = self._pregrow_touched = None  # stale layout
             ids = [i for i in self._id_of if i is not None]
             rows = [self._row_of[i] for i in ids]
             emb = self._emb_h[rows].copy()

@@ -218,3 +218,71 @@ class TestScatterChunking:
         # untouched rows unchanged
         hits = idx.search_batch(vecs[500:501], 1)[0]
         assert hits[0][0] == "n500"
+
+
+class TestHostPregrow:
+    def test_pregrow_swap_with_catchup(self):
+        """_grow must consume the background-built mirrors and re-copy
+        rows mutated during the build."""
+        idx, vecs = build(MIN_CAP - 8)     # leave free rows
+        co = idx._corpus
+        co._pregrow_host()                 # build synchronously
+        assert co._pregrown is not None
+        assert co._pregrown[0] == MIN_CAP and co._pregrown[1] == 2 * MIN_CAP
+        # mutate AFTER the build: must be caught up at swap
+        rng = np.random.default_rng(13)
+        nv = rng.normal(size=(1, 16)).astype(np.float32) + 5.0
+        idx.insert_batch(["late"], nv)     # overwrites... no: new row
+        late_row = co._row_of["late"]
+        assert late_row in co._pregrow_touched
+        old_emb = co._emb_h
+
+        def boom(*a, **k):
+            raise AssertionError("synchronous grow copy must not run")
+
+        import numpy as _np
+        orig = _np.vstack
+        _np.vstack = boom
+        try:
+            nv2 = rng.normal(size=(40, 16)).astype(np.float32)
+            idx.insert_batch([f"g{i}" for i in range(40)], nv2)  # crosses
+        finally:
+            _np.vstack = orig
+        assert co._cap == 2 * MIN_CAP
+        assert co._emb_h is not old_emb
+        assert co._pregrown is None and co._pregrow_touched is None
+        # catch-up row correct
+        hits = idx.search_batch(nv, 1)[0]
+        assert hits[0][0] == "late"
+        # and the crossing rows searchable
+        hits = idx.search_batch(nv2[:1], 1)[0]
+        assert hits[0][0] == "g0"
+
+    def test_pregrow_removed_row_stays_dead_after_swap(self):
+        idx, vecs = build(MIN_CAP)
+        co = idx._corpus
+        co._pregrow_host()
+        idx.remove("n3")                   # mutation mid-tracking
+        rng = np.random.default_rng(14)
+        nv = rng.normal(size=(40, 16)).astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(40)], nv)  # crosses
+        hits = idx.search_batch(vecs[3:4], co._cap)[0]
+        assert "n3" not in {h for h, _ in hits}
+
+    def test_pregrow_abandoned_when_capacity_changes_mid_build(self):
+        idx, vecs = build(MIN_CAP)
+        co = idx._corpus
+        with co._lock:
+            cap = co._cap
+            co._pregrow_touched = set()
+        # simulate: capacity changed under the builder's feet
+        rng = np.random.default_rng(15)
+        nv = rng.normal(size=(40, 16)).astype(np.float32)
+        idx.insert_batch([f"g{i}" for i in range(40)], nv)  # grows now
+        assert co._cap > cap
+        co._pregrow_pending = True
+        co._pregrow_pending = False
+        # a build started at the OLD cap must not publish
+        co._pregrown = None
+        co._pregrow_host()                 # builds at the NEW cap fine
+        assert co._pregrown is None or co._pregrown[0] == co._cap

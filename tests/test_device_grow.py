@@ -286,3 +286,93 @@ class TestHostPregrow:
         co._pregrown = None
         co._pregrow_host()                 # builds at the NEW cap fine
         assert co._pregrown is None or co._pregrown[0] == co._cap
+
+
+class TestServerGrowthSoak:
+    """Server-level: concurrent HTTP writes push the index across TWO
+    capacity-ladder boundaries while searches run — the crossing must
+    neither error, nor drop writes, nor fall back to a full device
+    re-upload (the r3 mixed-workload finding)."""
+
+    def test_http_load_across_ladder_crossings(self, monkeypatch):
+        import asyncio
+        from aiohttp.test_utils import TestClient, TestServer
+        from cortex_tpu.api import Cortex
+        from cortex_tpu.server.http import create_app
+        from cortex_tpu.server.state import ServerState
+
+        async def scenario():
+            cx = Cortex.in_memory()
+            state = ServerState(cortex=cx)
+            state.enable_batched_admission(max_batch=8, max_wait_ms=2)
+            state.enable_batched_search(max_batch=8, max_wait_ms=2)
+            client = TestClient(TestServer(create_app(state)))
+            await client.start_server()
+            errors: list = []
+            created: list = []
+
+            # seed to just under capacity, then make the corpus
+            # resident so the crossing exercises the device-pad path
+            r = np.random.default_rng(0)
+            ids = [f"seed{i}" for i in range(MIN_CAP - 16)]
+            cx.index.insert_batch(
+                ids, r.normal(size=(len(ids),
+                                    cx.embedder.dimension)).astype(
+                                        np.float32))
+            cx.index.search_batch(
+                r.normal(size=(1, cx.embedder.dimension)).astype(
+                    np.float32), 5)
+            co = cx.index._corpus
+            uploads = []
+            orig = DeviceCorpus._upload_full
+
+            def spy(self, quant):
+                uploads.append(True)
+                return orig(self, quant)
+
+            monkeypatch.setattr(DeviceCorpus, "_upload_full", spy)
+
+            async def writer(wid):
+                for i in range(MIN_CAP // 2):  # 2 writers -> +1024 rows
+                    resp = await client.post(
+                        "/nodes?gate=skip",
+                        headers={"x-gate-override": "true"},
+                        json={"kind": "fact",
+                              "title": f"Grow soak w{wid} row {i} "
+                                       f"topic {i % 7}",
+                              "body": "A sufficiently long body for "
+                                      f"writer {wid} entry {i}."})
+                    if resp.status == 201:
+                        created.append((await resp.json())["data"]["id"])
+                    else:
+                        errors.append(("write", resp.status))
+                    if i % 64 == 0:
+                        await asyncio.sleep(0)
+
+            async def searcher():
+                for i in range(60):
+                    resp = await client.get(
+                        "/search", params={"q": f"grow soak topic {i % 7}",
+                                           "limit": 5})
+                    if resp.status != 200:
+                        errors.append(("search", resp.status))
+                    else:
+                        await resp.json()
+                    await asyncio.sleep(0)
+
+            await asyncio.gather(writer(0), writer(1),
+                                 searcher(), searcher())
+            assert not errors, errors[:5]
+            assert co._cap >= 2 * MIN_CAP, "must have crossed the ladder"
+            assert not uploads, \
+                "ladder crossings must pad on device, not re-upload"
+            # every accepted write is searchable at its exact title
+            probe = created[-1]
+            node = cx.get_node(probe)
+            hits = await client.get("/search",
+                                    params={"q": node.title, "limit": 3})
+            got = {h["node"]["id"] for h in (await hits.json())["data"]}
+            assert probe in got
+            await client.close()
+
+        asyncio.run(scenario())

@@ -34,14 +34,22 @@ N, D = 1_000_000, 768
 ROUNDS = 30
 
 
+def _drain(out):
+    """Fetch a scalar from the result — behind a remote-dispatch
+    transport (tunneled TPUs) `block_until_ready` is a no-op, so the
+    only real drain is a fetch; device execution is in-order, so
+    fetching the LAST round's result drains the whole pipeline."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[0, ...] if leaf.ndim > 1 else leaf[0])
+
+
 def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(*args)            # compile
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(ROUNDS - 1):
         fn(*args)
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(fn(*args))
     return (time.perf_counter() - t0) / ROUNDS * 1e3
 
 

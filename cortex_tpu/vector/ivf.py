@@ -33,9 +33,12 @@ HBM cost is slack/avg_fill x the flat int8 shadow (padded slots).
 Everything else — id<->row maps, dirty tracking, growth ladder,
 snapshots/deltas, filter encoding, k/batch bucketing, generation
 checks, the dispatch-outside-the-lock protocol — is inherited from
-DeviceCorpus. IVF device arrays are scattered functionally (NO buffer
-donation), so a search that captured the previous tuple can still read
-it; row-reassignment races are caught by the inherited generation
+DeviceCorpus. Incremental slot scatters DONATE the layout planes (a
+functional update would transiently double-buffer ~13 GB at 10Mx768 —
+an OOM at exactly the scale IVF serves); a search that captured the
+previous tuple mid-scatter is rejected loudly by the runtime and
+re-dispatched via the inherited _donated_buffer_race retry protocol,
+and row-reassignment races are caught by the inherited generation
 check.
 """
 
@@ -56,7 +59,7 @@ from ..ops import ivf_gather
 from ..ops.similarity import NEG_INF, quantize_rows_centered
 from .index import TpuFlatIndex
 from .shard import (DeviceCorpus, MAX_EXCLUDE, MAX_FILTER_KINDS,
-                    NO_FILTER, PAD_CODE, _norm_rows)
+                    NO_FILTER, PAD_CODE, _norm_rows, _pad_pow2)
 
 log = logging.getLogger("cortex.ivf")
 
@@ -133,13 +136,23 @@ def _dedup_rows(v, rows):
     mask a node could appear twice in the final top-k. Keep the first
     (highest-int8-score) occurrence, send later ones to NEG_INF.
     O(cand^2) compare — candidate lists are <= ~1k wide, and this fuses
-    into the search dispatch (no extra round trip)."""
+    into the search dispatch (no extra round trip). Runs INSIDE the
+    per-query chunk body so the [qc, cand, cand] compare temps are
+    bounded by the same HBM budget as the gather (_dedup_per_q); it is
+    compiled out entirely (static `dedup` flag) when the layout holds
+    no spill copies."""
     cand = rows.shape[1]
     earlier = jnp.tril(jnp.ones((cand, cand), jnp.bool_), -1)
     dup = jnp.any((rows[:, :, None] == rows[:, None, :])
                   & earlier[None], axis=2)
     v = jnp.where(dup, NEG_INF, v)
     return v, jnp.where(v > -1e29, rows, 0)
+
+
+def _dedup_per_q(cand: int) -> int:
+    """Per-query HBM bytes the dedup compare materializes (the eq/tril
+    predicate planes; bools are byte-wide on TPU)."""
+    return 2 * cand * cand
 
 
 def _ivf_bias(sr2, kc2, ac2, ak, aa, ex):
@@ -205,15 +218,16 @@ def _chunked_topk(body, q, probe, *, cand: int, pl: int,
     return v, jnp.where(v > -1e29, rows, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cand"))
+@functools.partial(jax.jit, static_argnames=("p", "cand", "dedup"))
 def _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
-                ak, aa, ex, q, *, p: int, cand: int
+                ak, aa, ex, q, *, p: int, cand: int, dedup: bool
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused IVF probe + scan + top-cand in ONE dispatch (query-chunked
     internally when the probed-block gather would blow HBM)."""
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)           # [B, p]
     pl = p * emb_i8.shape[1]
+    cc = min(cand, pl)
 
     def body(qq, pr):
         s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, pr, qq)
@@ -221,15 +235,18 @@ def _ivf_search(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
         kc2 = kind_sl[pr].reshape(bb, pl)
         ac2 = agent_sl[pr].reshape(bb, pl)
         s = s + _ivf_bias(sr2, kc2, ac2, ak, aa, ex)
-        v, idx = jax.lax.top_k(s, min(cand, pl))
-        return v, jnp.take_along_axis(sr2, idx, axis=1)
+        v, idx = jax.lax.top_k(s, cc)
+        r = jnp.take_along_axis(sr2, idx, axis=1)
+        return _dedup_rows(v, r) if dedup else (v, r)
 
-    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand, pl=pl))
+    return _chunked_topk(body, q, probe, cand=cand,
+                         pl=pl, per_q=pl * q.shape[1]
+                         + (_dedup_per_q(cc) if dedup else 0))
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cand"))
+@functools.partial(jax.jit, static_argnames=("p", "cand", "dedup"))
 def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
-                         *, p: int, cand: int
+                         *, p: int, cand: int, dedup: bool
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Overflow-filter variant: exact host-computed [cap] bias,
     gathered per candidate slot by global row — never truncates
@@ -237,15 +254,19 @@ def _ivf_search_hostbias(cent, emb_i8, rinv_sl, slot_rows, bias, q,
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)
     pl = p * emb_i8.shape[1]
+    cc = min(cand, pl)
 
     def body(qq, pr):
         s, sr2 = _ivf_candidates(emb_i8, rinv_sl, slot_rows, pr, qq)
         slot_bias = bias[jnp.clip(sr2, 0, bias.shape[0] - 1)]
         s = s + jnp.where(sr2 >= 0, slot_bias, NEG_INF)
-        v, idx = jax.lax.top_k(s, min(cand, pl))
-        return v, jnp.take_along_axis(sr2, idx, axis=1)
+        v, idx = jax.lax.top_k(s, cc)
+        r = jnp.take_along_axis(sr2, idx, axis=1)
+        return _dedup_rows(v, r) if dedup else (v, r)
 
-    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand, pl=pl))
+    return _chunked_topk(body, q, probe, cand=cand,
+                         pl=pl, per_q=pl * q.shape[1]
+                         + (_dedup_per_q(cc) if dedup else 0))
 
 
 def _descale_valid(v, qs):
@@ -266,9 +287,10 @@ def _quantize_queries(qq):
     return qi8, qs
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cand", "filtered"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "cand", "filtered", "dedup"))
 def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
-                       p: int, cand: int, filtered: bool
+                       p: int, cand: int, filtered: bool, dedup: bool
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TPU path: probe selection in XLA, then the Mosaic scalar-prefetch
     gather-score kernel (ops/ivf_gather.py) — XLA's block gather
@@ -279,6 +301,7 @@ def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)
     l = emb_i8.shape[1]
+    cc = min(cand, p * l)
 
     def body(qq, pr):
         qi8, qs = _quantize_queries(qq)
@@ -286,15 +309,17 @@ def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
             emb_i8, meta, pr, qi8, ak, aa, ex, filtered=filtered)
         v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
         r = jnp.take_along_axis(rows, idx, axis=1)
-        return _descale_valid(v, qs), r
+        v = _descale_valid(v, qs)
+        return _dedup_rows(v, r) if dedup else (v, r)
 
-    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand,
-                                      pl=p * l, per_q=_pallas_per_q(p, l)))
+    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
+                         per_q=_pallas_per_q(p, l)
+                         + (_dedup_per_q(cc) if dedup else 0))
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cand"))
+@functools.partial(jax.jit, static_argnames=("p", "cand", "dedup"))
 def _ivf_search_pallas_hostbias(cent, emb_i8, meta, bias, q, *,
-                                p: int, cand: int
+                                p: int, cand: int, dedup: bool
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Overflow-filter variant of the Pallas path: the kernel runs
     unfiltered (liveness only) and the exact host-computed [cap] bias
@@ -304,6 +329,7 @@ def _ivf_search_pallas_hostbias(cent, emb_i8, meta, bias, q, *,
     cs = jnp.dot(q, cent.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, p)
     l = emb_i8.shape[1]
+    cc = min(cand, p * l)
     nf_ak = jnp.full((MAX_FILTER_KINDS,), NO_FILTER, jnp.int32)
     nf_aa = jnp.full((1,), NO_FILTER, jnp.int32)
     nf_ex = jnp.full((MAX_EXCLUDE,), NO_FILTER, jnp.int32)
@@ -316,10 +342,12 @@ def _ivf_search_pallas_hostbias(cent, emb_i8, meta, bias, q, *,
         s = s + jnp.where(s > NEG_INF / 2, slot_bias, 0.0)
         v, idx = jax.lax.top_k(s, min(cand, s.shape[1]))
         r = jnp.take_along_axis(rows, idx, axis=1)
-        return _descale_valid(v, qs), r
+        v = _descale_valid(v, qs)
+        return _dedup_rows(v, r) if dedup else (v, r)
 
-    return _dedup_rows(*_chunked_topk(body, q, probe, cand=cand,
-                                      pl=p * l, per_q=_pallas_per_q(p, l)))
+    return _chunked_topk(body, q, probe, cand=cand, pl=p * l,
+                         per_q=_pallas_per_q(p, l)
+                         + (_dedup_per_q(cc) if dedup else 0))
 
 
 def _pallas_per_q(p: int, l: int) -> int:
@@ -331,10 +359,16 @@ def _pallas_per_q(p: int, l: int) -> int:
     return 2 * 2 * 4 * p_pad * l
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
                    c_idx, s_idx, qv, ri, sr, kc, ac):
-    """Functional per-slot scatter (NO donation — see module doc)."""
+    """Donating per-slot scatter: a functional update would transiently
+    double-buffer the whole block layout (~13 GB at 10Mx768 with
+    default slack — an OOM at exactly the scale IVF exists for, the
+    same failure shard._scatter_quant_rows donates to avoid). An
+    in-flight search that captured the previous tuple is rejected
+    loudly by the runtime and re-dispatched (_donated_buffer_race,
+    the protocol every search path already runs)."""
     return (emb_i8.at[c_idx, s_idx].set(qv),
             rinv_sl.at[c_idx, s_idx].set(ri),
             slot_rows.at[c_idx, s_idx].set(sr),
@@ -342,10 +376,11 @@ def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
             agent_sl.at[c_idx, s_idx].set(ac))
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_meta(meta, c_idx, s_idx, sr, kc, ac, ri):
     """Mirror of _scatter_slots for the Pallas kernel's packed [C, 8, L]
-    f32 metadata layout (one [n, 8] column scatter)."""
+    f32 metadata layout (one [n, 8] column scatter); donating, same
+    rationale (the meta plane is ~0.4 GB at 10M rows)."""
     n = c_idx.shape[0]
     vals = jnp.stack(
         [sr.astype(jnp.float32), kc.astype(jnp.float32),
@@ -384,6 +419,12 @@ class IvfCorpus(DeviceCorpus):
         self._cluster_free: List[List[int]] = []
         self._slot_cap = 0                    # L
         self._trained_live = 0
+        #: True while the layout may hold spilled duplicate slots —
+        #: gates the candidate dedup statically (compiled out when no
+        #: spill copies exist). Set at build time; _apply_dirty only
+        #: ever DROPS spill copies, so staying True between builds is
+        #: conservative (dedup of a duplicate-free list is a no-op)
+        self._has_spill = False
         # snapshot-restored clustering (TpuIvfIndex.load), consumed by
         # the next _build_ivf so boot skips the k-means retrain
         self._boot_cent: Optional[np.ndarray] = None
@@ -405,6 +446,40 @@ class IvfCorpus(DeviceCorpus):
             return st
 
     # -------------------------------------------------------- bookkeeping
+    def _mask_boot_hint(self, row: int) -> None:
+        """Drop the snapshot-restored cluster hint for a mutated row.
+        Hints are captured per ROW at load time (TpuIvfIndex.load); a
+        boot-time delta replay or a pre-first-sync live write can
+        change a row's vector (update) or reassign it to a different
+        node entirely (remove + reuse) — packing such a row into the
+        OLD vector's cluster would make it unfindable at normal nprobe
+        (probes rank clusters by query-centroid proximity). Masked
+        rows re-assign fresh in _build_ivf, same as out-of-bounds
+        delta rows. Callers hold the corpus lock."""
+        bc = self._boot_cluster
+        if bc is not None and 0 <= row < len(bc):
+            bc[row] = -1
+        bc2 = self._boot_cluster2
+        if bc2 is not None and 0 <= row < len(bc2):
+            bc2[row] = -1
+
+    def upsert_batch(self, ids, vectors, kinds, agents) -> None:
+        super().upsert_batch(ids, vectors, kinds, agents)
+        if self._boot_cluster is not None:
+            with self._lock:
+                for nid in ids:
+                    r = self._row_of.get(nid)
+                    if r is not None:
+                        self._mask_boot_hint(r)
+
+    def remove(self, node_id: str) -> bool:
+        with self._lock:
+            row = self._row_of.get(node_id)
+            out = super().remove(node_id)
+            if out and row is not None:
+                self._mask_boot_hint(row)
+            return out
+
     def _grow(self, need: int) -> None:
         old = self._cap
         super()._grow(need)
@@ -426,6 +501,12 @@ class IvfCorpus(DeviceCorpus):
         self._cluster_of2 = np.full(self._cap, -1, np.int32)
         self._slot_of2 = np.full(self._cap, -1, np.int32)
         self._ivf_dev = None                  # rebuilt on next sync
+        # boot hints are keyed by ROW; compact reassigned every row,
+        # so snapshot-restored cluster hints no longer line up — drop
+        # them (the next build re-assigns against the boot centroids
+        # or retrains, both correct)
+        self._boot_cluster = None
+        self._boot_cluster2 = None
 
     def _auto_nlist(self, n_live: int) -> int:
         if self._nlist_cfg > 0:
@@ -495,6 +576,7 @@ class IvfCorpus(DeviceCorpus):
             self._slot_of2[:] = -1
             self._cluster_free = []
             self._trained_live = 0
+            self._has_spill = False
             return
         data = self._emb_h[rows]              # unit-norm fp32 [N, d]
         # boot hints (snapshot-restored centroids + per-row clusters,
@@ -658,9 +740,11 @@ class IvfCorpus(DeviceCorpus):
         self._ivf_dev = self._place_ivf(cent, emb_i8, rinv_sl,
                                         slot_rows, kind_sl, agent_sl,
                                         meta)
+        n_spilled = int((self._cluster_of2[rows] >= 0).sum())
+        self._has_spill = n_spilled > 0
         log.info("ivf build: %d rows -> %d clusters x %d slots "
                  "(fill %.2f, %d spilled)", n, c, lcap, n / (c * lcap),
-                 int((self._cluster_of2[rows] >= 0).sum()))
+                 n_spilled)
 
     def _free_slots(self) -> int:
         return sum(len(f) for f in self._cluster_free)
@@ -738,17 +822,8 @@ class IvfCorpus(DeviceCorpus):
         sr = np.fromiter(writes.values(), np.int32)
         # bucket the write count to a power of two by repeating the
         # first write (idempotent: duplicate (c, s) with identical
-        # values) — same compile-churn guard as shard._bucket_rows
-        b = 1
-        while b < len(c_idx):
-            b *= 2
-        if b != len(c_idx):
-            pad = b - len(c_idx)
-            c_idx = np.concatenate(
-                [c_idx, np.full(pad, c_idx[0], np.int32)])
-            s_idx = np.concatenate(
-                [s_idx, np.full(pad, s_idx[0], np.int32)])
-            sr = np.concatenate([sr, np.full(pad, sr[0], np.int32)])
+        # values) — same compile-churn guard as the flat path
+        c_idx, s_idx, sr = _pad_pow2(c_idx, s_idx, sr)
         dead = sr < 0
         src = np.where(dead, 0, sr)           # dead slots: value ignored
         qv, ri, _ = quantize_rows_centered(self._emb_h[src],
@@ -798,9 +873,11 @@ class IvfCorpus(DeviceCorpus):
                          host_bias=None, dev=None, dev_q=None):
         """Fused IVF kernel; returns (values, GLOBAL rows, True) so the
         inherited _finish_topk re-ranks candidates exactly against the
-        fp32 host mirror. The tuple is read once — functional scatters
-        never invalidate a captured tuple, and row-reassignment races
-        are caught by the inherited generation check."""
+        fp32 host mirror. A donating slot scatter that raced this
+        dispatch invalidates the captured tuple — the runtime rejects
+        it loudly and the caller's _donated_buffer_race retry
+        recaptures; row-reassignment races are caught by the inherited
+        generation check."""
         ivf = self._ivf_dev
         if ivf is None:                       # empty corpus
             b = q.shape[0]
@@ -810,25 +887,26 @@ class IvfCorpus(DeviceCorpus):
         c = cent.shape[0]
         p = self._nprobe(c)
         cand = min(self._cand_count(k_bucket), p * self._slot_cap)
+        dd = self._has_spill                  # compile dedup out when
         if meta is not None:                  # Mosaic gather-score path
             if host_bias is not None:
                 v, rows = _ivf_search_pallas_hostbias(
                     cent, emb_i8, meta, jnp.asarray(host_bias), q,
-                    p=p, cand=cand)
+                    p=p, cand=cand, dedup=dd)
             else:
                 filtered = bool(ak[0] != NO_FILTER or aa != NO_FILTER
                                 or ex[0] != NO_FILTER)
                 v, rows = _ivf_search_pallas(
                     cent, emb_i8, meta, ak, aa, ex, q,
-                    p=p, cand=cand, filtered=filtered)
+                    p=p, cand=cand, filtered=filtered, dedup=dd)
         elif host_bias is not None:
             v, rows = _ivf_search_hostbias(
                 cent, emb_i8, rinv_sl, slot_rows,
-                jnp.asarray(host_bias), q, p=p, cand=cand)
+                jnp.asarray(host_bias), q, p=p, cand=cand, dedup=dd)
         else:
             v, rows = _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
                                   kind_sl, agent_sl, ak, aa, ex, q,
-                                  p=p, cand=cand)
+                                  p=p, cand=cand, dedup=dd)
         if v.shape[1] < k_bucket:
             # tiny probed pool (nprobe*L < k bucket): pad so the
             # inherited numpy rescore still returns [B, >=kk] columns

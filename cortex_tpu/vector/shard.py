@@ -128,23 +128,28 @@ def _donated_buffer_race(e: Exception) -> bool:
     return "delet" in m or "donat" in m or "invalid buffer" in m
 
 
-def _bucket_rows(rows: np.ndarray) -> np.ndarray:
-    """Pad a dirty-row list to the next power of two by REPEATING the
-    first row: the scatter stays idempotent (duplicate indices carry
-    identical values), and every dirty count shares one of ~log2(cap)
+def _pad_pow2(*arrs: np.ndarray) -> tuple:
+    """Pad aligned arrays to the next power-of-two length by REPEATING
+    their first element: scatters stay idempotent (duplicate indices
+    carry identical values), and every count shares one of ~log2(cap)
     compiled programs instead of compiling its own. Without this a
-    mixed write workload produces arbitrary dirty counts wave by wave
-    and every novel count pays a cold XLA compile (~tens of seconds on
-    a tunneled device) INSIDE the serving path — measured as
+    mixed write workload produces arbitrary counts wave by wave and
+    every novel count pays a cold XLA compile (~tens of seconds on a
+    tunneled device) INSIDE the serving path — measured as
     multi-minute p99 search stalls in benches/mixed_workload_bench.py."""
-    n = len(rows)
+    n = len(arrs[0])
     b = 1
     while b < n:
         b *= 2
-    if b != n:
-        rows = np.concatenate(
-            [rows, np.full(b - n, rows[0], rows.dtype)])
-    return rows
+    if b == n:
+        return arrs
+    return tuple(np.concatenate([a, np.repeat(a[:1], b - n, axis=0)])
+                 for a in arrs)
+
+
+def _bucket_rows(rows: np.ndarray) -> np.ndarray:
+    """Single-array form of _pad_pow2 (dirty-row scatters)."""
+    return _pad_pow2(rows)[0]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -660,14 +665,24 @@ class DeviceCorpus:
         (serving phases); bulk loads take the synchronous copy in
         _grow, where nothing serves concurrently."""
         if self._pregrow_pending or _SHUTDOWN.is_set():
-            return
-        cap = self._cap
-        if cap == 0 or (cap - len(self._free)) < (cap * 85) // 100:
-            return
-        pg = self._pregrown
-        if pg is not None and pg[0] == cap:
-            return                        # already built for this cap
-        self._pregrow_pending = True
+            return                        # cheap unlocked fast path
+        with self._lock:
+            # test-and-set UNDER the lock: searches dispatch lock-free,
+            # so two concurrent callers could otherwise both observe
+            # pending == False and start two builder threads — the
+            # second builder's fresh touched-set would orphan the
+            # first's mutation log, and the swap in _grow would then
+            # miss rows mutated during the first build (silent host-
+            # mirror corruption of exactly the freshest writes)
+            if self._pregrow_pending:
+                return
+            cap = self._cap
+            if cap == 0 or (cap - len(self._free)) < (cap * 85) // 100:
+                return
+            pg = self._pregrown
+            if pg is not None and pg[0] == cap:
+                return                    # already built for this cap
+            self._pregrow_pending = True
         t = threading.Thread(target=self._pregrow_host, daemon=True,
                              name="cortex-host-pregrow")
         _WARM_THREADS.add(t)
@@ -682,13 +697,21 @@ class DeviceCorpus:
         by _grow at swap time. Memory-bandwidth cost is the same as
         the synchronous copy; the point is WHERE it's paid — off the
         serving path, before the crossing."""
+        published = False
+        touched: Optional[set] = None
         try:
             with self._lock:
                 cap = self._cap
                 new_cap = self._next_cap(cap + 1)
                 if new_cap == cap:
                     return
-                self._pregrow_touched = set()
+                # the builder OWNS this exact set object: compact()
+                # (which reshuffles every row at an UNCHANGED capacity
+                # in the >=85%-occupancy regime, so a cap check alone
+                # cannot see it) replaces it with None — identity is
+                # the abandon signal
+                touched = set()
+                self._pregrow_touched = touched
             emb2 = np.zeros((new_cap, self.dim), np.float32)
             live2 = np.zeros(new_cap, bool)
             kind2 = np.full(new_cap, PAD_CODE, np.int32)
@@ -698,28 +721,31 @@ class DeviceCorpus:
                 if _SHUTDOWN.is_set():
                     return
                 with self._lock:
-                    if self._cap != cap:
-                        return            # grew mid-build; abandon
+                    if (self._cap != cap
+                            or self._pregrow_touched is not touched):
+                        return            # grew/compacted mid-build
                     e = min(s + chunk, cap)
                     emb2[s:e] = self._emb_h[s:e]
                     live2[s:e] = self._live_h[s:e]
                     kind2[s:e] = self._kind_h[s:e]
                     agent2[s:e] = self._agent_h[s:e]
             with self._lock:
-                if self._cap != cap:
+                if (self._cap != cap
+                        or self._pregrow_touched is not touched):
                     return
                 self._pregrown = (cap, new_cap, emb2, live2, kind2,
                                   agent2)
+                published = True
                 log.info("host mirrors pre-grown %d -> %d rows "
                          "(background)", cap, new_cap)
         except Exception:   # noqa: BLE001 — best-effort
             log.debug("host pre-grow failed", exc_info=True)
         finally:
-            self._pregrow_pending = False
             with self._lock:
-                pg = self._pregrown
-                if pg is None or pg[0] != self._cap:
+                if (not published and touched is not None
+                        and self._pregrow_touched is touched):
                     self._pregrow_touched = None   # nothing to catch up
+                self._pregrow_pending = False
 
     def _warm_next_step_async(self) -> None:
         """After a growth lands, pre-compile the FOLLOWING step's

@@ -269,6 +269,75 @@ class TestHostPregrow:
         hits = idx.search_batch(vecs[3:4], co._cap)[0]
         assert "n3" not in {h for h, _ in hits}
 
+    def test_pregrow_abandons_on_compact_mid_build(self, monkeypatch):
+        """compact() reshuffles every row at an UNCHANGED capacity (in
+        the >=85%-occupancy regime that triggers pre-growth), so the
+        builder's cap check alone cannot see it — a mixed-layout mirror
+        would be published and silently swapped in by the next _grow.
+        The builder owns its touched-set by IDENTITY; compact replacing
+        it with None is the abandon signal."""
+        import threading
+
+        import cortex_tpu.vector.shard as shard_mod
+
+        idx, vecs = build(MIN_CAP)          # full: compact keeps cap
+        co = idx._corpus
+        hit, resume = threading.Event(), threading.Event()
+        orig_zeros = np.zeros
+
+        def zeros_hook(*a, **k):
+            # pause the builder AFTER it registered its touched-set
+            # but BEFORE any chunk copies, so compact lands mid-build
+            if (threading.current_thread().name == "pregrow-test"
+                    and not hit.is_set()):
+                hit.set()
+                assert resume.wait(10)
+            return orig_zeros(*a, **k)
+
+        monkeypatch.setattr(shard_mod.np, "zeros", zeros_hook)
+        t = threading.Thread(target=co._pregrow_host,
+                             name="pregrow-test")
+        t.start()
+        assert hit.wait(10)
+        co.compact()                        # every row moved, same cap
+        assert co._cap == MIN_CAP
+        resume.set()
+        t.join(10)
+        assert not t.is_alive()
+        assert co._pregrown is None         # mixed build NOT published
+
+    def test_maybe_pregrow_starts_exactly_one_builder(self, monkeypatch):
+        """The pending flag is tested-and-set under the corpus lock:
+        searches dispatch lock-free, so two concurrent callers could
+        otherwise both start builders and the second's fresh
+        touched-set would orphan the first's mutation log."""
+        import cortex_tpu.vector.shard as shard_mod
+
+        idx, _ = build(MIN_CAP - 8)         # >= 85% occupancy
+        co = idx._corpus
+        started = []
+
+        class FakeThread:
+            def __init__(self, *a, **k):
+                started.append(k.get("name"))
+
+            def start(self):
+                pass
+
+            def join(self, *a):
+                pass
+
+            def is_alive(self):
+                return False
+
+        monkeypatch.setattr(shard_mod.threading, "Thread", FakeThread)
+        try:
+            co._maybe_pregrow_host()
+            co._maybe_pregrow_host()        # pending: must not respawn
+        finally:
+            co._pregrow_pending = False
+        assert started == ["cortex-host-pregrow"]
+
     def test_pregrow_abandoned_when_capacity_changes_mid_build(self):
         idx, vecs = build(MIN_CAP)
         co = idx._corpus

@@ -398,6 +398,55 @@ class TestSnapshotBoot:
         for b in range(2):
             assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
 
+    def test_delta_mutated_rows_recluster(self, tmp_path, monkeypatch):
+        """A boot delta that UPDATES a row's vector — or REUSES a freed
+        row for a brand-new node — must drop that row's snapshot hint:
+        packing it into the OLD vector's cluster would make it
+        unfindable at normal nprobe (recall loss concentrated on
+        exactly the freshest writes, and a stable-size corpus never
+        drift-retrains it away)."""
+        import json as _json
+        vecs = clustered(320, dim=48)
+        ivf, _ = build_pair(vecs, nlist=8, nprobe=8)
+        ivf._corpus.sync()
+        base = str(tmp_path / "base.npz")
+        ivf.save(base)
+
+        # nprobe=1: a mis-clustered row is only found if its hint was
+        # dropped and it re-assigned against its NEW vector
+        fresh = TpuIvfIndex(48, nlist=8, nprobe=1)
+        fresh.load(base)
+        self._no_kmeans(monkeypatch)
+        # delta 1: n0 moves to its antipode (update); n1 is removed
+        new0 = -vecs[0]
+        d1 = str(tmp_path / "d1.npz")
+        np.savez(d1, vectors=new0[None],
+                 meta=_json.dumps({"dim": 48, "ids": ["n0"],
+                                   "kinds": [""], "agents": [""],
+                                   "removed": ["n1"]}))
+        fresh.apply_delta(d1)
+        # delta 2: a new node reuses n1's freed row, far from n1's
+        # old cluster
+        new_z = -vecs[1]
+        d2 = str(tmp_path / "d2.npz")
+        np.savez(d2, vectors=new_z[None],
+                 meta=_json.dumps({"dim": 48, "ids": ["z0"],
+                                   "kinds": [""], "agents": [""],
+                                   "removed": []}))
+        row_n1 = None
+        with fresh._corpus._lock:
+            # capture where z0 will land (top of the free list = n1's
+            # just-freed row) to assert the reuse actually happened
+            row_n1 = fresh._corpus._free[-1]
+        fresh.apply_delta(d2)
+        assert fresh._corpus._row_of["z0"] == row_n1
+        got0 = fresh.search_batch(new0[None], 1)  # boot build here
+        assert got0[0][0][0] == "n0"
+        got_z = fresh.search_batch(new_z[None], 5)
+        ids_z = [i for i, _ in got_z[0]]
+        assert ids_z[0] == "z0"
+        assert "n1" not in ids_z                  # removed stays gone
+
     def test_snapshot_base_stale_forces_one_base_rewrite(self):
         """An on-disk base written BEFORE training carries no
         clustering; once trained, the index reports the base stale so

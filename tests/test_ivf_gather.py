@@ -146,10 +146,12 @@ class TestSearchPallas:
         want_v, want_r = _ivf_search(cent, emb, ri, sr, kc, ac,
                                      jnp.asarray(ak),
                                      jnp.asarray(aa[0]),
-                                     jnp.asarray(ex), q, p=p, cand=10)
+                                     jnp.asarray(ex), q, p=p, cand=10,
+                                     dedup=True)
         got_v, got_r = _ivf_search_pallas(cent, emb, meta, ak, aa, ex,
                                           q, p=p, cand=10,
-                                          filtered=case != "none")
+                                          filtered=case != "none",
+                                          dedup=True)
         self._assert_same(want_v, want_r, got_v, got_r)
 
     def test_hostbias_matches(self):
@@ -160,22 +162,25 @@ class TestSearchPallas:
                         0.0).astype(np.float32)
         want_v, want_r = _ivf_search_hostbias(cent, emb, ri, sr,
                                               jnp.asarray(bias), q,
-                                              p=p, cand=10)
+                                              p=p, cand=10, dedup=True)
         got_v, got_r = _ivf_search_pallas_hostbias(cent, emb, meta,
                                                    jnp.asarray(bias),
-                                                   q, p=p, cand=10)
+                                                   q, p=p, cand=10,
+                                                   dedup=True)
         self._assert_same(want_v, want_r, got_v, got_r)
 
     def test_chunked_matches(self, monkeypatch):
         (cent, emb, ri, sr, kc, ac, meta, q, p) = self._args()
         ak, aa, ex = _filters()
         want = _ivf_search_pallas(cent, emb, meta, ak, aa, ex, q,
-                                  p=p, cand=10, filtered=False)
+                                  p=p, cand=10, filtered=False,
+                                  dedup=True)
         monkeypatch.setattr(ivf_mod, "GATHER_BUDGET_BYTES", 1)
         _ivf_search_pallas.clear_cache()
         try:
             got = _ivf_search_pallas(cent, emb, meta, ak, aa, ex, q,
-                                     p=p, cand=10, filtered=False)
+                                     p=p, cand=10, filtered=False,
+                                     dedup=True)
             self._assert_same(want[0], want[1], got[0], got[1])
         finally:
             _ivf_search_pallas.clear_cache()

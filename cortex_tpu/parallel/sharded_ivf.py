@@ -47,10 +47,11 @@ from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _dedup_rows,
 from .sharding import SHARD_AXIS, build_mesh
 
 
-@functools.partial(jax.jit, static_argnames=("p_s", "cand", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("p_s", "cand", "mesh", "dedup"))
 def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
                       kind_sl, agent_sl, ak, aa, ex, q, *,
-                      p_s: int, cand: int
+                      p_s: int, cand: int, dedup: bool
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-shard probe + block scan + top-cand, ICI exact merge."""
 
@@ -71,8 +72,10 @@ def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
         gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
         # spill copies can land on a DIFFERENT shard than the primary
         # slot, so duplicates survive the per-shard scan and must be
-        # masked after the global merge
-        return _dedup_rows(gv, jnp.take_along_axis(ar, sel, axis=1))
+        # masked after the global merge (compiled out when the layout
+        # holds no spill copies, same as the single-chip paths)
+        gr = jnp.take_along_axis(ar, sel, axis=1)
+        return _dedup_rows(gv, gr) if dedup else (gv, gr)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -86,10 +89,11 @@ def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
               ak, aa, ex, q)
 
 
-@functools.partial(jax.jit, static_argnames=("p_s", "cand", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("p_s", "cand", "mesh", "dedup"))
 def _sharded_ivf_hostbias_topk(mesh: Mesh, cent, emb_i8, rinv_sl,
                                slot_rows, bias, q, *,
-                               p_s: int, cand: int
+                               p_s: int, cand: int, dedup: bool
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Overflow-filter variant: exact [cap] host bias, replicated
     (slot_rows hold GLOBAL rows, so every shard indexes the same
@@ -107,7 +111,8 @@ def _sharded_ivf_hostbias_topk(mesh: Mesh, cent, emb_i8, rinv_sl,
         av = jax.lax.all_gather(v, SHARD_AXIS, axis=1, tiled=True)
         ar = jax.lax.all_gather(rows, SHARD_AXIS, axis=1, tiled=True)
         gv, sel = jax.lax.top_k(av, min(cand, av.shape[1]))
-        return _dedup_rows(gv, jnp.take_along_axis(ar, sel, axis=1))
+        gr = jnp.take_along_axis(ar, sel, axis=1)
+        return _dedup_rows(gv, gr) if dedup else (gv, gr)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -180,11 +185,13 @@ class ShardedIvfCorpus(IvfCorpus):
         if host_bias is not None:
             v, rows = _sharded_ivf_hostbias_topk(
                 self.mesh, cent, emb_i8, rinv_sl, slot_rows,
-                jnp.asarray(host_bias), q, p_s=p_s, cand=cand)
+                jnp.asarray(host_bias), q, p_s=p_s, cand=cand,
+                dedup=self._has_spill)
         else:
             v, rows = _sharded_ivf_topk(
                 self.mesh, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
-                agent_sl, ak, aa, ex, q, p_s=p_s, cand=cand)
+                agent_sl, ak, aa, ex, q, p_s=p_s, cand=cand,
+                dedup=self._has_spill)
         if v.shape[1] < k_bucket:
             pad = k_bucket - v.shape[1]
             v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG_INF)

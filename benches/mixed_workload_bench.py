@@ -128,6 +128,7 @@ async def main_async(args):
     cfg.server.http_addr = f"127.0.0.1:{free_port()}"
     cfg.server.grpc_addr = f"127.0.0.1:{free_port()}"
     cfg.server.warmup = False          # warmed at capacity post-seed
+    cfg.embedding.index = args.index   # "flat" (default) or "ivf"
     # the serve loop's linker is parked: cycles racing the BULK seed
     # keep re-uploading the half-seeded corpus (every 100k-row insert
     # chunk crosses the incremental-scatter threshold -> full 3.8 GB
@@ -218,7 +219,7 @@ async def main_async(args):
         lat_ms = np.sort(np.asarray(lat) * 1e3)
         p = lambda q: float(lat_ms[min(len(lat_ms) - 1,
                                        int(q * len(lat_ms)))])
-        emit(f"mixed-load search p50 @ {args.rows} rows "
+        emit(f"mixed-load [{args.index}] search p50 @ {args.rows} rows "
              f"(conc {args.conc}, writes live)", p(0.50), "ms")
         emit("mixed-load search p95", p(0.95), "ms")
         emit("mixed-load search p99", p(0.99), "ms")
@@ -255,6 +256,8 @@ def main():
     ap.add_argument("--secs", type=float, default=20.0)
     ap.add_argument("--conc", type=int, default=32)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--index", choices=("flat", "ivf"), default="flat",
+                    help="index structure to soak through the server")
     ap.add_argument("--data-dir", default="/tmp/cortex-mixed-bench")
     args = ap.parse_args()
     # cycle-phase spans (linker.scan/embed/search/rules/edge_write/

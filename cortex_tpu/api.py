@@ -196,12 +196,20 @@ class Cortex:
             # compiles mid-serving — the mixed-workload bench measured
             # multi-minute p99 search stalls from exactly this.
             # Re-scattering live rows with their current host-mirror
-            # values is a semantic no-op. IVF corpora are skipped: a
-            # dirty-row pass there drops the rows' spill copies (a
-            # real, if small, recall change — not a no-op).
+            # values is a semantic no-op. IVF corpora warm SHAPE-ONLY
+            # instead: a real dirty pass there drops the rows' spill
+            # copies (a real, if small, recall change — not a no-op).
             from .vector.ivf import IvfCorpus
             co = getattr(self.index, "_corpus", None)
-            if co is not None and not isinstance(co, IvfCorpus):
+            if isinstance(co, IvfCorpus):
+                if co.warm_scatter_buckets():
+                    progress("warmup: ivf scatter buckets compiled "
+                             "(shape-only)")
+                n_warm = co.warm_next_slot_programs()
+                if n_warm:
+                    progress(f"warmup: {n_warm} next-slot-rung ivf "
+                             "programs compiled (shape-only)")
+            elif co is not None:
                 b = 1
                 while b <= min(1024, co._cap):
                     with co._lock:

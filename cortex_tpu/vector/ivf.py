@@ -49,7 +49,7 @@ import json
 import logging
 import math
 import os
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +81,9 @@ GATHER_BUDGET_BYTES = int(os.environ.get(
     "CORTEX_IVF_GATHER_BUDGET", 2 << 30))
 #: CORTEX_IVF_PALLAS=0 forces the XLA gather path on TPU (debugging)
 PALLAS_ENABLED = os.environ.get("CORTEX_IVF_PALLAS", "1") != "0"
+#: incremental slot scatters chunk to this bound so the whole
+#: power-of-two program family is pre-compilable (warm_scatter_buckets)
+MAX_SCATTER_ROWS = 1024
 
 
 # ---------------------------------------------------------------- training
@@ -376,6 +379,47 @@ def _scatter_slots(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
             agent_sl.at[c_idx, s_idx].set(ac))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("pad",))
+def _pad_slot_axis(emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, *,
+                   pad):
+    """Donating slot-axis growth: extend every [C, L, ...] plane with
+    `pad` EMPTY slots per cluster IN HBM (~ms memcpy) instead of a
+    full retrain + re-upload. A placement-full incremental write
+    previously forced a whole-layout rebuild whose upload through a
+    tunneled device measured ~20-30 s inside the corpus lock (the
+    residual p99 event in the IVF mixed-workload soak); cluster
+    assignments are untouched, so only the slot capacity changes."""
+    c = emb_i8.shape[0]
+    return (jnp.concatenate(
+                [emb_i8, jnp.zeros((c, pad, emb_i8.shape[2]),
+                                   jnp.int8)], axis=1),
+            jnp.concatenate(
+                [rinv_sl, jnp.zeros((c, pad), jnp.float32)], axis=1),
+            jnp.concatenate(
+                [slot_rows, jnp.full((c, pad), -1, jnp.int32)], axis=1),
+            jnp.concatenate(
+                [kind_sl, jnp.full((c, pad), PAD_CODE, jnp.int32)],
+                axis=1),
+            jnp.concatenate(
+                [agent_sl, jnp.full((c, pad), PAD_CODE, jnp.int32)],
+                axis=1))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("pad",))
+def _pad_meta_axis(meta, *, pad):
+    """Slot-axis growth for the Pallas kernel's [C, 8, L] metadata
+    plane — empty slots carry the same encoding _build_meta writes
+    (row -1, kind/agent PAD_CODE, rinv 0)."""
+    c = meta.shape[0]
+    z = jnp.zeros((c, 8, pad), jnp.float32)
+    z = z.at[:, ivf_gather.META_ROW].set(-1.0)
+    z = z.at[:, ivf_gather.META_KIND].set(np.float32(PAD_CODE))
+    z = z.at[:, ivf_gather.META_AGENT].set(np.float32(PAD_CODE))
+    return jnp.concatenate([meta, z], axis=2)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_meta(meta, c_idx, s_idx, sr, kc, ac, ri):
     """Mirror of _scatter_slots for the Pallas kernel's packed [C, 8, L]
@@ -425,6 +469,16 @@ class IvfCorpus(DeviceCorpus):
         #: ever DROPS spill copies, so staying True between builds is
         #: conservative (dedup of a duplicate-free list is a no-op)
         self._has_spill = False
+        #: [C, L, d] shape whose scatter-program family has been
+        #: shape-only warmed; a rebuild changes C/L and the first
+        #: search after it re-fires the background warm
+        self._scatter_warmed: Optional[tuple] = None
+        self._scatter_warm_pending = False
+        #: dispatched search-program recipes, replayed shape-only at
+        #: the NEXT slot rung by warm_next_slot_programs (the IVF
+        #: analog of shard warm_growth_programs): (fn name, arg spec,
+        #: p, cand, k_bucket, filtered, dedup)
+        self._search_log: Dict[tuple, int] = {}
         # snapshot-restored clustering (TpuIvfIndex.load), consumed by
         # the next _build_ivf so boot skips the k-means retrain
         self._boot_cent: Optional[np.ndarray] = None
@@ -510,11 +564,32 @@ class IvfCorpus(DeviceCorpus):
 
     def _auto_nlist(self, n_live: int) -> int:
         if self._nlist_cfg > 0:
+            # explicit nlist is honored exactly (it never changes
+            # between rebuilds, so shape stability is inherent)
             return self._round_nlist(max(1, self._nlist_cfg))
         if n_live <= 64:
             return self._round_nlist(1)
-        return self._round_nlist(int(min(
-            MAX_AUTO_NLIST, max(2, round(math.sqrt(n_live))))))
+        # auto nlist tracks sqrt(N), which drifts with every rebuild —
+        # shape-bucket it so consecutive rebuilds at modestly-grown
+        # corpora reuse the compiled search programs
+        return self._round_nlist(self._shape_bucket(int(min(
+            MAX_AUTO_NLIST, max(2, round(math.sqrt(n_live)))))))
+
+    @staticmethod
+    def _shape_bucket(v: int, align: int = 8) -> int:
+        """Round up to a ~12.5%-granularity rung (power-of-two-scaled
+        multiples, min `align`). The [C, L, d] layout shape is baked
+        into every compiled IVF search program; without bucketing, a
+        mid-serving rebuild at a modestly-grown corpus (the layout
+        fills its reserve and repacks every ~slack/4 inserts) lands on
+        a SLIGHTLY different shape and recompiles the whole search
+        family — measured as an ~80 s p95 stall through a tunneled
+        device in the IVF mixed-workload soak. Bucketed, consecutive
+        rebuilds reuse every program until the corpus grows ~12 %."""
+        if v <= align:
+            return align
+        g = max(align, 1 << max(0, v.bit_length() - 4))
+        return ((v + g - 1) // g) * g
 
     def _round_nlist(self, c: int) -> int:
         """Subclass hook: the sharded layout needs nlist divisible by
@@ -645,7 +720,11 @@ class IvfCorpus(DeviceCorpus):
         # cluster with room. C*L > N by construction, so a slot always
         # exists; a force-placed row only costs recall if its cluster
         # is never probed — the exact re-rank is unaffected.
-        lcap = max(8, int(math.ceil(n / c * SLOT_SLACK / 8)) * 8)
+        # slot cap is shape-bucketed like nlist: consecutive rebuilds
+        # at modestly-grown corpora must reuse the compiled search
+        # programs (the [C, L, d] shape is a static program parameter)
+        lcap = self._shape_bucket(
+            max(8, int(math.ceil(n / c * SLOT_SLACK))))
         cluster = np.empty(n, np.int32)
         slot = np.empty(n, np.int32)
         order = np.argsort(first, kind="stable")
@@ -749,6 +828,124 @@ class IvfCorpus(DeviceCorpus):
     def _free_slots(self) -> int:
         return sum(len(f) for f in self._cluster_free)
 
+    def _grow_slots(self) -> bool:
+        """Extend the slot axis to the next shape rung IN HBM when
+        incremental placement runs out of room — the IVF analog of
+        shard's device growth. The old path fell back to a full
+        retrain + re-upload whose transfer measured ~20-30 s inside
+        the corpus lock through a tunneled device (the residual p99
+        event in the IVF mixed-workload soak). Cluster assignments
+        are untouched (clustering quality drift stays bounded by the
+        RETRAIN_GROWTH rebuild); the [C, L, d] shape change
+        recompiles the search family, which warm_next_slot_programs
+        pre-lowers in the background. Callers hold the corpus lock.
+        Returns False when no layout exists, the rung can't grow, or
+        the grown layout would exceed the HBM budget (the transient
+        peak during the donating concat is old + new)."""
+        ivf = self._ivf_dev
+        if ivf is None or self._slot_cap <= 0:
+            return False
+        cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, meta = ivf
+        c = emb_i8.shape[0]
+        l = self._slot_cap
+        l2 = self._shape_bucket(l + 1)
+        pad = l2 - l
+        if pad <= 0:
+            return False
+        if c * (l + l2) * self.dim > self._hbm_budget:
+            return False                      # transient peak too big
+        arrs = _pad_slot_axis(emb_i8, rinv_sl, slot_rows, kind_sl,
+                              agent_sl, pad=pad)
+        meta = _pad_meta_axis(meta, pad=pad) if meta is not None \
+            else None
+        self._ivf_dev = (cent, *arrs, meta)
+        for f in self._cluster_free:
+            f.extend(range(l, l2))
+        self._slot_cap = l2
+        log.info("ivf slot growth: %d -> %d slots/cluster (in HBM, "
+                 "assignments kept)", l, l2)
+        return True
+
+    #: per-search-fn positions of the slot axis in the arg spec:
+    #: {arg index: axis} — used to re-lower recorded programs at the
+    #: next slot rung
+    _L_AXES = {"xla": {1: 1, 2: 1, 3: 1, 4: 1, 5: 1},
+               "xla_hb": {1: 1, 2: 1, 3: 1},
+               "pallas": {1: 1, 2: 2},
+               "pallas_hb": {1: 1, 2: 2}}
+
+    def _log_search(self, name: str, args: tuple, k_bucket: int,
+                    statics: dict) -> None:
+        """Record a dispatched search program's recipe (shapes +
+        statics) so warm_next_slot_programs can re-lower it at the
+        next slot rung. Cheap (one tuple build); the dict is bounded
+        by the distinct program set XLA already caches."""
+        spec = tuple((tuple(a.shape), str(a.dtype)) for a in args)
+        key = (name, spec, k_bucket,
+               tuple(sorted(statics.items())))
+        self._search_log.setdefault(key, self._slot_cap)
+
+    def warm_next_slot_programs(self, *, pace_s: float = 0.0) -> int:
+        """Shape-only AOT compile of every RECORDED search program at
+        the NEXT slot rung, plus the growth-pad programs themselves —
+        so a _grow_slots crossing finds its whole program family
+        already compiled instead of paying a mid-serving compile
+        storm (~20-40 s per program through a tunneled device).
+        Compiles run outside the corpus lock. Returns the number of
+        programs lowered."""
+        import time as _time
+        fns = {"xla": _ivf_search, "xla_hb": _ivf_search_hostbias,
+               "pallas": _ivf_search_pallas,
+               "pallas_hb": _ivf_search_pallas_hostbias}
+        with self._lock:
+            ivf = self._ivf_dev
+            l = self._slot_cap
+            entries = list(self._search_log.items())
+            meta_there = ivf is not None and ivf[6] is not None
+            shapes = (None if ivf is None else
+                      tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in ivf[1:6]))
+            meta_shape = (jax.ShapeDtypeStruct(ivf[6].shape,
+                                               ivf[6].dtype)
+                          if meta_there else None)
+        if ivf is None or l <= 0:
+            return 0
+        l2 = self._shape_bucket(l + 1)
+        if l2 <= l:
+            return 0
+        S = jax.ShapeDtypeStruct
+        done = 0
+        for (name, spec, k_bucket, st), _ in entries:
+            axes = self._L_AXES[name]
+            try:
+                structs = []
+                for idx, (shape, dtype) in enumerate(spec):
+                    shape = list(shape)
+                    ax = axes.get(idx)
+                    if ax is not None and shape[ax] == l:
+                        shape[ax] = l2
+                    structs.append(S(tuple(shape), jnp.dtype(dtype)))
+                st = dict(st)
+                st["cand"] = min(self._cand_count(k_bucket),
+                                 st["p"] * l2)
+                fns[name].lower(*structs, **st).compile()
+                done += 1
+                if pace_s:
+                    _time.sleep(pace_s)
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("ivf next-slot warm failed for %s", name,
+                          exc_info=True)
+        # the growth pads themselves, and the scatter family at the
+        # grown shape
+        try:
+            _pad_slot_axis.lower(*shapes, pad=l2 - l).compile()
+            if meta_shape is not None:
+                _pad_meta_axis.lower(meta_shape, pad=l2 - l).compile()
+            done += 1
+        except Exception:   # noqa: BLE001
+            log.debug("ivf pad-program warm failed", exc_info=True)
+        return done
+
     def _apply_dirty(self, rows: np.ndarray) -> bool:
         """Incremental slot maintenance for dirty rows. Returns False
         when placement ran out of room (caller falls back to a full
@@ -807,7 +1004,12 @@ class IvfCorpus(DeviceCorpus):
                             target_c = ch
                             break
                 if target_c < 0:
-                    return False              # full: rebuild
+                    # every slot taken: grow the slot axis in HBM
+                    # (assignments kept, ~ms) before falling back to
+                    # the full retrain + re-upload rebuild
+                    if not self._grow_slots():
+                        return False          # full: rebuild
+                    target_c = best
                 target_s = self._cluster_free[target_c].pop()
                 if sl >= 0:                   # vacate the old slot
                     writes[(cl, sl)] = -1
@@ -817,32 +1019,133 @@ class IvfCorpus(DeviceCorpus):
             writes[(target_c, target_s)] = int(r)
         if not writes:
             return True
-        c_idx = np.fromiter((c for c, _ in writes), np.int32)
-        s_idx = np.fromiter((s for _, s in writes), np.int32)
-        sr = np.fromiter(writes.values(), np.int32)
-        # bucket the write count to a power of two by repeating the
-        # first write (idempotent: duplicate (c, s) with identical
-        # values) — same compile-churn guard as the flat path
-        c_idx, s_idx, sr = _pad_pow2(c_idx, s_idx, sr)
-        dead = sr < 0
-        src = np.where(dead, 0, sr)           # dead slots: value ignored
-        qv, ri, _ = quantize_rows_centered(self._emb_h[src],
-                                           self._quant_mu)
-        ri = np.where(dead, 0.0, ri).astype(np.float32)
-        qv[dead] = 0
-        kc = np.where(dead, PAD_CODE, self._kind_h[src]).astype(np.int32)
-        ac = np.where(dead, PAD_CODE, self._agent_h[src]).astype(np.int32)
-        cent, *arrs, meta = self._ivf_dev
-        if meta is not None:
-            meta = _scatter_meta(meta, jnp.asarray(c_idx),
-                                 jnp.asarray(s_idx), jnp.asarray(sr),
-                                 jnp.asarray(kc), jnp.asarray(ac),
-                                 jnp.asarray(ri))
-        self._ivf_dev = (cent, *_scatter_slots(
-            *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
-            jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
-            jnp.asarray(kc), jnp.asarray(ac)), meta)
+        c_all = np.fromiter((c for c, _ in writes), np.int32)
+        s_all = np.fromiter((s for _, s in writes), np.int32)
+        sr_all = np.fromiter(writes.values(), np.int32)
+        # chunk to a bounded bucket, then pad each chunk to a power of
+        # two by repeating its first write (idempotent: duplicate
+        # (c, s) carry identical values) — same compile-churn guard as
+        # the flat path, and the bound makes the whole program family
+        # {1, 2, ..., MAX_SCATTER_ROWS} pre-compilable shape-only
+        # (warm_scatter_buckets); an unbounded wave would compile a
+        # fresh donating scatter mid-serving. (c, s) keys are unique
+        # across chunks, so any application order is equivalent.
+        for s0 in range(0, len(c_all), MAX_SCATTER_ROWS):
+            c_idx, s_idx, sr = _pad_pow2(
+                c_all[s0:s0 + MAX_SCATTER_ROWS],
+                s_all[s0:s0 + MAX_SCATTER_ROWS],
+                sr_all[s0:s0 + MAX_SCATTER_ROWS])
+            dead = sr < 0
+            src = np.where(dead, 0, sr)       # dead slots: value ignored
+            qv, ri, _ = quantize_rows_centered(self._emb_h[src],
+                                               self._quant_mu)
+            ri = np.where(dead, 0.0, ri).astype(np.float32)
+            qv[dead] = 0
+            kc = np.where(dead, PAD_CODE,
+                          self._kind_h[src]).astype(np.int32)
+            ac = np.where(dead, PAD_CODE,
+                          self._agent_h[src]).astype(np.int32)
+            cent, *arrs, meta = self._ivf_dev
+            if meta is not None:
+                meta = _scatter_meta(meta, jnp.asarray(c_idx),
+                                     jnp.asarray(s_idx), jnp.asarray(sr),
+                                     jnp.asarray(kc), jnp.asarray(ac),
+                                     jnp.asarray(ri))
+            self._ivf_dev = (cent, *_scatter_slots(
+                *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
+                jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
+                jnp.asarray(kc), jnp.asarray(ac)), meta)
         return True
+
+    def warm_scatter_buckets(self, *, pace_s: float = 0.0) -> bool:
+        """Shape-only AOT compile of the incremental-scatter program
+        family at the CURRENT layout shape ([C, L, d] and every
+        power-of-two write bucket up to MAX_SCATTER_ROWS). The flat
+        path warms its scatter buckets by re-scattering live rows (a
+        semantic no-op there); for IVF a real dirty pass drops rows'
+        spill copies, so the warm must be shape-only. No HBM is
+        allocated — results land in the jit dispatch cache. Returns
+        False when no layout is built yet."""
+        import time as _time
+        with self._lock:
+            ivf = self._ivf_dev
+            if ivf is None:
+                return False
+            cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, \
+                meta = ivf
+            shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                           for a in (emb_i8, rinv_sl, slot_rows,
+                                     kind_sl, agent_sl))
+            meta_shape = (None if meta is None else
+                          jax.ShapeDtypeStruct(meta.shape, meta.dtype))
+            d = self.dim
+        S = jax.ShapeDtypeStruct
+        b = 1
+        while b <= MAX_SCATTER_ROWS:
+            iv = S((b,), jnp.int32)
+            try:
+                _scatter_slots.lower(
+                    *shapes, iv, iv, S((b, d), jnp.int8),
+                    S((b,), jnp.float32), iv, iv, iv).compile()
+                if meta_shape is not None:
+                    _scatter_meta.lower(
+                        meta_shape, iv, iv, iv, iv, iv,
+                        S((b,), jnp.float32)).compile()
+                if pace_s:
+                    _time.sleep(pace_s)
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("ivf scatter warm failed at bucket %d", b,
+                          exc_info=True)
+            b *= 2
+        with self._lock:
+            self._scatter_warmed = shapes[0].shape
+        return True
+
+    def _maybe_warm_scatter(self, shape: tuple) -> None:
+        """Background shape-only scatter warm when the layout shape
+        has no compiled program family yet — fired from search
+        dispatches (serving phases), never from the bulk-build path
+        (build-storm warms were measured to slow the flat path's bulk
+        seed 229 s -> 569 s; the same caution applies here). DELAYED
+        and PACED like the flat path's growth warm-ahead: an immediate
+        compile burst from a boot-time search overlaps boot warmup's
+        own compiles, and concurrent compile RPCs from two threads
+        head-of-line-block a tunneled device (the observed wedge
+        pattern). Boot warmup's synchronous warm usually covers the
+        shape first and the delayed thread exits without compiling."""
+        from .shard import _SHUTDOWN, _WARM_THREADS
+        if self._scatter_warm_pending or _SHUTDOWN.is_set():
+            return
+        with self._lock:
+            if (self._scatter_warm_pending
+                    or self._scatter_warmed == shape):
+                return
+            self._scatter_warm_pending = True
+        delay = float(os.environ.get("CORTEX_GROWTH_WARM_DELAY_S", "45"))
+
+        def run():
+            try:
+                if _SHUTDOWN.wait(delay):
+                    return
+                with self._lock:
+                    fresh = self._scatter_warmed != shape
+                if fresh:          # not warmed while we slept
+                    self.warm_scatter_buckets(pace_s=0.25)
+                if not _SHUTDOWN.is_set():
+                    # stay one slot rung ahead: a placement-full
+                    # growth must find its search family compiled
+                    self.warm_next_slot_programs(pace_s=0.25)
+            except Exception:   # noqa: BLE001 — warm is best-effort
+                log.debug("background ivf scatter warm failed",
+                          exc_info=True)
+            finally:
+                self._scatter_warm_pending = False
+
+        import threading
+        t = threading.Thread(target=run, daemon=True,
+                             name="cortex-ivf-scatter-warm")
+        _WARM_THREADS.add(t)
+        t.start()
 
     def sync(self) -> None:
         """Push host diffs into the block layout; full rebuild (with
@@ -884,29 +1187,36 @@ class IvfCorpus(DeviceCorpus):
             return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
                     jnp.zeros((b, k_bucket), jnp.int32), False)
         cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, meta = ivf
+        if tuple(emb_i8.shape) != self._scatter_warmed:
+            self._maybe_warm_scatter(tuple(emb_i8.shape))
         c = cent.shape[0]
         p = self._nprobe(c)
         cand = min(self._cand_count(k_bucket), p * self._slot_cap)
         dd = self._has_spill                  # compile dedup out when
         if meta is not None:                  # Mosaic gather-score path
             if host_bias is not None:
-                v, rows = _ivf_search_pallas_hostbias(
-                    cent, emb_i8, meta, jnp.asarray(host_bias), q,
-                    p=p, cand=cand, dedup=dd)
+                fn, name = _ivf_search_pallas_hostbias, "pallas_hb"
+                args = (cent, emb_i8, meta, jnp.asarray(host_bias), q)
+                statics = dict(p=p, cand=cand, dedup=dd)
             else:
                 filtered = bool(ak[0] != NO_FILTER or aa != NO_FILTER
                                 or ex[0] != NO_FILTER)
-                v, rows = _ivf_search_pallas(
-                    cent, emb_i8, meta, ak, aa, ex, q,
-                    p=p, cand=cand, filtered=filtered, dedup=dd)
+                fn, name = _ivf_search_pallas, "pallas"
+                args = (cent, emb_i8, meta, ak, aa, ex, q)
+                statics = dict(p=p, cand=cand, filtered=filtered,
+                               dedup=dd)
         elif host_bias is not None:
-            v, rows = _ivf_search_hostbias(
-                cent, emb_i8, rinv_sl, slot_rows,
-                jnp.asarray(host_bias), q, p=p, cand=cand, dedup=dd)
+            fn, name = _ivf_search_hostbias, "xla_hb"
+            args = (cent, emb_i8, rinv_sl, slot_rows,
+                    jnp.asarray(host_bias), q)
+            statics = dict(p=p, cand=cand, dedup=dd)
         else:
-            v, rows = _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
-                                  kind_sl, agent_sl, ak, aa, ex, q,
-                                  p=p, cand=cand, dedup=dd)
+            fn, name = _ivf_search, "xla"
+            args = (cent, emb_i8, rinv_sl, slot_rows, kind_sl,
+                    agent_sl, ak, aa, ex, q)
+            statics = dict(p=p, cand=cand, dedup=dd)
+        self._log_search(name, args, k_bucket, statics)
+        v, rows = fn(*args, **statics)
         if v.shape[1] < k_bucket:
             # tiny probed pool (nprobe*L < k bucket): pad so the
             # inherited numpy rescore still returns [B, >=kk] columns

@@ -291,6 +291,133 @@ class TestQueryChunking:
             self._clear()                     # drop the budget-1 traces
 
 
+class TestShapeStableRebuilds:
+    def test_shape_bucket_is_idempotent_and_coarse(self):
+        for v in [1, 8, 17, 100, 548, 568, 712, 744, 1020, 3162, 8192]:
+            b = IvfCorpus._shape_bucket(v)
+            assert b >= v
+            assert IvfCorpus._shape_bucket(b) == b      # stable rung
+            assert b <= v + max(8, v // 8)              # bounded pad
+        # the soak's observed pair: both sizes land on the same rungs
+        assert (IvfCorpus._shape_bucket(548)
+                == IvfCorpus._shape_bucket(568) == 576)
+        assert (IvfCorpus._shape_bucket(712)
+                == IvfCorpus._shape_bucket(744) == 768)
+
+    def test_rebuild_after_modest_growth_keeps_layout_shape(self):
+        """A placement-full rebuild at a ~10%-grown corpus must land
+        on the SAME [C, L, d] shape — the shape is a static parameter
+        of every compiled search program, and a mid-serving shape
+        change recompiles the whole family (measured: ~80 s p95 stall
+        through a tunneled device)."""
+        vecs = clustered(300, dim=48)
+        ivf, _ = build_pair(vecs, nlist=0, nprobe=8)
+        ivf._corpus.sync()
+        shape0 = tuple(ivf._corpus._ivf_dev[1].shape)
+        extra = clustered(30, dim=48, seed=4) + 1.0     # +10%
+        ivf.insert_batch([f"x{i}" for i in range(30)], extra)
+        ivf.retrain()                                   # full rebuild
+        assert tuple(ivf._corpus._ivf_dev[1].shape) == shape0
+
+
+class TestSlotGrowth:
+    def test_placement_full_grows_slots_instead_of_rebuilding(self):
+        """Exhausting every slot must pad the slot axis IN HBM
+        (assignments kept, no retrain/re-upload) and keep results
+        exact — the old full-rebuild fallback re-uploaded the whole
+        layout (~20-30 s through a tunneled device, measured as the
+        residual p99 event in the IVF mixed-workload soak)."""
+        vecs = clustered(200, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()                    # trained at 200 rows
+        co = ivf._corpus
+        l0, trained0 = co._slot_cap, co._trained_live
+        rng = np.random.default_rng(9)
+        extra = rng.standard_normal((100, 48)).astype(np.float32)
+        ids = [f"g{i}" for i in range(100)]   # overfills the reserve
+        ivf.insert_batch(ids, extra)
+        for i, nid in enumerate(ids):
+            oracle.insert(nid, extra[i], kind="", source_agent="")
+        q = np.concatenate([extra[:4], clustered(4, dim=48, seed=2)])
+        got = ivf.search_batch(q, 10)         # sync -> growth path
+        want = oracle.search_batch(q, 10)
+        assert co._trained_live == trained0   # NO rebuild happened
+        assert co._slot_cap > l0              # the slot axis grew
+        assert co._slot_cap == co._ivf_dev[1].shape[1]
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+    def test_pad_meta_axis_matches_build_meta(self):
+        """Grown meta slots must carry the exact empty-slot encoding
+        _build_meta writes (the Pallas kernel reads these planes)."""
+        import jax.numpy as jnp
+
+        from cortex_tpu.vector.ivf import _pad_meta_axis
+        co = IvfCorpus(16)
+        c, l, pad = 3, 8, 8
+        rng = np.random.default_rng(0)
+        rinv = rng.random((c, l)).astype(np.float32)
+        rows = rng.integers(-1, 50, (c, l)).astype(np.int32)
+        kinds = rng.integers(0, 4, (c, l)).astype(np.int32)
+        agents = rng.integers(0, 4, (c, l)).astype(np.int32)
+        grown = np.asarray(_pad_meta_axis(
+            jnp.asarray(co._build_meta(rinv, rows, kinds, agents)),
+            pad=pad))
+        from cortex_tpu.vector.shard import PAD_CODE
+        want = co._build_meta(
+            np.concatenate([rinv, np.zeros((c, pad), np.float32)], 1),
+            np.concatenate([rows, np.full((c, pad), -1, np.int32)], 1),
+            np.concatenate([kinds,
+                            np.full((c, pad), PAD_CODE, np.int32)], 1),
+            np.concatenate([agents,
+                            np.full((c, pad), PAD_CODE, np.int32)], 1))
+        np.testing.assert_array_equal(grown, want)
+
+    def test_warm_next_slot_programs_counts(self):
+        vecs = clustered(200, dim=48)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        ivf.search_batch(clustered(2, dim=48, seed=1), 5)  # log entry
+        n = ivf._corpus.warm_next_slot_programs()
+        assert n >= 2                         # search recipe + pads
+
+
+class TestScatterWarmAndChunking:
+    def test_warm_scatter_buckets_is_shape_only(self):
+        vecs = clustered(200, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()
+        co = ivf._corpus
+        before = co._ivf_dev
+        spill_before = (co._cluster_of2 >= 0).sum()
+        assert co.warm_scatter_buckets()
+        assert co._ivf_dev is before          # no state mutated
+        assert (co._cluster_of2 >= 0).sum() == spill_before
+        assert co._scatter_warmed == tuple(before[1].shape)
+        # untrained corpus: warm declines
+        assert not IvfCorpus(8).warm_scatter_buckets()
+
+    def test_large_dirty_waves_chunk_and_stay_exact(self, monkeypatch):
+        """A dirty wave larger than MAX_SCATTER_ROWS splits into
+        bounded scatters; results must still track the oracle."""
+        from cortex_tpu.vector import ivf as ivf_mod
+        monkeypatch.setattr(ivf_mod, "MAX_SCATTER_ROWS", 16)
+        vecs = clustered(400, dim=48)
+        ivf, oracle = build_pair(vecs, nlist=8, nprobe=8)
+        ivf._corpus.sync()                    # trained
+        rng = np.random.default_rng(5)
+        upd = rng.standard_normal((60, 48)).astype(np.float32)
+        ids = [f"n{i}" for i in range(60)]    # 60 dirty > 16 bound
+        ivf.insert_batch(ids, upd)
+        for i, nid in enumerate(ids):
+            oracle.insert(nid, upd[i], kind="", source_agent="")
+        q = np.concatenate([upd[:4], clustered(4, dim=48, seed=6)])
+        got = ivf.search_batch(q, 10)
+        want = oracle.search_batch(q, 10)
+        for b in range(len(q)):
+            assert [i for i, _ in got[b]] == [i for i, _ in want[b]]
+
+
 class TestSnapshotBoot:
     """Snapshots persist the trained clustering (centroids + per-id
     cluster) so a restored index boots WITHOUT re-running k-means +

@@ -35,10 +35,21 @@ from .vector import (ScoreDecayConfig, TpuFlatIndex, VectorFilter,
                      apply_score_decay_batch, default_embedder)
 from .vector.hybrid import HybridQuery, HybridResult, HybridSearch
 
-#: incremental-checkpoint policy: write a delta sidecar while the
-#: touched-row working set stays under max(floor, corpus/20); past that
-#: the base npz is rewritten (the delta would approach full-corpus cost)
+#: incremental-checkpoint policy: live checkpoints append LINKS to a
+#: delta CHAIN (each link holds only the rows touched since the
+#: previous checkpoint — bounded, ~MBs) and the base npz is rewritten
+#: only when the chain's total row count outgrows max(floor, corpus/4)
+#: or the link count cap. The r2 design kept ONE cumulative delta,
+#: rewritten in full every checkpoint: under sustained writes that is
+#: O(T^2) total bytes, and the corpus/20 rewrite ceiling forced a full
+#: base rewrite (~25-35 s of starved-host npz on this image) every
+#: ~20 s in the IVF mixed-workload soak — the dominant residual p99.
 _DELTA_FULL_REWRITE_FLOOR = 4096
+#: chain ceiling as a corpus fraction (boot replays the whole chain;
+#: replay is upsert_batch work, ~ms per link)
+_CHAIN_ROW_DIVISOR = 4
+#: hard cap on chain length (one file open per link at boot)
+_CHAIN_MAX_LINKS = 64
 
 
 class Cortex:
@@ -68,6 +79,14 @@ class Cortex:
         self.embedder = default_embedder(self.config.embedding.model,
                                          self.config.embedding.dimension)
         self.index = self._make_index()
+        # delta-chain bookkeeping (see save_index_snapshot): the
+        # on-disk base's seq this chain extends, link count, total
+        # rows across links, and the last link's index_seq — set
+        # BEFORE _rebuild_index, whose snapshot load initializes it
+        self._chain_bs: Optional[int] = None
+        self._chain_len = 0
+        self._chain_ids = 0
+        self._chain_last_seq: Optional[int] = None
         self._rebuild_index()
         self.graph = GraphEngine(storage)
         self.mirror = DeviceGraphMirror(self.graph.cache)
@@ -358,12 +377,43 @@ class Cortex:
         p = self._index_snapshot_path()
         return None if p is None else p + ".delta.npz"
 
+    def _index_link_path(self, k: int) -> Optional[str]:
+        """Chain link k's file: link 0 keeps the legacy single-delta
+        name (old snapshots load as a one-link chain)."""
+        p = self._index_snapshot_path()
+        if p is None:
+            return None
+        return p + (".delta.npz" if k == 0 else f".delta.{k}.npz")
+
+    def _delete_chain_links(self, from_k: int = 0) -> None:
+        """Remove link files >= from_k (stale after a base rewrite, or
+        left behind by a storage restore to an older seq — a stale
+        higher link could otherwise pair with a fresh chain whose
+        monotonic seqs re-issue the discarded range)."""
+        import os as _os
+        k = from_k
+        while True:
+            lp = self._index_link_path(k)
+            if lp is None or not _os.path.exists(lp):
+                # also probe one past a gap (crash between deletes)
+                lp2 = self._index_link_path(k + 1)
+                if lp2 is None or not _os.path.exists(lp2):
+                    return
+            else:
+                try:
+                    _os.remove(lp)
+                except OSError:
+                    return
+            k += 1
+
     def _try_load_index_snapshot(self) -> bool:
-        """Boot from base snapshot (+ incremental delta when one is
-        published): valid iff either the base alone matches the
-        storage's index_seq, or a delta exists whose base_seq pairs
-        with the on-disk base AND whose index_seq matches storage.
-        Anything else (torn writes, stale pairs) -> full rebuild."""
+        """Boot from base snapshot (+ the incremental delta CHAIN when
+        links are published): valid iff the base's seq, extended link
+        by link (each link's base_seq must name this base and its
+        prev_seq must equal the running seq), reaches exactly the
+        storage's index_seq. Anything else (torn writes, stale pairs,
+        chain gaps) -> full rebuild. Legacy single cumulative deltas
+        (no prev_seq) load as a one-link chain."""
         import json as _json
         import os as _os
         path = self._index_snapshot_path()
@@ -379,19 +429,40 @@ class Cortex:
             if meta.get("dim") != self.embedder.dimension:
                 return False
             base_seq = meta.get("index_seq")
-            if base_seq == seq:
-                self.index.load(path)
-                return True
-            dpath = self._index_delta_path()
-            if dpath and _os.path.exists(dpath):
-                dmeta = self.index.read_delta_meta(dpath)
-                if (dmeta.get("base_seq") == base_seq
-                        and dmeta.get("index_seq") == seq
-                        and dmeta.get("dim") == self.embedder.dimension):
-                    self.index.load(path)
-                    self.index.apply_delta(dpath)
-                    return True
-            return False
+            # walk the chain on metadata only (cheap: np.load is lazy)
+            links, cur = [], base_seq
+            for k in range(_CHAIN_MAX_LINKS):
+                if cur == seq:
+                    break   # storage reached; later links are stale
+                    # debris (e.g. a restore to an older seq) — the
+                    # next link write overwrites/deletes them
+                lp = self._index_link_path(k)
+                if lp is None or not _os.path.exists(lp):
+                    break
+                lmeta = self.index.read_delta_meta(lp)
+                if (lmeta.get("dim") != self.embedder.dimension
+                        or lmeta.get("base_seq") != base_seq
+                        or lmeta.get("prev_seq", base_seq) != cur):
+                    break                     # stale/foreign link
+                links.append(lp)
+                cur = lmeta.get("index_seq")
+            if cur != seq:
+                return False
+            self.index.load(path)
+            n_rows = 0
+            for lp in links:
+                lmeta = self.index.apply_delta(lp)
+                n_rows += len(lmeta["ids"]) + len(lmeta["removed"])
+            # the in-memory state now equals base + chain EXACTLY, so
+            # the next link's working set starts empty (apply_delta
+            # seeded it for the legacy cumulative design)
+            if hasattr(self.index, "_delta_ids"):
+                self.index._delta_ids.clear()
+            self._chain_bs = base_seq
+            self._chain_len = len(links)
+            self._chain_ids = n_rows
+            self._chain_last_seq = cur
+            return True
         except Exception:  # noqa: BLE001 — any corruption -> full rebuild
             return False
 
@@ -430,8 +501,9 @@ class Cortex:
                 seq = self.storage.index_seq()
                 if seq is None:
                     return
-                # the last-published seq is the delta's when a valid
-                # (base, delta) pair exists, else the base marker's
+                # the last-published seq is the chain tail's when this
+                # process owns a chain over the on-disk base, else the
+                # base marker's
                 base_seq, saved = None, None
                 if _os.path.exists(path + ".meta"):
                     try:
@@ -440,22 +512,23 @@ class Cortex:
                         if base_meta.get("dim") == self.embedder.dimension:
                             base_seq = base_meta.get("index_seq")
                             saved = base_seq
-                        if dpath and _os.path.exists(dpath):
-                            dmeta = self.index.read_delta_meta(dpath)
-                            if dmeta.get("base_seq") == base_seq:
-                                saved = dmeta.get("index_seq")
                     except Exception:  # noqa: BLE001
                         base_seq = saved = None
+                if (base_seq is not None and self._chain_bs == base_seq
+                        and self._chain_last_seq is not None):
+                    saved = self._chain_last_seq
                 if saved == seq:
                     return  # unchanged since last checkpoint
                 if (isinstance(saved, int) and seq - saved < min_delta):
                     return  # too few changes for a live checkpoint
-                # incremental checkpoint while a base exists and the
-                # working set is a small corpus fraction: writes MBs
-                # instead of the full corpus (a 3 GB npz rewrite pegs a
+                # incremental checkpoint while a base exists: append a
+                # LINK holding only the rows touched since the previous
+                # checkpoint (bounded, ~MBs — a cumulative delta is
+                # O(T^2) bytes under sustained writes) and rewrite the
+                # base only when the whole chain outgrows a corpus
+                # fraction or the link cap (a 3 GB npz rewrite pegs a
                 # core for ~40 s — measured as p95 == write duration in
-                # the 1M mixed-workload bench). The delta is cumulative
-                # vs the base, so one file is always enough to replay.
+                # the 1M mixed-workload bench)
                 use_delta = (
                     base_seq is not None and dpath is not None
                     # the in-memory index must actually DERIVE from the
@@ -465,10 +538,13 @@ class Cortex:
                     # and pairing it with the stale base resurrects
                     # rows deleted since that base was written
                     and getattr(self, "_index_base_synced", False)
+                    # ... and this process's chain must extend THIS base
+                    and self._chain_bs == base_seq
                     and hasattr(self.index, "delta_size")
-                    and self.index.delta_size()
-                    <= max(_DELTA_FULL_REWRITE_FLOOR,
-                           len(self.index) // 20)
+                    and self._chain_len < _CHAIN_MAX_LINKS
+                    and (self._chain_ids + self.index.delta_size()
+                         <= max(_DELTA_FULL_REWRITE_FLOOR,
+                                len(self.index) // _CHAIN_ROW_DIVISOR))
                     # an IVF base written before training carries no
                     # clustering — rewrite it once so boots skip the
                     # k-means retrain (~90 s at 10M rows)
@@ -478,12 +554,14 @@ class Cortex:
                 try:
                     # fast consistent copy under the lock; the slow
                     # write happens after release so writes don't stall
-                    # for the checkpoint duration
+                    # for the checkpoint duration. Both paths swap the
+                    # delta working set: each link holds only the rows
+                    # touched since the previous checkpoint
                     if use_delta:
                         st = self.index.delta_state()
                     else:
                         st = self.index.snapshot_state()
-                        pending = self.index.begin_snapshot_base()
+                    pending = self.index.begin_snapshot_base()
                 except Exception:  # noqa: BLE001 — an optimization only
                     _logging.getLogger("cortex.api").exception(
                         "index snapshot capture failed; live "
@@ -492,15 +570,28 @@ class Cortex:
             try:
                 # atomic publication: tmp + rename, npz before marker —
                 # a crash mid-save leaves a previous consistent state
-                # or a mismatched pair (boot then rebuilds), never a
-                # marker pointing at torn data
+                # or a mismatched/short chain (boot then rebuilds),
+                # never a marker pointing at torn data
                 if use_delta:
+                    lpath = self._index_link_path(self._chain_len)
+                    prev = (self._chain_last_seq if self._chain_len
+                            else base_seq)
                     self.index.write_delta(
-                        dpath + ".tmp", st,
+                        lpath + ".tmp", st,
                         extra_meta={"base_seq": base_seq,
+                                    "prev_seq": prev,
                                     "index_seq": seq})
+                    # stale higher links (crash debris, or a storage
+                    # RESTORE to an older seq whose re-issued monotonic
+                    # seqs could make an old link pair with this fresh
+                    # tail) must be gone before the tail is published
+                    self._delete_chain_links(self._chain_len + 1)
                     # np.savez appends .npz to paths without the suffix
-                    _os.replace(dpath + ".tmp.npz", dpath)
+                    _os.replace(lpath + ".tmp.npz", lpath)
+                    self._chain_len += 1
+                    self._chain_ids += (len(st["ids"])
+                                        + len(st["removed"]))
+                    self._chain_last_seq = seq
                 else:
                     self.index.write_snapshot(path + ".tmp.npz", st)
                     _os.replace(path + ".tmp.npz", path)
@@ -509,11 +600,14 @@ class Cortex:
                         _json.dump({"index_seq": seq,
                                     "dim": self.embedder.dimension}, f)
                     _os.replace(tmp_meta, path + ".meta")
-                    if dpath and _os.path.exists(dpath):
-                        _os.remove(dpath)   # stale: paired with old base
+                    self._delete_chain_links(0)  # stale: old base
                     # the new base IS the current state (modulo the
-                    # swapped delta working set): deltas may pair again
+                    # swapped delta working set): links may chain again
                     self._index_base_synced = True
+                    self._chain_bs = seq
+                    self._chain_len = 0
+                    self._chain_ids = 0
+                    self._chain_last_seq = seq
             except Exception:  # noqa: BLE001
                 _logging.getLogger("cortex.api").exception(
                     "index snapshot write failed (disk full/permission?)"

@@ -114,9 +114,9 @@ class TpuFlatIndex(VectorIndex):
         self._corpus = DeviceCorpus(dim, search_path=search_path,
                                     storage_dtype=storage_dtype,
                                     use_pallas=use_pallas)
-        # ids touched since the last FULL snapshot capture — the
-        # incremental-checkpoint working set (a cumulative delta vs the
-        # base snapshot file, swapped out by begin_snapshot_base)
+        # ids touched since the last CHECKPOINT capture — the
+        # incremental working set (one delta-chain link's contents,
+        # swapped out by begin_snapshot_base at every link/base write)
         self._delta_ids: set = set()
 
     def insert(self, node_id: str, vector: np.ndarray, *,

@@ -330,18 +330,96 @@ class TestIncrementalCheckpoint:
         assert {n.id for _, n in hits} == set(ids[1:] + more)
         cx2.close()
 
-    def test_delta_is_cumulative_across_checkpoints(self, tmp_path):
+    def test_delta_chain_links_across_checkpoints(self, tmp_path):
+        """Each checkpoint appends a LINK holding only the rows touched
+        since the previous one (bounded write cost under sustained
+        writes — a cumulative delta rewritten per checkpoint is O(T^2)
+        total bytes); boot replays base + every link in order."""
+        import os
+        base = str(tmp_path / "cortex.db.index.npz")
         cx = self._open(tmp_path)
         a = self._store(cx, 0)
         cx.save_index_snapshot()                # full base
         b = self._store(cx, 1)
-        cx.save_index_snapshot()                # delta {b}
+        cx.save_index_snapshot()                # link 0: {b}
         c = self._store(cx, 2)
-        cx.close()                              # delta {b, c} overwrites
+        cx.close()                              # link 1: {c}
+        assert os.path.exists(base + ".delta.npz")
+        assert os.path.exists(base + ".delta.1.npz")
+        # link 1 holds ONLY c, not a re-copy of b
+        from cortex_tpu.vector.index import TpuFlatIndex
+        m1 = TpuFlatIndex.read_delta_meta(base + ".delta.1.npz")
+        assert m1["ids"] == [c]
         cx2 = self._open(tmp_path)
         assert {a, b, c} <= {i for i in (a, b, c) if i in cx2.index}
         assert len(cx2.index) == 3
+        # a post-boot checkpoint EXTENDS the chain (link 2), with a
+        # working set that starts empty — not a re-copy of the chain
+        d = self._store(cx2, 3)
         cx2.close()
+        m2 = TpuFlatIndex.read_delta_meta(base + ".delta.2.npz")
+        assert m2["ids"] == [d]
+        cx3 = self._open(tmp_path)
+        assert len(cx3.index) == 4 and d in cx3.index
+        cx3.close()
+
+    def test_chain_ceiling_triggers_base_rewrite(self, tmp_path,
+                                                 monkeypatch):
+        """When the chain's TOTAL rows outgrow the corpus fraction the
+        base is rewritten and every link removed."""
+        import os
+        from cortex_tpu import api as api_mod
+        base = str(tmp_path / "cortex.db.index.npz")
+        cx = self._open(tmp_path)
+        self._store(cx, 0)
+        cx.save_index_snapshot()                # base {0}
+        self._store(cx, 1)
+        cx.save_index_snapshot()                # link 0
+        monkeypatch.setattr(api_mod, "_DELTA_FULL_REWRITE_FLOOR", 1)
+        base_mtime = os.path.getmtime(base)
+        self._store(cx, 2)
+        cx.save_index_snapshot()                # chain 1+1 > max(1, 3//4)
+        assert os.path.getmtime(base) > base_mtime
+        assert not os.path.exists(base + ".delta.npz")
+        assert not os.path.exists(base + ".delta.1.npz")
+        cx.close()
+        cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 3
+        cx2.close()
+
+    def test_stale_higher_links_never_pair_after_restore(self, tmp_path):
+        """A storage RESTORE to an older seq re-issues the discarded
+        seq range, so a stale higher link left on disk can carry
+        EXACTLY the (prev_seq, index_seq) pair the fresh timeline will
+        produce — it must never pair with the fresh chain tail (it
+        holds the other timeline's rows)."""
+        import shutil
+        db = str(tmp_path / "cortex.db")
+        cx = self._open(tmp_path)
+        a = self._store(cx, 0)
+        cx.save_index_snapshot()                # base {a}
+        b = self._store(cx, 1)
+        cx.save_index_snapshot()                # link 0 {b}
+        cx.storage.snapshot(db + ".bak")        # consistent backup HERE
+        c = self._store(cx, 2)
+        cx.save_index_snapshot()                # link 1 {c}
+        cx.storage.close()
+        shutil.copy(db + ".bak", db)            # RESTORE (link 1 stale)
+        cx2 = self._open(tmp_path)
+        # boot stops the chain walk at the storage seq: base + link 0
+        # load, the stale link 1 is ignored (no rebuild)
+        assert len(cx2.index) == 2 and a in cx2.index and b in cx2.index
+        assert c not in cx2.index
+        # the fresh timeline re-issues the same seq the stale link 1
+        # claims; the new link must overwrite it
+        x = self._store(cx2, 7)
+        cx2.close()                             # fresh link 1 {x}
+        cx3 = self._open(tmp_path)
+        assert {a, b, x} == set(
+            i for i in (a, b, c, x) if i in cx3.index), \
+            "stale other-timeline link paired with the fresh chain"
+        assert len(cx3.index) == 3
+        cx3.close()
 
     def test_raw_mutation_invalidates_base_delta_pair(self, tmp_path):
         import numpy as np
@@ -364,6 +442,23 @@ class TestIncrementalCheckpoint:
         cx2 = self._open(tmp_path)              # seq mismatch -> rebuild
         assert len(cx2.index) == 3
         assert n.id in cx2.index
+        cx2.close()
+
+    def test_corrupt_link_falls_back_to_rebuild(self, tmp_path):
+        """A torn/corrupt chain link must never crash boot or lose
+        data — the chain walk rejects it and the index rebuilds from
+        storage."""
+        base = str(tmp_path / "cortex.db.index.npz")
+        cx = self._open(tmp_path)
+        a = self._store(cx, 0)
+        cx.save_index_snapshot()                # base
+        b = self._store(cx, 1)
+        cx.close()                              # link 0 {b}
+        with open(base + ".delta.npz", "r+b") as f:
+            f.truncate(16)                      # torn write
+        cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 2
+        assert a in cx2.index and b in cx2.index
         cx2.close()
 
     def test_large_delta_triggers_full_rewrite(self, tmp_path, monkeypatch):

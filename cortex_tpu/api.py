@@ -334,6 +334,12 @@ class Cortex:
         (api.rs:54-69 / serve.rs:100-123 — the reference always takes
         the slow path)."""
         self._index_diverged = False
+        # bumped per rebuild: a snapshot save whose write phase (runs
+        # OUTSIDE the persist lock) straddles a rebuild must not
+        # re-arm chain state for an index that no longer derives from
+        # the base it just wrote (save_index_snapshot checks this)
+        self._index_rebuild_gen = getattr(
+            self, "_index_rebuild_gen", 0) + 1
         if self._try_load_index_snapshot():
             self._index_base_synced = True
             return
@@ -344,6 +350,10 @@ class Cortex:
         # and the crash is absent here but present in the base; a
         # {base, delta} pair would resurrect it at the next boot)
         self._index_base_synced = False
+        self._chain_bs = None                 # no chain over any base
+        self._chain_len = 0
+        self._chain_ids = 0
+        self._chain_last_seq = None
         if len(self.index) > 0:
             # a PARTIALLY applied snapshot load (base loaded, delta
             # apply raised) left stale base rows — rebuilding on top
@@ -551,6 +561,7 @@ class Cortex:
                     and not getattr(self.index, "snapshot_base_stale",
                                     lambda: False)())
                 pending = None
+                gen = getattr(self, "_index_rebuild_gen", 0)
                 try:
                     # fast consistent copy under the lock; the slow
                     # write happens after release so writes don't stall
@@ -588,10 +599,16 @@ class Cortex:
                     self._delete_chain_links(self._chain_len + 1)
                     # np.savez appends .npz to paths without the suffix
                     _os.replace(lpath + ".tmp.npz", lpath)
-                    self._chain_len += 1
-                    self._chain_ids += (len(st["ids"])
-                                        + len(st["removed"]))
-                    self._chain_last_seq = seq
+                    with self._persist_lock:
+                        # a reindex/rebuild that landed during the
+                        # (unlocked) write invalidated this chain —
+                        # leave the rebuild's reset state alone; the
+                        # orphan link dies at the next base rewrite
+                        if getattr(self, "_index_rebuild_gen", 0) == gen:
+                            self._chain_len += 1
+                            self._chain_ids += (len(st["ids"])
+                                                + len(st["removed"]))
+                            self._chain_last_seq = seq
                 else:
                     self.index.write_snapshot(path + ".tmp.npz", st)
                     _os.replace(path + ".tmp.npz", path)
@@ -601,13 +618,21 @@ class Cortex:
                                     "dim": self.embedder.dimension}, f)
                     _os.replace(tmp_meta, path + ".meta")
                     self._delete_chain_links(0)  # stale: old base
-                    # the new base IS the current state (modulo the
-                    # swapped delta working set): links may chain again
-                    self._index_base_synced = True
-                    self._chain_bs = seq
-                    self._chain_len = 0
-                    self._chain_ids = 0
-                    self._chain_last_seq = seq
+                    with self._persist_lock:
+                        # same rebuild-straddle guard: the rebuilt
+                        # index does not derive from the base this
+                        # save just wrote, so re-arming the chain
+                        # would let a later link resurrect rows
+                        # deleted between the capture and the rebuild
+                        if getattr(self, "_index_rebuild_gen", 0) == gen:
+                            # the new base IS the current state
+                            # (modulo the swapped working set): links
+                            # may chain again
+                            self._index_base_synced = True
+                            self._chain_bs = seq
+                            self._chain_len = 0
+                            self._chain_ids = 0
+                            self._chain_last_seq = seq
             except Exception:  # noqa: BLE001
                 _logging.getLogger("cortex.api").exception(
                     "index snapshot write failed (disk full/permission?)"

@@ -149,6 +149,15 @@ class ShardedIvfCorpus(IvfCorpus):
         # motivates the kernel bites later)
         return False
 
+    def _grow_slots(self) -> bool:
+        # the sharded dispatch path records no search recipes and the
+        # single-chip warm machinery lowers kernels this corpus never
+        # calls, so an in-HBM slot growth here would change [C, L, d]
+        # with NOTHING pre-compiled — a mid-serving compile storm on
+        # the mesh. Keep the designed full-rebuild growth path
+        # (sharded layouts re-place on growth).
+        return False
+
     def _place_ivf(self, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
                    agent_sl, meta):
         # device_put straight from the NUMPY arrays: each device then

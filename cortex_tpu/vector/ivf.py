@@ -84,6 +84,14 @@ PALLAS_ENABLED = os.environ.get("CORTEX_IVF_PALLAS", "1") != "0"
 #: incremental slot scatters chunk to this bound so the whole
 #: power-of-two program family is pre-compilable (warm_scatter_buckets)
 MAX_SCATTER_ROWS = 1024
+#: the background warm-ahead only engages for layouts of at least this
+#: many slots (C*L): the warm compiles ~25 programs, and through a
+#: tunneled device each compile RPC head-of-line-blocks serving — worth
+#: it to protect a crossing that would cost 80 s at production scale,
+#: pure overhead for a tiny corpus whose rebuilds take milliseconds
+#: (measured: a 4-node IVF server's writes crawled to ~120 s each while
+#: the background warm compiled dead tiny-shape programs)
+WARM_MIN_SLOTS = 1 << 16
 
 
 # ---------------------------------------------------------------- training
@@ -518,9 +526,14 @@ class IvfCorpus(DeviceCorpus):
             bc2[row] = -1
 
     def upsert_batch(self, ids, vectors, kinds, agents) -> None:
-        super().upsert_batch(ids, vectors, kinds, agents)
-        if self._boot_cluster is not None:
-            with self._lock:
+        # the write AND the hint masking happen under ONE lock hold
+        # (RLock): a concurrent search's sync() could otherwise run
+        # _build_ivf in the gap, consume the still-unmasked hint (the
+        # hints are one-shot) and pack the NEW vector into the OLD
+        # vector's cluster
+        with self._lock:
+            super().upsert_batch(ids, vectors, kinds, agents)
+            if self._boot_cluster is not None:
                 for nid in ids:
                     r = self._row_of.get(nid)
                     if r is not None:
@@ -852,12 +865,27 @@ class IvfCorpus(DeviceCorpus):
         pad = l2 - l
         if pad <= 0:
             return False
-        if c * (l + l2) * self.dim > self._hbm_budget:
+        # per-slot bytes: int8 emb + 4 f32/i32 aux planes + the [C,8,L]
+        # f32 meta plane when the Pallas path is on — each transiently
+        # double-buffered during its donating concat
+        per_slot = self.dim + 16 + (32 if meta is not None else 0)
+        if c * (l + l2) * per_slot > self._hbm_budget:
             return False                      # transient peak too big
-        arrs = _pad_slot_axis(emb_i8, rinv_sl, slot_rows, kind_sl,
-                              agent_sl, pad=pad)
-        meta = _pad_meta_axis(meta, pad=pad) if meta is not None \
-            else None
+        try:
+            arrs = _pad_slot_axis(emb_i8, rinv_sl, slot_rows, kind_sl,
+                                  agent_sl, pad=pad)
+            meta = _pad_meta_axis(meta, pad=pad) if meta is not None \
+                else None
+        except Exception:   # noqa: BLE001 — donation is not atomic
+            # the pads DONATE the layout planes: a failure partway
+            # (OOM, compile error) can leave the published tuple
+            # pointing at deleted buffers, which every retry would
+            # recapture — drop the layout so sync() rebuilds from the
+            # host state (the source of truth) instead
+            log.exception("ivf slot growth failed; layout dropped "
+                          "for rebuild")
+            self._ivf_dev = None
+            return False
         self._ivf_dev = (cent, *arrs, meta)
         for f in self._cluster_free:
             f.extend(range(l, l2))
@@ -897,18 +925,24 @@ class IvfCorpus(DeviceCorpus):
         fns = {"xla": _ivf_search, "xla_hb": _ivf_search_hostbias,
                "pallas": _ivf_search_pallas,
                "pallas_hb": _ivf_search_pallas_hostbias}
+        shapes, meta_shape = self._layout_shapes()  # no array refs
+        if (shapes is not None
+                and shapes[0].shape[0] * shapes[0].shape[1]
+                < WARM_MIN_SLOTS):
+            return 0        # tiny layout: crossings are cheap
         with self._lock:
-            ivf = self._ivf_dev
             l = self._slot_cap
+            # prune recipes recorded at OTHER slot rungs: after a
+            # growth/rebuild they can never be dispatched again, and
+            # re-lowering them verbatim on every warm pass burns a
+            # full XLA compile each (~20-40 s through a tunneled
+            # device) for a dead program
+            stale = [k for k, rec_l in self._search_log.items()
+                     if rec_l != l]
+            for k in stale:
+                del self._search_log[k]
             entries = list(self._search_log.items())
-            meta_there = ivf is not None and ivf[6] is not None
-            shapes = (None if ivf is None else
-                      tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                            for a in ivf[1:6]))
-            meta_shape = (jax.ShapeDtypeStruct(ivf[6].shape,
-                                               ivf[6].dtype)
-                          if meta_there else None)
-        if ivf is None or l <= 0:
+        if shapes is None or l <= 0:
             return 0
         l2 = self._shape_bucket(l + 1)
         if l2 <= l:
@@ -935,8 +969,7 @@ class IvfCorpus(DeviceCorpus):
             except Exception:   # noqa: BLE001 — warm is best-effort
                 log.debug("ivf next-slot warm failed for %s", name,
                           exc_info=True)
-        # the growth pads themselves, and the scatter family at the
-        # grown shape
+        # the growth pads themselves...
         try:
             _pad_slot_axis.lower(*shapes, pad=l2 - l).compile()
             if meta_shape is not None:
@@ -944,6 +977,17 @@ class IvfCorpus(DeviceCorpus):
             done += 1
         except Exception:   # noqa: BLE001
             log.debug("ivf pad-program warm failed", exc_info=True)
+        # ... and the donating-scatter family at the GROWN shape: the
+        # growth fires mid-_apply_dirty and the same call immediately
+        # scatters at [C, l2, d] — left cold, that first write wave
+        # pays the compile inside the corpus lock
+        grown = tuple(
+            S((s.shape[0], l2) + s.shape[2:], s.dtype)
+            for s in shapes)
+        grown_meta = (None if meta_shape is None else
+                      S(meta_shape.shape[:2] + (l2,), meta_shape.dtype))
+        self._lower_scatter_family(grown, grown_meta, pace_s=pace_s)
+        done += 1
         return done
 
     def _apply_dirty(self, rows: np.ndarray) -> bool:
@@ -1046,40 +1090,55 @@ class IvfCorpus(DeviceCorpus):
             ac = np.where(dead, PAD_CODE,
                           self._agent_h[src]).astype(np.int32)
             cent, *arrs, meta = self._ivf_dev
-            if meta is not None:
-                meta = _scatter_meta(meta, jnp.asarray(c_idx),
-                                     jnp.asarray(s_idx), jnp.asarray(sr),
-                                     jnp.asarray(kc), jnp.asarray(ac),
-                                     jnp.asarray(ri))
-            self._ivf_dev = (cent, *_scatter_slots(
-                *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
-                jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
-                jnp.asarray(kc), jnp.asarray(ac)), meta)
+            try:
+                if meta is not None:
+                    meta = _scatter_meta(meta, jnp.asarray(c_idx),
+                                         jnp.asarray(s_idx),
+                                         jnp.asarray(sr),
+                                         jnp.asarray(kc),
+                                         jnp.asarray(ac),
+                                         jnp.asarray(ri))
+                self._ivf_dev = (cent, *_scatter_slots(
+                    *arrs, jnp.asarray(c_idx), jnp.asarray(s_idx),
+                    jnp.asarray(qv), jnp.asarray(ri), jnp.asarray(sr),
+                    jnp.asarray(kc), jnp.asarray(ac)), meta)
+            except Exception:   # noqa: BLE001 — donation is not atomic
+                # _scatter_meta may have donated the meta plane before
+                # _scatter_slots raised: the published tuple could hold
+                # dead buffers that every search retry would recapture.
+                # Drop the layout; the caller's rebuild restores it
+                # from host state.
+                log.exception("ivf slot scatter failed; layout "
+                              "dropped for rebuild")
+                self._ivf_dev = None
+                return False
         return True
 
-    def warm_scatter_buckets(self, *, pace_s: float = 0.0) -> bool:
-        """Shape-only AOT compile of the incremental-scatter program
-        family at the CURRENT layout shape ([C, L, d] and every
-        power-of-two write bucket up to MAX_SCATTER_ROWS). The flat
-        path warms its scatter buckets by re-scattering live rows (a
-        semantic no-op there); for IVF a real dirty pass drops rows'
-        spill copies, so the warm must be shape-only. No HBM is
-        allocated — results land in the jit dispatch cache. Returns
-        False when no layout is built yet."""
-        import time as _time
+    def _layout_shapes(self):
+        """(aux-plane ShapeDtypeStructs, meta struct or None) of the
+        CURRENT layout — built under the lock, holding NO array refs
+        (a compile loop pinning the multi-GB layout would keep the old
+        copy alive across a concurrent rebuild's functional swap —
+        transiently two full layouts in HBM)."""
         with self._lock:
             ivf = self._ivf_dev
             if ivf is None:
-                return False
-            cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, \
-                meta = ivf
+                return None, None
             shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                           for a in (emb_i8, rinv_sl, slot_rows,
-                                     kind_sl, agent_sl))
-            meta_shape = (None if meta is None else
-                          jax.ShapeDtypeStruct(meta.shape, meta.dtype))
-            d = self.dim
+                           for a in ivf[1:6])
+            meta_shape = (None if ivf[6] is None else
+                          jax.ShapeDtypeStruct(ivf[6].shape,
+                                               ivf[6].dtype))
+        return shapes, meta_shape
+
+    def _lower_scatter_family(self, shapes, meta_shape, *,
+                              pace_s: float = 0.0) -> None:
+        """Shape-only lower+compile of the donating scatter programs
+        for every power-of-two write bucket at the given layout
+        shapes."""
+        import time as _time
         S = jax.ShapeDtypeStruct
+        d = self.dim
         b = 1
         while b <= MAX_SCATTER_ROWS:
             iv = S((b,), jnp.int32)
@@ -1097,6 +1156,22 @@ class IvfCorpus(DeviceCorpus):
                 log.debug("ivf scatter warm failed at bucket %d", b,
                           exc_info=True)
             b *= 2
+
+    def warm_scatter_buckets(self, *, pace_s: float = 0.0) -> bool:
+        """Shape-only AOT compile of the incremental-scatter program
+        family at the CURRENT layout shape ([C, L, d] and every
+        power-of-two write bucket up to MAX_SCATTER_ROWS). The flat
+        path warms its scatter buckets by re-scattering live rows (a
+        semantic no-op there); for IVF a real dirty pass drops rows'
+        spill copies, so the warm must be shape-only. No HBM is
+        allocated — results land in the jit dispatch cache. Returns
+        False when no layout is built yet."""
+        shapes, meta_shape = self._layout_shapes()
+        if shapes is None:
+            return False
+        if shapes[0].shape[0] * shapes[0].shape[1] < WARM_MIN_SLOTS:
+            return False    # tiny layout: not worth ~22 tunnel compiles
+        self._lower_scatter_family(shapes, meta_shape, pace_s=pace_s)
         with self._lock:
             self._scatter_warmed = shapes[0].shape
         return True
@@ -1116,6 +1191,9 @@ class IvfCorpus(DeviceCorpus):
         from .shard import _SHUTDOWN, _WARM_THREADS
         if self._scatter_warm_pending or _SHUTDOWN.is_set():
             return
+        if shape[0] * shape[1] < WARM_MIN_SLOTS:
+            return      # tiny layout: rebuilds/compiles are cheap and
+            #             the warm's compile RPCs would block serving
         with self._lock:
             if (self._scatter_warm_pending
                     or self._scatter_warmed == shape):

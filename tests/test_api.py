@@ -444,6 +444,51 @@ class TestIncrementalCheckpoint:
         assert n.id in cx2.index
         cx2.close()
 
+    def test_rebuild_straddling_base_save_does_not_rearm_chain(
+            self, tmp_path, monkeypatch):
+        """The base-save write phase runs OUTSIDE the persist lock; a
+        reindex/rebuild landing inside that window leaves an index
+        that does not derive from the base just written. The save must
+        not re-arm chain state over it — a later link would pair with
+        the stale base and resurrect rows deleted in between."""
+        import os
+        from cortex_tpu.vector.index import TpuFlatIndex
+        base = str(tmp_path / "cortex.db.index.npz")
+        cx = self._open(tmp_path)
+        self._store(cx, 0)
+        orig_ws = TpuFlatIndex.write_snapshot
+        fired = []
+
+        def ws_then_rebuild(idx_self, p, st):
+            orig_ws(idx_self, p, st)
+            if fired:
+                return
+            fired.append(1)
+            # a mutation + rebuild land mid-write-phase (a reindex's
+            # shape: seq bumps, then the index is rebuilt from storage)
+            self._store(cx, 1)
+            with cx._persist_lock:
+                cx.index = cx._make_index()
+                cx._rebuild_index()
+
+        monkeypatch.setattr(TpuFlatIndex, "write_snapshot",
+                            ws_then_rebuild)
+        cx.save_index_snapshot()              # full base + straddle
+        monkeypatch.setattr(TpuFlatIndex, "write_snapshot", orig_ws)
+        assert cx._index_base_synced is False
+        assert cx._chain_bs is None
+        # the next checkpoint must REWRITE the base, not link against
+        # the stale one
+        base_mtime = os.path.getmtime(base)
+        self._store(cx, 2)
+        cx.save_index_snapshot()
+        assert os.path.getmtime(base) > base_mtime
+        assert not os.path.exists(base + ".delta.npz")
+        cx.close()
+        cx2 = self._open(tmp_path)
+        assert len(cx2.index) == 3
+        cx2.close()
+
     def test_corrupt_link_falls_back_to_rebuild(self, tmp_path):
         """A torn/corrupt chain link must never crash boot or lose
         data — the chain walk rejects it and the index rebuilds from

@@ -373,7 +373,9 @@ class TestSlotGrowth:
                             np.full((c, pad), PAD_CODE, np.int32)], 1))
         np.testing.assert_array_equal(grown, want)
 
-    def test_warm_next_slot_programs_counts(self):
+    def test_warm_next_slot_programs_counts(self, monkeypatch):
+        from cortex_tpu.vector import ivf as ivf_mod
+        monkeypatch.setattr(ivf_mod, "WARM_MIN_SLOTS", 1)
         vecs = clustered(200, dim=48)
         ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
         ivf._corpus.sync()
@@ -383,7 +385,9 @@ class TestSlotGrowth:
 
 
 class TestScatterWarmAndChunking:
-    def test_warm_scatter_buckets_is_shape_only(self):
+    def test_warm_scatter_buckets_is_shape_only(self, monkeypatch):
+        from cortex_tpu.vector import ivf as ivf_mod
+        monkeypatch.setattr(ivf_mod, "WARM_MIN_SLOTS", 1)
         vecs = clustered(200, dim=48)
         ivf, oracle = build_pair(vecs, nlist=4, nprobe=4)
         ivf._corpus.sync()
@@ -396,6 +400,13 @@ class TestScatterWarmAndChunking:
         assert co._scatter_warmed == tuple(before[1].shape)
         # untrained corpus: warm declines
         assert not IvfCorpus(8).warm_scatter_buckets()
+
+    def test_warm_declines_below_slot_threshold(self):
+        vecs = clustered(200, dim=48)
+        ivf, _ = build_pair(vecs, nlist=4, nprobe=4)
+        ivf._corpus.sync()                    # tiny layout
+        assert not ivf._corpus.warm_scatter_buckets()
+        assert ivf._corpus.warm_next_slot_programs() == 0
 
     def test_large_dirty_waves_chunk_and_stay_exact(self, monkeypatch):
         """A dirty wave larger than MAX_SCATTER_ROWS splits into

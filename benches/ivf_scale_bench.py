@@ -291,12 +291,13 @@ def main():
         def searches(qs):
             return _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex,
                                       qs, p=p, cand=cand,
-                                      filtered=False)
+                                      filtered=False,
+                                      dedup=n_spill > 0)
     else:
         def searches(qs):
             return _ivf_search(cent, emb_i8, rinv_sl, slot_rows,
                                kind_sl, agent_sl, ak, aa, ex, qs,
-                               p=p, cand=cand)
+                               p=p, cand=cand, dedup=n_spill > 0)
 
     # ---- QPS: pipelined dispatch, single drain -----------------------
     rng = np.random.default_rng(0)

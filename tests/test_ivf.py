@@ -6,6 +6,8 @@ fp32-exact (inherited host re-rank), and probing ALL clusters
 (nprobe = nlist) must reproduce the flat-scan oracle exactly — that
 invariant anchors most tests here."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -614,3 +616,34 @@ class TestSnapshotBoot:
         got = fresh.search_batch(clustered(2, dim=48, seed=5), 6)
         want = oracle.search_batch(clustered(2, dim=48, seed=5), 6)
         assert [i for i, _ in got[0]] == [i for i, _ in want[0]]
+
+
+class TestBenchScriptRunnable:
+    """The scale bench calls the engine's jitted search functions
+    directly (it builds its own layout to reach 10M rows without the
+    index bookkeeping), so an engine signature change can strand it
+    without any suite failure — exactly what happened when the
+    spill-dedup static was added (`dedup` became required and the
+    bench's r3 10M/1M runs predated it). A tiny end-to-end CPU run
+    keeps the script honest."""
+
+    def test_ivf_scale_bench_tiny_cpu(self):
+        import json as _json
+        import subprocess
+        import sys
+        out = subprocess.run(
+            [sys.executable, "benches/ivf_scale_bench.py",
+             "--rows", "2000", "--cpu"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+                __file__))))
+        assert out.returncode == 0, out.stdout + out.stderr
+        lines = [_json.loads(ln) for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        metrics = {m["metric"] for m in lines}
+        assert any("batch 64" in m for m in metrics), metrics
+        rec = [m for m in lines
+               if m["metric"].startswith("ivf candidate recall")]
+        assert rec and all(r["value"] > 0.5
+                           for r in rec
+                           if "in-distribution" in r["metric"]), rec

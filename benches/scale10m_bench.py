@@ -201,7 +201,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
-    n = args.rows
+    global CHUNK
+    # tiny smoke runs (--rows below one chunk) shrink the chunk so the
+    # two-pass device generation still covers the whole corpus
+    CHUNK = min(CHUNK, args.rows)
+    n = (args.rows // CHUNK) * CHUNK
 
     t0 = time.perf_counter()
     corpus_i8, rinv, mu, keys = build_corpus(n, jax.random.PRNGKey(0))

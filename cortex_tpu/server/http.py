@@ -173,7 +173,8 @@ def create_app(state: ServerState) -> web.Application:
 
     # ------------------------------------------------------------- basics
     async def health(request):
-        return json_ok({"status": "healthy", "version": "0.1.0"})
+        from .. import __version__
+        return json_ok({"status": "healthy", "version": __version__})
 
     async def metrics_handler(request):
         state.metrics.mirror_storage(cx.stats())

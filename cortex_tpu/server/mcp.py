@@ -21,7 +21,9 @@ from ..storage.base import NodeFilter
 from ..types import Edge, EdgeProvenance, Node, Source
 
 PROTOCOL_VERSION = "2024-11-05"
-SERVER_INFO = {"name": "cortex-tpu", "version": "0.1.0"}
+from .. import __version__ as _pkg_version
+
+SERVER_INFO = {"name": "cortex-tpu", "version": _pkg_version}
 
 
 def _tool(name: str, description: str, props: Dict[str, Any],

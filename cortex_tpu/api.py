@@ -299,10 +299,18 @@ class Cortex:
                 from .parallel import build_mesh
                 n = len(jax.devices())
                 pow2 = 1 << (n.bit_length() - 1)   # largest power of two
+                replicas = max(1, self.config.embedding.mesh_replicas)
+                if replicas > 1 and pow2 // replicas < 1:
+                    from .errors import ConfigError
+                    raise ConfigError(
+                        f"[embedding] mesh_replicas={replicas} leaves no "
+                        f"shard devices on a {pow2}-device mesh (each "
+                        f"replica group needs >= 1 device)")
+                mesh = build_mesh(pow2, replicas=replicas)
                 if self.config.embedding.index == "ivf":
                     from .parallel.sharded_ivf import ShardedIvfIndex
                     return ShardedIvfIndex(
-                        self.embedder.dimension, build_mesh(pow2),
+                        self.embedder.dimension, mesh,
                         nlist=self.config.embedding.ivf_nlist,
                         nprobe=self.config.embedding.ivf_nprobe,
                         spill=self.config.embedding.ivf_spill,
@@ -310,7 +318,7 @@ class Cortex:
                         storage_dtype=self.config.embedding.device_dtype)
                 from .parallel import ShardedFlatIndex
                 return ShardedFlatIndex(
-                    self.embedder.dimension, build_mesh(pow2),
+                    self.embedder.dimension, mesh,
                     search_path=self.config.embedding.search_path,
                     storage_dtype=self.config.embedding.device_dtype)
         if self.config.embedding.index == "ivf":

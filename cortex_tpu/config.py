@@ -78,6 +78,14 @@ class EmbeddingConfig:
     # shard the corpus over all visible devices (power-of-two count);
     # single-device setups ignore this
     sharded: bool = False
+    # 2D mesh: split the devices into this many replica groups — the
+    # corpus replicates across groups (each holds a full copy, sharded
+    # within the group) and concurrent query batches shard across
+    # them, multiplying serving throughput when the corpus fits a
+    # group's HBM with devices to spare. 1 = pure corpus sharding
+    # (max capacity). Must be a power of two that leaves at least one
+    # device per group.
+    mesh_replicas: int = 1
     # index structure: "flat" (O(N) fused scan — recall-by-
     # construction paths available, the default) or "ivf" (k-means
     # clustered block layout — O((nlist + nprobe*L)*d) per query, the
@@ -208,6 +216,7 @@ class CortexConfig:
             device_dtype=e.get("device_dtype", "float32"),
             search_path=e.get("search_path", "auto"),
             sharded=bool(e.get("sharded", False)),
+            mesh_replicas=int(e.get("mesh_replicas", 1)),
             snapshot_boot=bool(e.get("snapshot_boot", True)),
             snapshot_min_delta=int(e.get("snapshot_min_delta", 64)),
             index=e.get("index", "flat"),
@@ -368,6 +377,10 @@ class CortexConfig:
         if not 0.0 <= self.embedding.ivf_spill <= 1.0:
             raise ConfigError(
                 "[embedding] ivf_spill must be in [0, 1]")
+        r = self.embedding.mesh_replicas
+        if r < 1 or (r & (r - 1)) != 0:
+            raise ConfigError(
+                "[embedding] mesh_replicas must be a power of two >= 1")
         if self.briefing.max_total_items <= 0:
             raise ConfigError("[briefing] max_total_items must be positive")
         for w in self.webhooks:

@@ -31,16 +31,19 @@ from ..ops.similarity import NEG_INF
 from ..vector.index import TpuFlatIndex, VectorFilter
 from ..vector.shard import (DeviceCorpus, MAX_EXCLUDE, MAX_FILTER_KINDS,
                             NO_FILTER, _norm_rows)
-from .sharding import SHARD_AXIS, build_mesh
+from .sharding import (SHARD_AXIS, batch_spec, build_mesh, replica_count,
+                       result_spec, shard_count)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_filtered_topk(mesh: Mesh, corpus, live, kind_code, agent_code,
                            ak, aa, ex_rows, queries, *, k: int
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One dispatch: per-shard mask + matmul + top-k, ICI merge."""
-    n_dev = mesh.devices.size
-    shard_rows = corpus.shape[0] // n_dev
+    """One dispatch: per-shard mask + matmul + top-k, ICI merge. On a
+    2D (replica, shard) mesh the query batch additionally shards along
+    the replica axis — each replica group runs this same program on
+    its batch slice against its full corpus copy."""
+    shard_rows = corpus.shape[0] // shard_count(mesh)
 
     def local(c_blk, live_blk, kc_blk, ac_blk, ak_r, aa_r, ex_r, q):
         offset = jax.lax.axis_index(SHARD_AXIS) * shard_rows
@@ -68,8 +71,8 @@ def _sharded_filtered_topk(mesh: Mesh, corpus, live, kind_code, agent_code,
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(None), P(), P(None), P(None, None)),
-        out_specs=(P(), P()),
+                  P(SHARD_AXIS), P(None), P(), P(None), batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(corpus, live, kind_code, agent_code, ak, aa, ex_rows,
               queries)
@@ -87,8 +90,7 @@ def _sharded_quant_topk(mesh: Mesh, corpus_i8, rinv, live, kind_code,
     mirror (DeviceCorpus._finish_topk rescore leg) — final scores are
     fp32-true exactly as on one chip, so sharding changes throughput,
     never results."""
-    n_dev = mesh.devices.size
-    shard_rows = corpus_i8.shape[0] // n_dev
+    shard_rows = corpus_i8.shape[0] // shard_count(mesh)
 
     def local(c_blk, ri_blk, live_blk, kc_blk, ac_blk, ak_r, aa_r,
               ex_r, q):
@@ -126,8 +128,8 @@ def _sharded_quant_topk(mesh: Mesh, corpus_i8, rinv, live, kind_code,
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
                   P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(), P(None),
-                  P(None, None)),
-        out_specs=(P(), P()),
+                  batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(corpus_i8, rinv, live, kind_code, agent_code, ak, aa,
               ex_rows, queries)
@@ -139,8 +141,7 @@ def _sharded_quant_hostbias_topk(mesh: Mesh, corpus_i8, rinv, bias,
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Overflow-filter variant of the sharded int8 scan (exact host
     bias, sharded along rows)."""
-    n_dev = mesh.devices.size
-    shard_rows = corpus_i8.shape[0] // n_dev
+    shard_rows = corpus_i8.shape[0] // shard_count(mesh)
 
     def local(c_blk, ri_blk, b_blk, q):
         offset = jax.lax.axis_index(SHARD_AXIS) * shard_rows
@@ -165,8 +166,8 @@ def _sharded_quant_hostbias_topk(mesh: Mesh, corpus_i8, rinv, bias,
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(None, None)),
-        out_specs=(P(), P()),
+                  batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(corpus_i8, rinv, bias, queries)
 
@@ -177,8 +178,7 @@ def _sharded_hostbias_topk(mesh: Mesh, corpus, bias, queries, *, k: int
     """Overflow-filter variant: the exact [N] bias is computed on the
     host (see DeviceCorpus._host_bias) and sharded along the row axis —
     no fixed-shape truncation at any filter-list size."""
-    n_dev = mesh.devices.size
-    shard_rows = corpus.shape[0] // n_dev
+    shard_rows = corpus.shape[0] // shard_count(mesh)
 
     def local(c_blk, b_blk, q):
         offset = jax.lax.axis_index(SHARD_AXIS) * shard_rows
@@ -194,8 +194,8 @@ def _sharded_hostbias_topk(mesh: Mesh, corpus, bias, queries, *, k: int
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
-        out_specs=(P(), P()),
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(corpus, bias, queries)
 
@@ -215,24 +215,42 @@ class ShardedCorpus(DeviceCorpus):
         super().__init__(dim, search_path=search_path,
                          storage_dtype=storage_dtype)
         self.mesh = mesh or build_mesh()
-        self._n_dev = int(self.mesh.devices.size)
+        self._n_shard = shard_count(self.mesh)
+        self._n_replica = replica_count(self.mesh)
         from ..vector.shard import MIN_CAP
-        if MIN_CAP % self._n_dev != 0:
+        if MIN_CAP % self._n_shard != 0:
             from ..errors import IndexError_
             raise IndexError_(
-                f"mesh size {self._n_dev} must divide the capacity "
-                f"ladder (powers of two from {MIN_CAP}); use a "
+                f"mesh shard count {self._n_shard} must divide the "
+                f"capacity ladder (powers of two from {MIN_CAP}); use a "
                 f"power-of-two submesh, e.g. build_mesh("
-                f"{1 << (self._n_dev.bit_length() - 1)})")
+                f"{1 << (self._n_shard.bit_length() - 1)})")
 
     def _row_alignment(self) -> int:
         # 1.25x gentle-growth steps strip the power-of-two factor; the
-        # even NamedSharding needs cap % n_dev == 0 at every rung
-        return max(8, self._n_dev)
+        # even NamedSharding needs cap % n_shard == 0 at every rung
+        return max(8, self._n_shard)
 
     def _grow(self, need: int) -> None:
         super()._grow(need)
-        assert self._cap % self._n_dev == 0
+        assert self._cap % self._n_shard == 0
+
+    def _pad_batch(self, q):
+        """Pad the query batch to a replica-axis multiple (the batch
+        shards along "replica" on a 2D mesh — shard_map needs an even
+        split). Returns (q_padded, original_rows)."""
+        b = q.shape[0]
+        pad = (-b) % self._n_replica
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        return q, b
+
+    @staticmethod
+    def _unpad_batch(v, i, b_orig: int):
+        if v.shape[0] != b_orig:
+            v, i = v[:b_orig], i[:b_orig]
+        return v, i
 
     def _sync_quant_sharded(self, rows: Optional[np.ndarray]) -> None:
         """int8 shadow maintenance, sharded along rows (centered like
@@ -312,6 +330,7 @@ class ShardedCorpus(DeviceCorpus):
         dev_q = self._dev_q if dev_q is None else dev_q
         path = self._choose_path(k_bucket,
                                  emb_resident=dev[0] is not None)
+        q, b_orig = self._pad_batch(q)
         if path == "quant":
             cand = self._cand_count(k_bucket)
             over = max(512, 2 * cand)
@@ -327,6 +346,7 @@ class ShardedCorpus(DeviceCorpus):
                     self.mesh, dev_q[0], dev_q[1],
                     dev[1], dev[2], dev[3], ak, aa,
                     ex, q, cand=cand, over=over)
+            v, i = self._unpad_batch(v, i, b_orig)
             return v, i, True
         if host_bias is not None:      # overflow filters: exact host bias
             bias = jax.device_put(
@@ -334,10 +354,12 @@ class ShardedCorpus(DeviceCorpus):
                 NamedSharding(self.mesh, P(SHARD_AXIS)))
             v, i = _sharded_hostbias_topk(self.mesh, dev[0], bias,
                                           q, k=k_bucket)
+            v, i = self._unpad_batch(v, i, b_orig)
             return v, i, False
         v, i = _sharded_filtered_topk(
             self.mesh, dev[0], dev[1], dev[2],
             dev[3], ak, aa, ex, q, k=k_bucket)
+        v, i = self._unpad_batch(v, i, b_orig)
         return v, i, False
 
 

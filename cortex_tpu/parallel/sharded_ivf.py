@@ -44,7 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.similarity import NEG_INF
 from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _dedup_rows,
                           _ivf_bias, _ivf_candidates)
-from .sharding import SHARD_AXIS, build_mesh
+from .sharding import (SHARD_AXIS, batch_spec, build_mesh,
+                       replica_count, result_spec, shard_count)
 
 
 @functools.partial(jax.jit,
@@ -82,8 +83,8 @@ def _sharded_ivf_topk(mesh: Mesh, cent, emb_i8, rinv_sl, slot_rows,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None, None),
                   P(SHARD_AXIS, None), P(SHARD_AXIS, None),
                   P(SHARD_AXIS, None), P(SHARD_AXIS, None),
-                  P(None), P(), P(None), P(None, None)),
-        out_specs=(P(), P()),
+                  P(None), P(), P(None), batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl,
               ak, aa, ex, q)
@@ -118,8 +119,8 @@ def _sharded_ivf_hostbias_topk(mesh: Mesh, cent, emb_i8, rinv_sl,
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None, None),
                   P(SHARD_AXIS, None), P(SHARD_AXIS, None),
-                  P(None), P(None, None)),
-        out_specs=(P(), P()),
+                  P(None), batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(cent, emb_i8, rinv_sl, slot_rows, bias, q)
 
@@ -135,12 +136,14 @@ class ShardedIvfCorpus(IvfCorpus):
                          storage_dtype=storage_dtype,
                          search_path=search_path)
         self.mesh = mesh or build_mesh()
-        self._n_dev = int(self.mesh.devices.size)
+        self._n_shard = shard_count(self.mesh)
+        self._n_replica = replica_count(self.mesh)
 
     def _round_nlist(self, c: int) -> int:
         # every shard owns the same cluster count (static shapes)
-        return max(self._n_dev,
-                   ((c + self._n_dev - 1) // self._n_dev) * self._n_dev)
+        return max(self._n_shard,
+                   ((c + self._n_shard - 1) // self._n_shard)
+                   * self._n_shard)
 
     def _use_pallas(self, cap: int) -> bool:
         # the Mosaic gather kernel is single-device for now; the
@@ -183,14 +186,21 @@ class ShardedIvfCorpus(IvfCorpus):
             return (jnp.full((b, k_bucket), NEG_INF, jnp.float32),
                     jnp.zeros((b, k_bucket), jnp.int32), False)
         cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, _ = ivf
+        # the batch shards along "replica" on a 2D mesh: pad to an
+        # even split, slice the padding back off after the dispatch
+        b_orig = q.shape[0]
+        pad_b = (-b_orig) % self._n_replica
+        if pad_b:
+            q = jnp.concatenate(
+                [q, jnp.zeros((pad_b, q.shape[1]), q.dtype)])
         c = cent.shape[0]
         # full nprobe budget PER SHARD: strict superset of the
         # single-chip probe set (see module docstring) — recall can
         # only match or exceed single-chip at the same setting
-        p_s = min(self._nprobe(c), c // self._n_dev)
+        p_s = min(self._nprobe(c), c // self._n_shard)
         p_s = max(1, p_s)
         cand = min(self._cand_count(k_bucket),
-                   p_s * self._n_dev * self._slot_cap)
+                   p_s * self._n_shard * self._slot_cap)
         if host_bias is not None:
             v, rows = _sharded_ivf_hostbias_topk(
                 self.mesh, cent, emb_i8, rinv_sl, slot_rows,
@@ -201,6 +211,8 @@ class ShardedIvfCorpus(IvfCorpus):
                 self.mesh, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
                 agent_sl, ak, aa, ex, q, p_s=p_s, cand=cand,
                 dedup=self._has_spill)
+        if pad_b:
+            v, rows = v[:b_orig], rows[:b_orig]
         if v.shape[1] < k_bucket:
             pad = k_bucket - v.shape[1]
             v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG_INF)

@@ -16,6 +16,19 @@ the [N, d] embedding corpus across chips along the corpus axis:
 Single-chip is a 1-device mesh — the layer exists even at mesh size 1.
 Multi-host scale-out keeps this exact program: only the Mesh's device
 list changes (DCN between hosts, ICI within).
+
+2D composition (replica x shard): when the corpus fits each shard
+group's HBM with devices to spare, the spare dimension becomes a
+QUERY-batch data-parallel axis — the corpus replicates across
+"replica", the query batch shards along it, and each replica group
+serves its batch slice independently (zero collectives on the replica
+axis; the shard-axis all_gather merge stays within each group). This
+is the scaling-book recipe applied to the corpus engine: shard for
+capacity, replicate for throughput, pick (n_replica, n_shard) from
+corpus bytes vs per-device HBM. build_mesh(n, replicas=r) lays the
+same devices out as an (r, n//r) mesh; every kernel in this package
+reads its specs off the mesh's axis names, so 1D and 2D meshes run
+the same programs.
 """
 
 from __future__ import annotations
@@ -31,9 +44,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.similarity import NEG_INF
 
 SHARD_AXIS = "shard"
+REPLICA_AXIS = "replica"
 
 
-def build_mesh(n_devices: Optional[int] = None) -> Mesh:
+def build_mesh(n_devices: Optional[int] = None,
+               replicas: int = 1) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
@@ -47,7 +62,54 @@ def build_mesh(n_devices: Optional[int] = None) -> Mesh:
                 f"XLA_FLAGS=--xla_force_host_platform_device_count="
                 f"{n_devices} and JAX_PLATFORMS=cpu before JAX initializes.")
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), (SHARD_AXIS,))
+    if replicas <= 1:
+        return Mesh(np.array(devs), (SHARD_AXIS,))
+    if len(devs) % replicas != 0:
+        raise RuntimeError(
+            f"build_mesh(replicas={replicas}) must divide the device "
+            f"count {len(devs)} — the (replica, shard) layout needs "
+            f"equal shard groups")
+    return Mesh(np.array(devs).reshape(replicas, -1),
+                (REPLICA_AXIS, SHARD_AXIS))
+
+
+def shard_count(mesh: Mesh) -> int:
+    """Devices along the corpus (shard) axis."""
+    if SHARD_AXIS in mesh.axis_names:
+        return int(mesh.shape[SHARD_AXIS])
+    return int(mesh.devices.size)
+
+
+def replica_count(mesh: Mesh) -> int:
+    """Devices along the query-batch (replica) axis (1 on a 1D mesh)."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return int(mesh.shape[REPLICA_AXIS])
+    return 1
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for a [B, ...] query batch on this mesh: sharded
+    along the replica axis when one exists, replicated otherwise."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return P(REPLICA_AXIS, None)
+    return P(None, None)
+
+
+def result_spec(mesh: Mesh) -> P:
+    """PartitionSpec for per-query [B, k] results (mirrors batch_spec:
+    each replica group owns its batch slice's rows)."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return P(REPLICA_AXIS, None)
+    return P()
+
+
+def elementwise_spec(mesh: Mesh) -> P:
+    """PartitionSpec for a [E] array swept elementwise with no
+    collectives (decay, retention): flatten over EVERY mesh axis so
+    all devices share the work, replica axis included."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return P((REPLICA_AXIS, SHARD_AXIS))
+    return P(SHARD_AXIS)
 
 
 def _pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0,
@@ -63,10 +125,11 @@ def _pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0,
 
 def shard_corpus(mesh: Mesh, corpus: jnp.ndarray,
                  bias: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Lay out corpus rows and their bias across the mesh's shard axis."""
-    n_dev = mesh.devices.size
-    corpus = _pad_to_multiple(corpus, n_dev, axis=0)
-    bias = _pad_to_multiple(bias, n_dev, axis=0, value=NEG_INF)
+    """Lay out corpus rows and their bias across the mesh's shard axis
+    (replicated along the replica axis on a 2D mesh)."""
+    n_sh = shard_count(mesh)
+    corpus = _pad_to_multiple(corpus, n_sh, axis=0)
+    bias = _pad_to_multiple(bias, n_sh, axis=0, value=NEG_INF)
     c = jax.device_put(corpus, NamedSharding(mesh, P(SHARD_AXIS, None)))
     b = jax.device_put(bias, NamedSharding(mesh, P(SHARD_AXIS)))
     return c, b
@@ -79,11 +142,11 @@ def sharded_cosine_topk(mesh: Mesh, corpus: jnp.ndarray, queries: jnp.ndarray,
     """Exact global top-k over a corpus sharded along axis 0.
 
     corpus [N, d] sharded P("shard", None); bias [N] sharded P("shard");
-    queries [B, d] replicated. Returns replicated ([B, k], [B, k]) with
-    global row indices.
+    queries [B, d] replicated (or sharded along "replica" on a 2D mesh
+    — B must then divide the replica count). Returns ([B, k], [B, k])
+    with global row indices.
     """
-    n_dev = mesh.devices.size
-    shard_rows = corpus.shape[0] // n_dev
+    shard_rows = corpus.shape[0] // shard_count(mesh)
 
     def local(corpus_blk, bias_blk, q):
         scores = jnp.dot(q, corpus_blk.T,
@@ -100,8 +163,8 @@ def sharded_cosine_topk(mesh: Mesh, corpus: jnp.ndarray, queries: jnp.ndarray,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
-        out_specs=(P(), P()),
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), batch_spec(mesh)),
+        out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
     return fn(corpus, bias, queries)
 
@@ -130,10 +193,11 @@ def sharded_engine_step(mesh: Mesh, corpus: jnp.ndarray, bias: jnp.ndarray,
         neww = w * jnp.exp(-eff * jnp.maximum(days, 0.0))
         return neww, neww < 0.05
 
+    esp = elementwise_spec(mesh)
     dec = jax.shard_map(
         decay_local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(esp, esp, esp),
+        out_specs=(esp, esp),
         check_vma=False)
     new_w, delete_mask = dec(edge_weights, edge_days, edge_imp)
     return qv, qi, lv, li, link_mask, new_w, delete_mask

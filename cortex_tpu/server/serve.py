@@ -83,6 +83,14 @@ class Server:
         log.info("boot: opening engine (device preflight bounded, "
                  "$CORTEX_DEVICE_PREFLIGHT_TIMEOUT_S)")
         self.cortex, self.guard = open_embedded(config)
+        mesh = getattr(self.cortex.index, "mesh", None)
+        if mesh is not None:
+            log.info("boot: serving index %s on mesh %s",
+                     type(self.cortex.index).__name__,
+                     dict(mesh.shape))
+        else:
+            log.info("boot: serving index %s (single device)",
+                     type(self.cortex.index).__name__)
         self.state = ServerState(self.cortex)
         self.state.loop = asyncio.get_running_loop()
         # SSE bus: hooks fire on worker threads; publishes must hop

@@ -300,6 +300,12 @@ class Cortex:
                 n = len(jax.devices())
                 pow2 = 1 << (n.bit_length() - 1)   # largest power of two
                 replicas = max(1, self.config.embedding.mesh_replicas)
+                if (replicas & (replicas - 1)) != 0:
+                    # programmatic configs may skip config.validate()
+                    from .errors import ConfigError
+                    raise ConfigError(
+                        f"[embedding] mesh_replicas={replicas} must be "
+                        f"a power of two")
                 if replicas > 1 and pow2 // replicas < 1:
                     from .errors import ConfigError
                     raise ConfigError(

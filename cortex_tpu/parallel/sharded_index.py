@@ -31,8 +31,8 @@ from ..ops.similarity import NEG_INF
 from ..vector.index import TpuFlatIndex, VectorFilter
 from ..vector.shard import (DeviceCorpus, MAX_EXCLUDE, MAX_FILTER_KINDS,
                             NO_FILTER, _norm_rows)
-from .sharding import (SHARD_AXIS, batch_spec, build_mesh, replica_count,
-                       result_spec, shard_count)
+from .sharding import (SHARD_AXIS, batch_spec, build_mesh, pad_batch,
+                       replica_count, result_spec, shard_count, unpad_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
@@ -236,21 +236,10 @@ class ShardedCorpus(DeviceCorpus):
         assert self._cap % self._n_shard == 0
 
     def _pad_batch(self, q):
-        """Pad the query batch to a replica-axis multiple (the batch
-        shards along "replica" on a 2D mesh — shard_map needs an even
-        split). Returns (q_padded, original_rows)."""
-        b = q.shape[0]
-        pad = (-b) % self._n_replica
-        if pad:
-            q = jnp.concatenate(
-                [q, jnp.zeros((pad, q.shape[1]), q.dtype)])
-        return q, b
+        """Replica-axis batch padding (see sharding.pad_batch)."""
+        return pad_batch(self.mesh, q)
 
-    @staticmethod
-    def _unpad_batch(v, i, b_orig: int):
-        if v.shape[0] != b_orig:
-            v, i = v[:b_orig], i[:b_orig]
-        return v, i
+    _unpad_batch = staticmethod(unpad_rows)
 
     def _sync_quant_sharded(self, rows: Optional[np.ndarray]) -> None:
         """int8 shadow maintenance, sharded along rows (centered like

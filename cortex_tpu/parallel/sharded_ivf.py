@@ -44,8 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.similarity import NEG_INF
 from ..vector.ivf import (IvfCorpus, TpuIvfIndex, _dedup_rows,
                           _ivf_bias, _ivf_candidates)
-from .sharding import (SHARD_AXIS, batch_spec, build_mesh,
-                       replica_count, result_spec, shard_count)
+from .sharding import (SHARD_AXIS, batch_spec, build_mesh, pad_batch,
+                       replica_count, result_spec, shard_count, unpad_rows)
 
 
 @functools.partial(jax.jit,
@@ -188,11 +188,7 @@ class ShardedIvfCorpus(IvfCorpus):
         cent, emb_i8, rinv_sl, slot_rows, kind_sl, agent_sl, _ = ivf
         # the batch shards along "replica" on a 2D mesh: pad to an
         # even split, slice the padding back off after the dispatch
-        b_orig = q.shape[0]
-        pad_b = (-b_orig) % self._n_replica
-        if pad_b:
-            q = jnp.concatenate(
-                [q, jnp.zeros((pad_b, q.shape[1]), q.dtype)])
+        q, b_orig = pad_batch(self.mesh, q)
         c = cent.shape[0]
         # full nprobe budget PER SHARD: strict superset of the
         # single-chip probe set (see module docstring) — recall can
@@ -211,8 +207,7 @@ class ShardedIvfCorpus(IvfCorpus):
                 self.mesh, cent, emb_i8, rinv_sl, slot_rows, kind_sl,
                 agent_sl, ak, aa, ex, q, p_s=p_s, cand=cand,
                 dedup=self._has_spill)
-        if pad_b:
-            v, rows = v[:b_orig], rows[:b_orig]
+        v, rows = unpad_rows(v, rows, b_orig)
         if v.shape[1] < k_bucket:
             pad = k_bucket - v.shape[1]
             v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG_INF)

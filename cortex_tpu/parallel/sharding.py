@@ -123,6 +123,27 @@ def _pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0,
     return jnp.pad(x, widths, constant_values=value)
 
 
+def pad_batch(mesh: Mesh, q: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Pad a [B, ...] query batch to a replica-axis multiple (the batch
+    shards along "replica" on a 2D mesh — shard_map needs an even
+    split; a 1D mesh is a no-op). Returns (q_padded, original_rows);
+    slice per-query results back with unpad_rows."""
+    b = q.shape[0]
+    pad = (-b) % replica_count(mesh)
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.zeros((pad,) + q.shape[1:], q.dtype)])
+    return q, b
+
+
+def unpad_rows(v: jnp.ndarray, i: jnp.ndarray, b_orig: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop the rows pad_batch added from a ([B, k], [B, k]) result."""
+    if v.shape[0] != b_orig:
+        v, i = v[:b_orig], i[:b_orig]
+    return v, i
+
+
 def shard_corpus(mesh: Mesh, corpus: jnp.ndarray,
                  bias: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lay out corpus rows and their bias across the mesh's shard axis
@@ -143,9 +164,11 @@ def sharded_cosine_topk(mesh: Mesh, corpus: jnp.ndarray, queries: jnp.ndarray,
 
     corpus [N, d] sharded P("shard", None); bias [N] sharded P("shard");
     queries [B, d] replicated (or sharded along "replica" on a 2D mesh
-    — B must then divide the replica count). Returns ([B, k], [B, k])
-    with global row indices.
+    — batches whose B is not a multiple of the replica count are
+    zero-padded internally and the pad rows sliced back off). Returns
+    ([B, k], [B, k]) with global row indices.
     """
+    queries, b_orig = pad_batch(mesh, queries)
     shard_rows = corpus.shape[0] // shard_count(mesh)
 
     def local(corpus_blk, bias_blk, q):
@@ -166,7 +189,8 @@ def sharded_cosine_topk(mesh: Mesh, corpus: jnp.ndarray, queries: jnp.ndarray,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), batch_spec(mesh)),
         out_specs=(result_spec(mesh), result_spec(mesh)),
         check_vma=False)
-    return fn(corpus, bias, queries)
+    v, i = fn(corpus, bias, queries)
+    return unpad_rows(v, i, b_orig)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "threshold", "mesh"))
@@ -194,10 +218,17 @@ def sharded_engine_step(mesh: Mesh, corpus: jnp.ndarray, bias: jnp.ndarray,
         return neww, neww < 0.05
 
     esp = elementwise_spec(mesh)
+    n_dev = int(mesh.devices.size)
+    e_orig = edge_weights.shape[0]
+    ew = _pad_to_multiple(edge_weights, n_dev)
+    ed = _pad_to_multiple(edge_days, n_dev)
+    ei = _pad_to_multiple(edge_imp, n_dev, value=1.0)
     dec = jax.shard_map(
         decay_local, mesh=mesh,
         in_specs=(esp, esp, esp),
         out_specs=(esp, esp),
         check_vma=False)
-    new_w, delete_mask = dec(edge_weights, edge_days, edge_imp)
+    new_w, delete_mask = dec(ew, ed, ei)
+    if e_orig != ew.shape[0]:
+        new_w, delete_mask = new_w[:e_orig], delete_mask[:e_orig]
     return qv, qi, lv, li, link_mask, new_w, delete_mask

@@ -195,6 +195,57 @@ class TestEngineStep2D:
                 np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+class TestPrimitives2D:
+    def test_cosine_topk_pads_odd_batches(self):
+        """The public primitive must accept any B on a 2D mesh, like
+        the index classes do (it zero-pads to a replica multiple)."""
+        import jax.numpy as jnp
+        from cortex_tpu.ops.similarity import normalize_rows
+
+        rng = np.random.default_rng(5)
+        corpus_h = normalize_rows(
+            jnp.asarray(rng.normal(size=(64, DIM)).astype(np.float32)))
+        bias_h = jnp.zeros(64, jnp.float32)
+        q = normalize_rows(
+            jnp.asarray(rng.normal(size=(3, DIM)).astype(np.float32)))
+        from cortex_tpu.parallel import sharded_cosine_topk
+        outs = []
+        for replicas in (1, 2):
+            mesh = build_mesh(8, replicas=replicas)
+            corpus, bias = shard_corpus(mesh, corpus_h, bias_h)
+            v, i = sharded_cosine_topk(mesh, corpus, q, bias, 5)
+            assert v.shape == (3, 5) and i.shape == (3, 5)
+            outs.append((np.asarray(v), np.asarray(i)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+    def test_engine_step_pads_odd_edge_counts(self):
+        """Edge arrays whose length doesn't divide the device count
+        are padded for the elementwise sweep and sliced back."""
+        import jax.numpy as jnp
+        from cortex_tpu.ops.similarity import normalize_rows
+
+        rng = np.random.default_rng(9)
+        corpus_h = normalize_rows(
+            jnp.asarray(rng.normal(size=(64, DIM)).astype(np.float32)))
+        bias_h = jnp.zeros(64, jnp.float32)
+        q = normalize_rows(
+            jnp.asarray(rng.normal(size=(3, DIM)).astype(np.float32)))
+        E = 101                       # not divisible by 8
+        ew = jnp.asarray(rng.uniform(0.1, 1.0, E).astype(np.float32))
+        ed = jnp.asarray(rng.uniform(0, 100, E).astype(np.float32))
+        ei = jnp.asarray(rng.uniform(0, 1, E).astype(np.float32))
+        mesh = build_mesh(8, replicas=2)
+        corpus, bias = shard_corpus(mesh, corpus_h, bias_h)
+        out = sharded_engine_step(mesh, corpus, bias, q, q, ew, ed, ei,
+                                  k=4)
+        new_w, delete_mask = out[5], out[6]
+        assert new_w.shape == (E,) and delete_mask.shape == (E,)
+        eff = 0.01 * (1.0 - np.asarray(ei) * 0.8)
+        want = np.asarray(ew) * np.exp(-eff * np.asarray(ed))
+        np.testing.assert_allclose(np.asarray(new_w), want, atol=1e-6)
+
+
 class TestConfig2D:
     def test_mesh_replicas_validation(self):
         cfg = CortexConfig()
@@ -232,4 +283,14 @@ class TestConfig2D:
         cfg.embedding.sharded = True
         cfg.embedding.mesh_replicas = 16   # > 8 devices
         with pytest.raises(ConfigError, match="mesh_replicas"):
+            Cortex.in_memory(cfg)
+
+    def test_api_rejects_non_power_of_two_replicas(self):
+        """Programmatic configs can skip validate(); _make_index must
+        still raise ConfigError, not build_mesh's raw RuntimeError."""
+        from cortex_tpu.api import Cortex
+        cfg = CortexConfig()
+        cfg.embedding.sharded = True
+        cfg.embedding.mesh_replicas = 3
+        with pytest.raises(ConfigError, match="power of two"):
             Cortex.in_memory(cfg)

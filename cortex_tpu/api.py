@@ -320,6 +320,8 @@ class Cortex:
                         nlist=self.config.embedding.ivf_nlist,
                         nprobe=self.config.embedding.ivf_nprobe,
                         spill=self.config.embedding.ivf_spill,
+                        graph_degree=(
+                            self.config.embedding.ivf_graph_degree),
                         search_path=self.config.embedding.search_path,
                         storage_dtype=self.config.embedding.device_dtype)
                 from .parallel import ShardedFlatIndex
@@ -334,6 +336,7 @@ class Cortex:
                 nlist=self.config.embedding.ivf_nlist,
                 nprobe=self.config.embedding.ivf_nprobe,
                 spill=self.config.embedding.ivf_spill,
+                graph_degree=self.config.embedding.ivf_graph_degree,
                 search_path=self.config.embedding.search_path,
                 storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(

@@ -103,6 +103,14 @@ class EmbeddingConfig:
     # recall for neighbors whose home cluster ranks low against the
     # query. Zero extra device memory; 0.0 disables.
     ivf_spill: float = 1.0
+    # kNN-graph refinement degree: at (re)train time a fixed-degree
+    # neighbor table is built from the block layout (one device pass —
+    # the HNSW-neighbor-list analog, vector/knn_graph.py) and searches
+    # expand their candidate frontier through it into the exact
+    # re-rank. Recovers true neighbors whose clusters rank low against
+    # the query — the measured structural IVF miss. Host memory only
+    # (N x degree x 4 bytes); 0 disables.
+    ivf_graph_degree: int = 32
 
 
 @dataclass
@@ -222,7 +230,8 @@ class CortexConfig:
             index=e.get("index", "flat"),
             ivf_nlist=int(e.get("ivf_nlist", 0)),
             ivf_nprobe=int(e.get("ivf_nprobe", 0)),
-            ivf_spill=float(e.get("ivf_spill", 1.0)))
+            ivf_spill=float(e.get("ivf_spill", 1.0)),
+            ivf_graph_degree=int(e.get("ivf_graph_degree", 32)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(
@@ -377,6 +386,9 @@ class CortexConfig:
         if not 0.0 <= self.embedding.ivf_spill <= 1.0:
             raise ConfigError(
                 "[embedding] ivf_spill must be in [0, 1]")
+        if not 0 <= self.embedding.ivf_graph_degree <= 1024:
+            raise ConfigError(
+                "[embedding] ivf_graph_degree must be in [0, 1024]")
         r = self.embedding.mesh_replicas
         if r < 1 or (r & (r - 1)) != 0:
             raise ConfigError(

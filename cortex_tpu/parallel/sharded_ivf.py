@@ -131,13 +131,20 @@ class ShardedIvfCorpus(IvfCorpus):
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
                  nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
-                 search_path: str = "auto"):
+                 search_path: str = "auto", graph_degree: int = 32):
         super().__init__(dim, nlist=nlist, nprobe=nprobe, spill=spill,
                          storage_dtype=storage_dtype,
-                         search_path=search_path)
+                         search_path=search_path,
+                         graph_degree=graph_degree)
         self.mesh = mesh or build_mesh()
         self._n_shard = shard_count(self.mesh)
         self._n_replica = replica_count(self.mesh)
+
+    def _graph_build_arrays(self, emb_i8, rinv_sl, slot_rows):
+        # host copies: a dynamic_slice over the NamedSharding'd cluster
+        # axis would all-gather the whole layout; the kNN-graph build
+        # uploads chunks instead (jnp.asarray inside build_knn_graph)
+        return emb_i8, rinv_sl, slot_rows
 
     def _round_nlist(self, c: int) -> int:
         # every shard owns the same cluster count (static shapes)
@@ -222,12 +229,13 @@ class ShardedIvfIndex(TpuIvfIndex):
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
                  nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
-                 search_path: str = "auto"):
+                 search_path: str = "auto", graph_degree: int = 32):
         self.dim = dim
         self._corpus = ShardedIvfCorpus(dim, mesh, nlist=nlist,
                                         nprobe=nprobe, spill=spill,
                                         storage_dtype=storage_dtype,
-                                        search_path=search_path)
+                                        search_path=search_path,
+                                        graph_degree=graph_degree)
         self._delta_ids: set = set()
 
     @property
@@ -241,4 +249,5 @@ class ShardedIvfIndex(TpuIvfIndex):
                                 nprobe=old._nprobe_cfg,
                                 spill=old._spill,
                                 storage_dtype=self._storage_dtype_str(),
-                                search_path=old._search_path)
+                                search_path=old._search_path,
+                                graph_degree=old._graph_degree)

@@ -84,6 +84,15 @@ PALLAS_ENABLED = os.environ.get("CORTEX_IVF_PALLAS", "1") != "0"
 #: incremental slot scatters chunk to this bound so the whole
 #: power-of-two program family is pre-compilable (warm_scatter_buckets)
 MAX_SCATTER_ROWS = 1024
+#: graph refinement frontier: the top-E int8-ranked candidates whose
+#: kNN-graph neighbors join the exact re-rank (knn_graph.py). Host-leg
+#: cost grows ~E*degree extra re-ranked rows per query — sized for the
+#: small-batch regime IVF serves (the flat scan owns large batches)
+REFINE_FRONTIER = int(os.environ.get("CORTEX_IVF_REFINE_FRONTIER", 16))
+#: expansion hops: 1 = neighbors of found candidates (the measured
+#: recall lever); 2+ re-expands from the exact-scored top of each
+#: hop's additions (one extra host BLAS pass per hop)
+REFINE_HOPS = int(os.environ.get("CORTEX_IVF_REFINE_HOPS", 1))
 #: the background warm-ahead only engages for layouts of at least this
 #: many slots (C*L): the warm compiles ~25 programs, and through a
 #: tunneled device each compile RPC head-of-line-blocks serving — worth
@@ -448,11 +457,19 @@ class IvfCorpus(DeviceCorpus):
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
                  spill: float = 1.0, storage_dtype: str = "float32",
-                 search_path: str = "auto"):
+                 search_path: str = "auto", graph_degree: int = 32):
         super().__init__(dim, search_path=search_path,
                          storage_dtype=storage_dtype)
         self._nlist_cfg = int(nlist)          # 0 = auto (~sqrt(N))
         self._nprobe_cfg = int(nprobe)        # 0 = auto (C/8, >= 8)
+        #: kNN-graph refinement degree (knn_graph.py): the graph is
+        #: built from the block layout at (re)train time and search
+        #: expands its candidate frontier through it into the exact
+        #: re-rank — the structural-recall fix for rows whose clusters
+        #: rank low against the query. 0 disables.
+        self._graph_degree = max(0, int(graph_degree))
+        self._nbrs_h: Optional[np.ndarray] = None     # [cap, degree]
+        self._boot_nbrs: Optional[np.ndarray] = None  # snapshot-restored
         #: fraction of the block layout's post-reserve slack filled
         #: with SPILLED duplicates — each boundary row (smallest
         #: first-vs-second centroid margin) is packed into its
@@ -505,6 +522,17 @@ class IvfCorpus(DeviceCorpus):
                 rws = [self._row_of[i] for i in st["ids"]]
                 st["ivf_cluster"] = self._cluster_of[rws].copy()
                 st["ivf_cluster2"] = self._cluster_of2[rws].copy()
+                if self._nbrs_h is not None:
+                    # persist the kNN graph id-relative: values become
+                    # positions in st["ids"] (-1 for dead/absent rows),
+                    # remapped to the new row assignment at load
+                    rws = np.asarray(rws, np.int64)
+                    pos = np.full(self._cap, -1, np.int32)
+                    pos[rws] = np.arange(len(rws), dtype=np.int32)
+                    nb = self._nbrs_h[rws]
+                    st["ivf_nbrs"] = np.where(
+                        nb >= 0, pos[np.where(nb >= 0, nb, 0)], -1
+                    ).astype(np.int32)
             return st
 
     # -------------------------------------------------------- bookkeeping
@@ -524,6 +552,20 @@ class IvfCorpus(DeviceCorpus):
         bc2 = self._boot_cluster2
         if bc2 is not None and 0 <= row < len(bc2):
             bc2[row] = -1
+        bn = self._boot_nbrs
+        if bn is not None and 0 <= row < len(bn):
+            bn[row] = -1
+
+    def _mask_graph_row(self, row: Optional[int]) -> None:
+        """Drop a mutated row's OUT-edges: its vector changed (or the
+        row was freed), so its neighbor list no longer describes it.
+        Stale IN-edges pointing at the row stay — expansion re-checks
+        liveness/filters and the exact re-rank scores the CURRENT
+        vector, so a stale edge costs one wasted candidate, never a
+        wrong result. Callers hold the corpus lock."""
+        nb = self._nbrs_h
+        if nb is not None and row is not None and 0 <= row < len(nb):
+            nb[row] = -1
 
     def upsert_batch(self, ids, vectors, kinds, agents) -> None:
         # the write AND the hint masking happen under ONE lock hold
@@ -533,11 +575,13 @@ class IvfCorpus(DeviceCorpus):
         # vector's cluster
         with self._lock:
             super().upsert_batch(ids, vectors, kinds, agents)
-            if self._boot_cluster is not None:
+            if (self._boot_cluster is not None
+                    or self._nbrs_h is not None):
                 for nid in ids:
                     r = self._row_of.get(nid)
                     if r is not None:
                         self._mask_boot_hint(r)
+                        self._mask_graph_row(r)
 
     def remove(self, node_id: str) -> bool:
         with self._lock:
@@ -545,6 +589,7 @@ class IvfCorpus(DeviceCorpus):
             out = super().remove(node_id)
             if out and row is not None:
                 self._mask_boot_hint(row)
+                self._mask_graph_row(row)
             return out
 
     def _grow(self, need: int) -> None:
@@ -560,6 +605,16 @@ class IvfCorpus(DeviceCorpus):
                 [self._cluster_of2, np.full(pad, -1, np.int32)])
             self._slot_of2 = np.concatenate(
                 [self._slot_of2, np.full(pad, -1, np.int32)])
+            if self._nbrs_h is not None:
+                self._nbrs_h = np.concatenate(
+                    [self._nbrs_h,
+                     np.full((pad, self._nbrs_h.shape[1]), -1,
+                             np.int32)])
+            if self._boot_nbrs is not None:
+                self._boot_nbrs = np.concatenate(
+                    [self._boot_nbrs,
+                     np.full((pad, self._boot_nbrs.shape[1]), -1,
+                             np.int32)])
 
     def compact(self) -> None:
         super().compact()                     # every row index moved
@@ -665,6 +720,7 @@ class IvfCorpus(DeviceCorpus):
             self._cluster_free = []
             self._trained_live = 0
             self._has_spill = False
+            self._nbrs_h = None
             return
         data = self._emb_h[rows]              # unit-norm fp32 [N, d]
         # boot hints (snapshot-restored centroids + per-row clusters,
@@ -834,9 +890,39 @@ class IvfCorpus(DeviceCorpus):
                                         meta)
         n_spilled = int((self._cluster_of2[rows] >= 0).sum())
         self._has_spill = n_spilled > 0
+        # kNN-graph refinement structure (knn_graph.py): a
+        # snapshot-restored graph is consumed as-is (one-shot, like
+        # the clustering hints); otherwise built from the layout just
+        # placed — device-resident arrays, so the build uploads
+        # nothing and fetches one [C, L, R] table
+        boot_nbrs = self._boot_nbrs
+        self._boot_nbrs = None
+        if boot_nbrs is not None and self._graph_degree > 0:
+            self._nbrs_h = boot_nbrs
+            log.info("ivf build: snapshot-restored kNN graph "
+                     "(degree %d)", boot_nbrs.shape[1])
+        elif self._graph_degree > 0 and lcap > 1:
+            from .knn_graph import build_knn_graph
+            ge, gr, gs = self._graph_build_arrays(emb_i8, rinv_sl,
+                                                  slot_rows)
+            self._nbrs_h = build_knn_graph(
+                ge, gr, gs, self._quant_mu,
+                degree=self._graph_degree, cap=self._cap, rows=rows,
+                cluster_of=self._cluster_of, slot_of=self._slot_of,
+                cluster_of2=self._cluster_of2, slot_of2=self._slot_of2)
+        else:
+            self._nbrs_h = None
         log.info("ivf build: %d rows -> %d clusters x %d slots "
                  "(fill %.2f, %d spilled)", n, c, lcap, n / (c * lcap),
                  n_spilled)
+
+    def _graph_build_arrays(self, emb_i8, rinv_sl, slot_rows):
+        """Layout planes the kNN-graph build reads: the DEVICE-resident
+        copies just placed (zero upload; the build slices chunks
+        on-device). The sharded subclass overrides with the host
+        copies — dynamic_slice across a NamedSharding'd cluster axis
+        would all-gather the layout."""
+        return self._ivf_dev[1], self._ivf_dev[2], self._ivf_dev[3]
 
     def _free_slots(self) -> int:
         return sum(len(f) for f in self._cluster_free)
@@ -1250,6 +1336,77 @@ class IvfCorpus(DeviceCorpus):
             self._dirty.clear()
 
     # ------------------------------------------------------------- search
+    def _expand_candidates(self, i, valid, q_np, flt):
+        """Graph refinement (knn_graph.py): widen the device candidate
+        list with the kNN-graph neighbors of its top REFINE_FRONTIER
+        entries before the exact re-rank. Targets the measured
+        structural miss — true top-k rows whose clusters rank low
+        against the query centroid are reached through a FOUND
+        neighbor's edge instead of a probe. Expanded rows are
+        filter-checked against the host metadata mirrors (the device
+        bias never saw them) and deduped; the exact re-rank then scores
+        everything fp32-true, so refinement can only add recall.
+        REFINE_HOPS >= 2 re-expands from the exact-scored top of each
+        hop's additions. Runs under the corpus lock."""
+        nbrs = self._nbrs_h
+        if nbrs is None or REFINE_FRONTIER <= 0 or REFINE_HOPS <= 0:
+            return i, valid
+        kinds, agent, exclude_ids = flt if flt else (None, None, None)
+        codes = acode = ex_rows = None
+        if kinds is not None:
+            codes = np.asarray([self.kinds.lookup(kk) for kk in kinds],
+                               np.int32)
+        if agent is not None:
+            acode = self.agents.lookup(agent)
+        if exclude_ids:
+            ex_rows = np.asarray(
+                [self._row_of[x] for x in exclude_ids
+                 if x in self._row_of], np.int32)
+        b = i.shape[0]
+        e = min(REFINE_FRONTIER, i.shape[1])
+        r = nbrs.shape[1]
+        # device candidates arrive desc-sorted by int8 score
+        front_i, front_v = i[:, :e], valid[:, :e]
+        parts_i, parts_v = [i], [valid]
+        for hop in range(REFINE_HOPS):
+            ext = nbrs[np.where(front_v, front_i, 0)].reshape(b, -1)
+            ok = np.repeat(front_v, r, axis=1) & (ext >= 0)
+            ext = np.where(ok, ext, 0)
+            ok &= self._live_h[ext]
+            if codes is not None:
+                ok &= np.isin(self._kind_h[ext], codes)
+            if acode is not None:
+                ok &= self._agent_h[ext] == acode
+            if ex_rows is not None and len(ex_rows):
+                ok &= ~np.isin(ext, ex_rows)
+            parts_i.append(ext)
+            parts_v.append(ok)
+            if hop + 1 < REFINE_HOPS:
+                # next frontier: exact top-e among this hop's additions
+                g = self._emb_h[ext.reshape(-1)].reshape(
+                    b, -1, self.dim)
+                sc = np.matmul(g, q_np[:, :, None])[:, :, 0]
+                sc = np.where(ok, sc, NEG_INF)
+                sel = np.argsort(-sc, axis=1)[:, :e]
+                front_i = np.take_along_axis(ext, sel, axis=1)
+                front_v = (np.take_along_axis(ok, sel, axis=1)
+                           & (np.take_along_axis(sc, sel, axis=1)
+                              > -1e29))
+        i2 = np.concatenate(parts_i, axis=1)
+        v2 = np.concatenate(parts_v, axis=1)
+        # dedup: a neighbor already in the candidate list (or reached
+        # via two frontier rows) must not surface twice in the final
+        # top-k. Keep-first on the stable value sort = the original
+        # device candidate wins over its expansion duplicates.
+        key = np.where(v2, i2, -1)
+        o = np.argsort(key, axis=1, kind="stable")
+        sk = np.take_along_axis(key, o, axis=1)
+        dup = np.zeros_like(v2)
+        dup[:, 1:] = (sk[:, 1:] == sk[:, :-1]) & (sk[:, 1:] >= 0)
+        dd = np.zeros_like(v2)
+        np.put_along_axis(dd, o, dup, axis=1)
+        return i2, v2 & ~dd
+
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
                          host_bias=None, dev=None, dev_q=None):
         """Fused IVF kernel; returns (values, GLOBAL rows, True) so the
@@ -1315,12 +1472,13 @@ class TpuIvfIndex(TpuFlatIndex):
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
                  spill: float = 1.0, storage_dtype: str = "float32",
-                 search_path: str = "auto"):
+                 search_path: str = "auto", graph_degree: int = 32):
         self.dim = dim
         self._corpus = IvfCorpus(dim, nlist=nlist, nprobe=nprobe,
                                  spill=spill,
                                  storage_dtype=storage_dtype,
-                                 search_path=search_path)
+                                 search_path=search_path,
+                                 graph_degree=graph_degree)
         self._delta_ids: set = set()
 
     def retrain(self) -> None:
@@ -1348,6 +1506,9 @@ class TpuIvfIndex(TpuFlatIndex):
             return
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
                     exist_ok=True)
+        extra = {}
+        if "ivf_nbrs" in st:
+            extra["ivf_nbrs"] = st["ivf_nbrs"]
         np.savez(path, vectors=st["vectors"],
                  ivf_centroids=st["ivf_centroids"],
                  ivf_cluster=st["ivf_cluster"],
@@ -1359,7 +1520,7 @@ class TpuIvfIndex(TpuFlatIndex):
                      "ids": list(st["ids"]),
                      "kinds": list(st["kinds"]),
                      "agents": list(st["agents"]),
-                 }))
+                 }), **extra)
 
     def load(self, path: str) -> None:
         super().load(path)
@@ -1376,18 +1537,31 @@ class TpuIvfIndex(TpuFlatIndex):
             boot = np.full(co._cap, -1, np.int32)
             boot2 = np.full(co._cap, -1, np.int32)
             row_of = co._row_of
+            rows_new = np.full(len(meta["ids"]), -1, np.int64)
             for j, nid in enumerate(meta["ids"]):
                 r = row_of.get(nid)
                 if r is not None:
                     boot[r] = cl[j]
                     boot2[r] = cl2[j]
+                    rows_new[j] = r
             co._boot_cent = z["ivf_centroids"].astype(np.float32)
             co._boot_cluster = boot
             co._boot_cluster2 = boot2
+            if "ivf_nbrs" in z.files and co._graph_degree > 0:
+                # remap id-relative neighbor positions to the new row
+                # assignment (see state()); absent ids drop their edges
+                nbp = z["ivf_nbrs"].astype(np.int32)
+                bn = np.full((co._cap, nbp.shape[1]), -1, np.int32)
+                ok_src = rows_new >= 0
+                tgt = np.where(nbp >= 0, rows_new[
+                    np.where(nbp >= 0, nbp, 0)], -1).astype(np.int32)
+                bn[rows_new[ok_src]] = tgt[ok_src]
+                co._boot_nbrs = bn
 
     def _fresh_corpus(self) -> IvfCorpus:
         old = self._corpus
         return IvfCorpus(self.dim, nlist=old._nlist_cfg,
                          nprobe=old._nprobe_cfg, spill=old._spill,
                          storage_dtype=self._storage_dtype_str(),
-                         search_path=old._search_path)
+                         search_path=old._search_path,
+                         graph_degree=old._graph_degree)

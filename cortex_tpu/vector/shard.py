@@ -1205,9 +1205,21 @@ class DeviceCorpus:
     #: captured WITH their device snapshot (see _finish_topk)
     _MU_CURRENT = object()
 
+    def _expand_candidates(self, i, valid, q_np, flt):
+        """Hook: widen the candidate list between the device fetch and
+        the exact re-rank (graph-refined IVF overrides — see
+        knn_graph.py). Runs under the corpus lock. flt is the host-form
+        (kinds, agent, exclude_ids) triple so expanded rows can be
+        filter-checked against the host metadata mirrors; q_np feeds
+        multi-hop frontier selection. Returns (i, valid) — possibly
+        wider; the exact re-rank scores whatever is valid, so expansion
+        can only add candidates, never corrupt scores."""
+        return i, valid
+
     def _finish_topk(self, v, i, k: int, kk: int, generation: int,
                      q_np: Optional[np.ndarray] = None,
-                     rescore: bool = False, bf16_mu=_MU_CURRENT):
+                     rescore: bool = False, bf16_mu=_MU_CURRENT,
+                     flt=None):
         """Fetch device results and map rows -> ids. If rows were freed
         AND reassigned while the device ran (generation changed), the
         row->id mapping is no longer the one the scores were computed
@@ -1235,6 +1247,7 @@ class DeviceCorpus:
                 # surface as score <= -1e29 → id None → dropped,
                 # honoring the documented dead-hit contract.
                 valid &= self._live_h[np.where(valid, i, 0)]
+                i, valid = self._expand_candidates(i, valid, q_np, flt)
                 nat = (rerank_topk_native(self._emb_h, q_np, i, valid, kk)
                        if _USE_NATIVE_RERANK else None)
                 if nat is not None:
@@ -1371,7 +1384,8 @@ class DeviceCorpus:
                 return None
             return self._finish_topk(av, ai, k, a_kk, a_gen,
                                      q_np=q_np, rescore=a_resc,
-                                     bf16_mu=a_mu)
+                                     bf16_mu=a_mu,
+                                     flt=(kinds, agent, exclude_ids))
 
         def finish_full():
             out = None
@@ -1379,7 +1393,9 @@ class DeviceCorpus:
                 try:
                     out = self._finish_topk(v, i, k, kk, gen,
                                             q_np=q_np, rescore=resc,
-                                            bf16_mu=mu)
+                                            bf16_mu=mu,
+                                            flt=(kinds, agent,
+                                                 exclude_ids))
                 except DeviceFetchTimeout:
                     log.warning("device fetch wedged (>%.0fs); "
                                 "re-dispatching", FETCH_TIMEOUT_S)
@@ -1498,7 +1514,8 @@ class DeviceCorpus:
             i_all = jnp.concatenate(rs, axis=0)
             return self._finish_topk(v_all, i_all, k, kk, gen,
                                      q_np=q_np, rescore=resc,
-                                     bf16_mu=mu)
+                                     bf16_mu=mu,
+                                     flt=(kinds, agent, exclude_ids))
 
         out = None
         for _ in range(3):

@@ -63,8 +63,8 @@ def emit(metric, value, unit, vs=None):
     print(json.dumps(row), flush=True)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "groups"))
-def _gen_chunk(key, n, groups, ck, off):
+@functools.partial(jax.jit, static_argnames=("n", "groups", "noise"))
+def _gen_chunk(key, n, groups, ck, off, noise=0.35):
     """Clustered unit-norm chunk: global row i = center[i % groups] +
     noise. Centers are drawn ON THE FLY from per-group threefry streams
     (fold_in(ck, g)) — a materialized [groups, D] center table is
@@ -73,7 +73,7 @@ def _gen_chunk(key, n, groups, ck, off):
     idx = (off + jnp.arange(n)) % groups
     keys = jax.vmap(lambda g: jax.random.fold_in(ck, g))(idx)
     ctr = jax.vmap(lambda k: jax.random.normal(k, (D,), jnp.float32))(keys)
-    noise = 0.35 * jax.random.normal(key, (n, D), jnp.float32)
+    noise = noise * jax.random.normal(key, (n, D), jnp.float32)
     v = ctr + noise
     return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
                            1e-12)
@@ -111,11 +111,25 @@ def main():
                          "spilled boundary-row duplicates (engine "
                          "ivf_spill semantics); 0 = r3 baseline")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--group", type=int, default=8,
+                    help="rows per corpus center (the corpus's "
+                         "similarity-block size): 8 = the r3 default "
+                         "geometry (misses arrive as whole seedless "
+                         "groups); larger/noisier spreads true "
+                         "neighbors across clusters")
+    ap.add_argument("--noise", type=float, default=0.35,
+                    help="center noise; larger overlaps clusters")
+    ap.add_argument("--graph-degree", type=int, default=0,
+                    help="kNN-graph refinement degree (engine "
+                         "ivf_graph_degree semantics): build the graph "
+                         "from the block layout and report refined "
+                         "candidate recall@10 alongside the raw probe "
+                         "recall; 0 = off")
     args = ap.parse_args()
     n, rows_left = args.rows, args.rows
     c = args.nlist or min(8192, max(2, round(float(np.sqrt(n)))))
     p = args.nprobe or min(c, max(8, c // 16))
-    groups = max(1, n // 8)
+    groups = max(1, n // max(1, args.group))
 
     dev = jax.devices()[0]
     emit("ivf-bench platform", 1 if dev.platform == "tpu" else 0,
@@ -128,7 +142,7 @@ def main():
     t0 = time.time()
     # pass 1: k-means on one sampled chunk (sample = first chunk rows)
     sk, key = jax.random.split(key)
-    sample = _gen_chunk(sk, min(131072, n), groups, ck, 0)
+    sample = _gen_chunk(sk, min(131072, n), groups, ck, 0, noise=args.noise)
     init = sample[jax.random.choice(
         jax.random.PRNGKey(1), sample.shape[0], (c,),
         replace=sample.shape[0] < c)]
@@ -149,7 +163,7 @@ def main():
         m = min(CHUNK, rows_left)
         gk = jax.random.fold_in(key, off)
         chunk_keys.append((gk, off, m))
-        v = _gen_chunk(gk, m, groups, ck, off)
+        v = _gen_chunk(gk, m, groups, ck, off, noise=args.noise)
         if args.spill > 0:
             a1, a2, v1, v2 = _assign_top2(v, cent)
             assign[off:off + m] = np.asarray(a1)
@@ -243,7 +257,7 @@ def main():
                      for _, off, m in chunk_keys]
         sp_bucket = 1 << (max(1, max(per_chunk)) - 1).bit_length()
     for gk, off, m in chunk_keys:
-        v = _gen_chunk(gk, m, groups, ck, off)
+        v = _gen_chunk(gk, m, groups, ck, off, noise=args.noise)
         q, ri = _center_quant(v, mu)
         pos = jnp.asarray(flat_pos[off:off + m])
         rid = jnp.arange(off, off + m, dtype=jnp.int32)
@@ -299,11 +313,29 @@ def main():
                                kind_sl, agent_sl, ak, aa, ex, qs,
                                p=p, cand=cand, dedup=n_spill > 0)
 
+    # ---- kNN-graph refinement structure (vector/knn_graph.py) --------
+    nbrs = None
+    if args.graph_degree > 0:
+        from cortex_tpu.vector.knn_graph import build_knn_graph
+        t0 = time.time()
+        cl2 = np.where(spill_pos >= 0, spill_pos // lcap, -1
+                       ).astype(np.int32)
+        sl2 = np.where(spill_pos >= 0, spill_pos % lcap, -1
+                       ).astype(np.int32)
+        nbrs = build_knn_graph(
+            emb_i8, rinv_sl, slot_rows, np.asarray(mu),
+            degree=args.graph_degree, cap=n,
+            rows=np.arange(n, dtype=np.int64),
+            cluster_of=cluster, slot_of=slot.astype(np.int32),
+            cluster_of2=cl2, slot_of2=sl2)
+        emit("ivf knn-graph build", time.time() - t0,
+             f"seconds (degree {args.graph_degree})")
+
     # ---- QPS: pipelined dispatch, single drain -----------------------
     rng = np.random.default_rng(0)
     for b in (1, 8, 64):
         qk = jax.random.fold_in(key, 999 + b)
-        qs = _gen_chunk(qk, max(b, 2), groups, ck, 0)[:b]
+        qs = _gen_chunk(qk, max(b, 2), groups, ck, 0, noise=args.noise)[:b]
         searches(qs)[0].block_until_ready()          # compile
         t0 = time.time()
         outs = [searches(qs) for _ in range(ROUNDS)]
@@ -317,7 +349,7 @@ def main():
     for fam, make_q in (
             ("in-distribution",
              lambda: _gen_chunk(jax.random.fold_in(key, 555), 64,
-                                groups, ck, 0)),
+                                groups, ck, 0, noise=args.noise)),
             ("iid-gaussian",
              lambda: jnp.asarray(np.linalg.qr(
                  rng.standard_normal((D, 64)))[0].T.astype(np.float32)))):
@@ -328,7 +360,7 @@ def main():
         best_v = np.full((64, K), -np.inf, np.float32)
         best_i = np.zeros((64, K), np.int64)
         for gk, off, m in chunk_keys:
-            v = _gen_chunk(gk, m, groups, ck, off)
+            v = _gen_chunk(gk, m, groups, ck, off, noise=args.noise)
             cv, ci = _exact_chunk_topk(v, qs, k=K)
             cv = np.asarray(cv)
             ci = np.asarray(ci) + off
@@ -342,6 +374,21 @@ def main():
             for b in range(64)])
         emit(f"ivf candidate recall@10 ({fam} queries)", hit,
              f"fraction (cand={cand}, nprobe={p}/{c})")
+        if nbrs is not None:
+            # refined candidate recall: probe candidates UNION their
+            # top-frontier graph neighbors (the engine's
+            # _expand_candidates; the exact re-rank preserves the set)
+            for e in (16, 32, 64):
+                front = rows_ivf[:, :e]
+                exp = nbrs[np.where(front >= 0, front, 0)
+                           ].reshape(rows_ivf.shape[0], -1)
+                rh = np.mean([
+                    len((set(rows_ivf[b].tolist())
+                         | set(exp[b][exp[b] >= 0].tolist()))
+                        & set(best_i[b].tolist())) / K
+                    for b in range(64)])
+                emit(f"ivf refined recall@10 ({fam}, frontier {e})",
+                     rh, f"fraction (degree {args.graph_degree})")
 
 
 if __name__ == "__main__":

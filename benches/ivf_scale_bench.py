@@ -356,6 +356,10 @@ def main():
         qs = make_q()
         v_ivf, rows_ivf = searches(qs)
         rows_ivf = np.asarray(rows_ivf)
+        # dead candidate slots carry sentinel row 0 with score NEG_INF
+        # (_chunked_topk): mask them to -1 so neither the raw-recall
+        # set nor the expansion frontier credits row 0 spuriously
+        rows_ivf = np.where(np.asarray(v_ivf) > -1e29, rows_ivf, -1)
         # oracle: exact top-K over every chunk, merged on host
         best_v = np.full((64, K), -np.inf, np.float32)
         best_i = np.zeros((64, K), np.int64)
@@ -370,7 +374,8 @@ def main():
             best_v = np.take_along_axis(allv, sel, axis=1)
             best_i = np.take_along_axis(alli, sel, axis=1)
         hit = np.mean([
-            len(set(rows_ivf[b].tolist()) & set(best_i[b].tolist())) / K
+            len(set(rows_ivf[b][rows_ivf[b] >= 0].tolist())
+                & set(best_i[b].tolist())) / K
             for b in range(64)])
         emit(f"ivf candidate recall@10 ({fam} queries)", hit,
              f"fraction (cand={cand}, nprobe={p}/{c})")
@@ -380,10 +385,15 @@ def main():
             # _expand_candidates; the exact re-rank preserves the set)
             for e in (16, 32, 64):
                 front = rows_ivf[:, :e]
-                exp = nbrs[np.where(front >= 0, front, 0)
-                           ].reshape(rows_ivf.shape[0], -1)
+                fv = front >= 0          # engine front_v semantics:
+                exp = nbrs[np.where(fv, front, 0)
+                           ].reshape(rows_ivf.shape[0], e, -1)
+                # an invalid frontier slot must not credit row 0's
+                # neighbor list (the engine masks it the same way)
+                exp = np.where(fv[:, :, None], exp, -1
+                               ).reshape(rows_ivf.shape[0], -1)
                 rh = np.mean([
-                    len((set(rows_ivf[b].tolist())
+                    len((set(rows_ivf[b][rows_ivf[b] >= 0].tolist())
                          | set(exp[b][exp[b] >= 0].tolist()))
                         & set(best_i[b].tolist())) / K
                     for b in range(64)])

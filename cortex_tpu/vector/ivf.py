@@ -470,6 +470,16 @@ class IvfCorpus(DeviceCorpus):
         self._graph_degree = max(0, int(graph_degree))
         self._nbrs_h: Optional[np.ndarray] = None     # [cap, degree]
         self._boot_nbrs: Optional[np.ndarray] = None  # snapshot-restored
+        #: large-corpus graph builds run on a background thread (the
+        #: inline build would extend the retrain's lock window by the
+        #: whole [C, L, R] table fetch — minutes at 10M through a
+        #: tunnel, the lock-held-stall class _grow_slots eliminates).
+        #: seq invalidates in-flight builds across rebuilds/compacts;
+        #: stale collects rows mutated while a build is in flight so
+        #: the swap masks their out-edges
+        self._graph_seq = 0
+        self._graph_inflight = False
+        self._graph_stale: set = set()
         #: fraction of the block layout's post-reserve slack filled
         #: with SPILLED duplicates — each boundary row (smallest
         #: first-vs-second centroid margin) is packed into its
@@ -563,9 +573,13 @@ class IvfCorpus(DeviceCorpus):
         liveness/filters and the exact re-rank scores the CURRENT
         vector, so a stale edge costs one wasted candidate, never a
         wrong result. Callers hold the corpus lock."""
+        if row is None:
+            return
         nb = self._nbrs_h
-        if nb is not None and row is not None and 0 <= row < len(nb):
+        if nb is not None and 0 <= row < len(nb):
             nb[row] = -1
+        if self._graph_inflight:
+            self._graph_stale.add(row)
 
     def upsert_batch(self, ids, vectors, kinds, agents) -> None:
         # the write AND the hint masking happen under ONE lock hold
@@ -576,7 +590,8 @@ class IvfCorpus(DeviceCorpus):
         with self._lock:
             super().upsert_batch(ids, vectors, kinds, agents)
             if (self._boot_cluster is not None
-                    or self._nbrs_h is not None):
+                    or self._nbrs_h is not None
+                    or self._graph_inflight):
                 for nid in ids:
                     r = self._row_of.get(nid)
                     if r is not None:
@@ -629,6 +644,16 @@ class IvfCorpus(DeviceCorpus):
         # or retrains, both correct)
         self._boot_cluster = None
         self._boot_cluster2 = None
+        # the kNN graph is keyed AND valued by row index — both maps
+        # are invalid after reassignment (and _grow during super()
+        # would otherwise pad the stale array to a nonsense size);
+        # rebuilt with the layout on the next sync. An in-flight
+        # background build computed against pre-compact rows: seq-bump
+        # discards it at swap time
+        self._nbrs_h = None
+        self._boot_nbrs = None
+        self._graph_seq += 1
+        self._graph_inflight = False
 
     def _auto_nlist(self, n_live: int) -> int:
         if self._nlist_cfg > 0:
@@ -721,6 +746,8 @@ class IvfCorpus(DeviceCorpus):
             self._trained_live = 0
             self._has_spill = False
             self._nbrs_h = None
+            self._graph_seq += 1          # discard in-flight builds
+            self._graph_inflight = False
             return
         data = self._emb_h[rows]              # unit-norm fp32 [N, d]
         # boot hints (snapshot-restored centroids + per-row clusters,
@@ -897,19 +924,34 @@ class IvfCorpus(DeviceCorpus):
         # nothing and fetches one [C, L, R] table
         boot_nbrs = self._boot_nbrs
         self._boot_nbrs = None
+        self._graph_seq += 1              # invalidate in-flight builds
+        self._graph_inflight = False
         if boot_nbrs is not None and self._graph_degree > 0:
             self._nbrs_h = boot_nbrs
             log.info("ivf build: snapshot-restored kNN graph "
                      "(degree %d)", boot_nbrs.shape[1])
         elif self._graph_degree > 0 and lcap > 1:
-            from .knn_graph import build_knn_graph
-            ge, gr, gs = self._graph_build_arrays(emb_i8, rinv_sl,
-                                                  slot_rows)
-            self._nbrs_h = build_knn_graph(
-                ge, gr, gs, self._quant_mu,
-                degree=self._graph_degree, cap=self._cap, rows=rows,
-                cluster_of=self._cluster_of, slot_of=self._slot_of,
-                cluster_of2=self._cluster_of2, slot_of2=self._slot_of2)
+            if c * lcap < WARM_MIN_SLOTS:
+                # tiny layouts build in milliseconds — inline keeps
+                # tests and small boots deterministic
+                from .knn_graph import build_knn_graph
+                ge, gr, gs = self._graph_build_arrays(emb_i8, rinv_sl,
+                                                      slot_rows)
+                self._nbrs_h = build_knn_graph(
+                    ge, gr, gs, self._quant_mu,
+                    degree=self._graph_degree, cap=self._cap,
+                    rows=rows,
+                    cluster_of=self._cluster_of, slot_of=self._slot_of,
+                    cluster_of2=self._cluster_of2,
+                    slot_of2=self._slot_of2)
+            else:
+                # serving-scale layouts: build OFF the lock on a
+                # background thread (searches serve unrefined until
+                # the swap — refinement is recall-additive, so the
+                # gap only costs the lift, never correctness)
+                self._nbrs_h = None
+                self._spawn_graph_build(emb_i8, rinv_sl, slot_rows,
+                                        rows)
         else:
             self._nbrs_h = None
         log.info("ivf build: %d rows -> %d clusters x %d slots "
@@ -923,6 +965,74 @@ class IvfCorpus(DeviceCorpus):
         copies — dynamic_slice across a NamedSharding'd cluster axis
         would all-gather the layout."""
         return self._ivf_dev[1], self._ivf_dev[2], self._ivf_dev[3]
+
+    def _spawn_graph_build(self, emb_i8, rinv_sl, slot_rows,
+                           rows: np.ndarray) -> None:
+        """Background kNN-graph build for serving-scale layouts.
+        Captures the HOST layout arrays (the _build_ivf locals — the
+        device copies are DONATED by incremental slot scatters, so a
+        background read of them would abort on every write wave) plus
+        COPIES of the per-row placement maps, builds off the lock
+        (build_knn_graph chunk-uploads numpy inputs), and swaps the
+        table in under the lock iff no rebuild/compact superseded it
+        (seq check). Rows mutated while the build was in flight get
+        their out-edges masked at swap (_graph_stale). Any failure
+        leaves the graph off until the next rebuild — refinement is
+        additive, so absence costs lift, never correctness. Callers
+        hold the corpus lock."""
+        import threading
+
+        from .shard import DeviceFetchTimeout, _donated_buffer_race, \
+            _fetch_array
+        from .knn_graph import build_knn_graph
+
+        seq = self._graph_seq
+        self._graph_inflight = True
+        self._graph_stale = set()
+        ge, gr, gs = emb_i8, rinv_sl, slot_rows   # host numpy
+        mu = self._quant_mu
+        cap = self._cap
+        cl1, sl1 = self._cluster_of.copy(), self._slot_of.copy()
+        cl2, sl2 = self._cluster_of2.copy(), self._slot_of2.copy()
+        deg = self._graph_degree
+
+        def run():
+            try:
+                out = build_knn_graph(
+                    ge, gr, gs, mu, degree=deg, cap=cap, rows=rows,
+                    cluster_of=cl1, slot_of=sl1, cluster_of2=cl2,
+                    slot_of2=sl2, fetch=_fetch_array)
+            except DeviceFetchTimeout:
+                log.warning("background knn-graph build fetch wedged; "
+                            "graph stays off until the next rebuild")
+                out = None
+            except Exception as e:  # noqa: BLE001 — classified below
+                if _donated_buffer_race(e):
+                    log.info("background knn-graph build raced a "
+                             "donating scatter; graph stays off until "
+                             "the next rebuild")
+                else:
+                    log.exception("background knn-graph build failed")
+                out = None
+            with self._lock:
+                if seq != self._graph_seq:
+                    return                # superseded: discard
+                self._graph_inflight = False
+                if out is None:
+                    return
+                for r in self._graph_stale:
+                    if 0 <= r < len(out):
+                        out[r] = -1
+                if len(out) < self._cap:  # corpus grew mid-build
+                    out = np.concatenate(
+                        [out, np.full((self._cap - len(out),
+                                       out.shape[1]), -1, np.int32)])
+                self._nbrs_h = out
+                log.info("knn graph swapped in (background build, "
+                         "%d stale rows masked)", len(self._graph_stale))
+
+        threading.Thread(target=run, daemon=True,
+                         name="ivf-graph-build").start()
 
     def _free_slots(self) -> int:
         return sum(len(f) for f in self._cluster_free)
@@ -1396,16 +1506,10 @@ class IvfCorpus(DeviceCorpus):
         v2 = np.concatenate(parts_v, axis=1)
         # dedup: a neighbor already in the candidate list (or reached
         # via two frontier rows) must not surface twice in the final
-        # top-k. Keep-first on the stable value sort = the original
-        # device candidate wins over its expansion duplicates.
-        key = np.where(v2, i2, -1)
-        o = np.argsort(key, axis=1, kind="stable")
-        sk = np.take_along_axis(key, o, axis=1)
-        dup = np.zeros_like(v2)
-        dup[:, 1:] = (sk[:, 1:] == sk[:, :-1]) & (sk[:, 1:] >= 0)
-        dd = np.zeros_like(v2)
-        np.put_along_axis(dd, o, dup, axis=1)
-        return i2, v2 & ~dd
+        # top-k. Keep-first = the original device candidate wins over
+        # its expansion duplicates.
+        from .knn_graph import dedup_keep_first
+        return i2, dedup_keep_first(i2, v2)
 
     def _dispatch_search(self, q, ak, aa, ex, k_bucket: int,
                          host_bias=None, dev=None, dev_q=None):
@@ -1487,6 +1591,7 @@ class TpuIvfIndex(TpuFlatIndex):
             self._corpus._boot_cent = None    # force a real k-means
             self._corpus._boot_cluster = None
             self._corpus._boot_cluster2 = None
+            self._corpus._boot_nbrs = None    # graph rebuilds fresh too
             self._corpus.sync()
 
     def snapshot_base_stale(self) -> bool:

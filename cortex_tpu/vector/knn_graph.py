@@ -73,6 +73,23 @@ log = logging.getLogger("cortex.knn_graph")
 GRAPH_BUDGET_BYTES = 1 << 30
 
 
+def dedup_keep_first(vals: np.ndarray, valid: np.ndarray
+                     ) -> np.ndarray:
+    """Row-wise duplicate masking for [B, C] candidate lists: among
+    entries with equal values, keep the FIRST (original order — the
+    stable sort ties break by position) and mark the rest invalid.
+    Invalid entries never collide (keyed as -1, grouped apart from
+    real row 0). Returns the narrowed validity mask."""
+    key = np.where(valid, vals, -1)
+    o = np.argsort(key, axis=1, kind="stable")
+    sk = np.take_along_axis(key, o, axis=1)
+    dup = np.zeros_like(valid)
+    dup[:, 1:] = (sk[:, 1:] == sk[:, :-1]) & (sk[:, 1:] >= 0)
+    dd = np.zeros_like(valid)
+    np.put_along_axis(dd, o, dup, axis=1)
+    return valid & ~dd
+
+
 def _chunk_clusters(c: int, lcap: int) -> int:
     """Cluster-axis chunk size: power of two keeping the [CH, L, L]
     score planes (8 bytes/entry across the int32+fp32 stages) under
@@ -115,8 +132,8 @@ def _block_knn(emb_i8, rinv_sl, slot_rows, mu, start, *, ch: int,
 def build_knn_graph(emb_i8, rinv_sl, slot_rows, mu, *, degree: int,
                     cap: int, rows: np.ndarray,
                     cluster_of: np.ndarray, slot_of: np.ndarray,
-                    cluster_of2: np.ndarray, slot_of2: np.ndarray
-                    ) -> Optional[np.ndarray]:
+                    cluster_of2: np.ndarray, slot_of2: np.ndarray,
+                    fetch=np.asarray) -> Optional[np.ndarray]:
     """Build the [cap, degree] neighbor table from the block layout.
 
     emb_i8/rinv_sl/slot_rows: the layout planes, host numpy or
@@ -159,8 +176,10 @@ def build_knn_graph(emb_i8, rinv_sl, slot_rows, mu, *, degree: int,
                        ch=ch, r=r0)
             for s in starts
         ]
-    # ONE drain: concat on device, fetch once (tunnel-RTT discipline)
-    big = np.asarray(jnp.concatenate(chunks, axis=0))
+    # ONE drain: concat on device, fetch once (tunnel-RTT discipline);
+    # callers on the watchdog protocol pass shard._fetch_array so a
+    # wedged tunnel raises DeviceFetchTimeout instead of hanging
+    big = fetch(jnp.concatenate(chunks, axis=0))
     nl = np.empty((c, lcap, r0), np.int32)
     for j, s in enumerate(starts):
         nl[s:s + ch] = big[j * ch:(j + 1) * ch][:c - s]
@@ -183,15 +202,8 @@ def build_knn_graph(emb_i8, rinv_sl, slot_rows, mu, *, degree: int,
         cand = np.empty((len(a), 2 * r0), np.int32)
         cand[:, 0::2] = a                 # positional interleave of two
         cand[:, 1::2] = sec               # desc-sorted lists
-        valid = (cand >= 0) & (cand != rs[:, None])
-        key = np.where(valid, cand, -1)
-        o = np.argsort(key, axis=1, kind="stable")
-        sk = np.take_along_axis(key, o, axis=1)
-        dup = np.zeros_like(valid)
-        dup[:, 1:] = (sk[:, 1:] == sk[:, :-1]) & (sk[:, 1:] >= 0)
-        dd = np.zeros_like(valid)
-        np.put_along_axis(dd, o, dup, axis=1)
-        valid &= ~dd
+        valid = dedup_keep_first(cand, (cand >= 0)
+                                 & (cand != rs[:, None]))
         comp = np.argsort(~valid, axis=1, kind="stable")[:, :degree]
         res = np.take_along_axis(np.where(valid, cand, -1), comp,
                                  axis=1)

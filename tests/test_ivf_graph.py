@@ -187,6 +187,105 @@ class TestRefinement:
         assert idx.search_batch(vecs[:4], 5)
 
 
+class TestLifecycle:
+    def test_compact_invalidates_graph(self):
+        """compact() reassigns every row — a graph keyed/valued by
+        pre-compact rows must be dropped, then rebuilt, and a
+        post-rebuild snapshot must not index out of bounds (the
+        review-found crash: pos[stale_nbr] with old row ids)."""
+        ids, vecs, _ = clustered(n=500, nc=8, noise=0.6)
+        idx = TpuIvfIndex(DIM, nlist=8, nprobe=2, graph_degree=16)
+        idx.insert_batch(ids, vecs)
+        idx.search_batch(vecs[:1], 3)
+        for nid in ids[:300]:
+            idx.remove(nid)
+        idx.rebuild()                      # compact + retrain
+        idx.search_batch(vecs[:1], 3)      # rebuilds layout + graph
+        st = idx._corpus.state()           # must not IndexError
+        if "ivf_nbrs" in st:
+            assert st["ivf_nbrs"].shape[0] == len(st["ids"])
+        # served results stay exact
+        bf = BruteForceIndex(DIM)
+        for i in range(300, 500):
+            bf.insert(ids[i], vecs[i])
+        got = idx.search_batch(vecs[310:314], 5)
+        want = bf.search_batch(vecs[310:314], 5)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g][:3] == [i for i, _ in w][:3]
+
+    def test_retrain_rebuilds_graph_not_boot_copy(self, tmp_path):
+        """retrain() forces a fresh k-means; the snapshot-restored
+        graph must not survive it (review finding: stale _boot_nbrs
+        served instead of a fresh build)."""
+        ids, vecs, rng = clustered(n=300, nc=6, noise=0.6)
+        idx = TpuIvfIndex(DIM, nlist=6, nprobe=2, graph_degree=16)
+        idx.insert_batch(ids, vecs)
+        idx.search_batch(vecs[:1], 3)
+        p = str(tmp_path / "ivf.npz")
+        idx.write_snapshot(p, idx._corpus.state())
+        idx2 = TpuIvfIndex(DIM, nlist=6, nprobe=2, graph_degree=16)
+        idx2.load(p)
+        # mutate a row so its boot out-edges are masked, then retrain:
+        # the rebuilt graph must restore edges for the mutated row
+        nv = rng.normal(size=(DIM,)).astype(np.float32)
+        idx2.insert(ids[5], nv / np.linalg.norm(nv))
+        idx2.retrain()
+        co = idx2._corpus
+        assert co._nbrs_h is not None
+        assert (co._nbrs_h[co._row_of[ids[5]]] >= 0).any()
+
+    def test_background_build_swaps_in(self, monkeypatch):
+        """Layouts past WARM_MIN_SLOTS build the graph off the lock on
+        a background thread; searches serve unrefined until the swap."""
+        import time
+        monkeypatch.setattr(ivfmod, "WARM_MIN_SLOTS", 1)
+        ids, vecs, _ = clustered(n=300, nc=6, noise=0.6)
+        idx = TpuIvfIndex(DIM, nlist=6, nprobe=2, graph_degree=16)
+        idx.insert_batch(ids, vecs)
+        idx.search_batch(vecs[:1], 3)      # triggers build (async)
+        co = idx._corpus
+        deadline = time.monotonic() + 30
+        while co._nbrs_h is None and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert co._nbrs_h is not None
+        assert not co._graph_inflight
+        # refinement now live; results stay exact and dedup'd
+        for row in idx.search_batch(vecs[:4], 10):
+            hits = [i for i, _ in row if i is not None]
+            assert len(hits) == len(set(hits))
+
+    def test_background_build_masks_rows_mutated_in_flight(
+            self, monkeypatch):
+        import threading
+        import time
+        monkeypatch.setattr(ivfmod, "WARM_MIN_SLOTS", 1)
+        ids, vecs, rng = clustered(n=300, nc=6, noise=0.6)
+        idx = TpuIvfIndex(DIM, nlist=6, nprobe=2, graph_degree=16)
+        idx.insert_batch(ids, vecs)
+        co = idx._corpus
+        # hold the build just before its swap so the mutation lands
+        # while the build is in flight
+        from cortex_tpu.vector import knn_graph as kg
+        orig = kg.build_knn_graph
+        gate = threading.Event()
+
+        def slow_build(*a, **k):
+            out = orig(*a, **k)
+            gate.wait(10)
+            return out
+
+        monkeypatch.setattr(kg, "build_knn_graph", slow_build)
+        idx.search_batch(vecs[:1], 3)      # spawn (blocked at gate)
+        nv = rng.normal(size=(DIM,)).astype(np.float32)
+        idx.insert(ids[7], nv / np.linalg.norm(nv))   # in-flight write
+        gate.set()
+        deadline = time.monotonic() + 30
+        while co._nbrs_h is None and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert co._nbrs_h is not None
+        assert (co._nbrs_h[co._row_of[ids[7]]] == -1).all()
+
+
 class TestPersistence:
     def test_snapshot_roundtrip_restores_graph(self, tmp_path):
         ids, vecs, _ = clustered(n=400, nc=8, noise=0.6)

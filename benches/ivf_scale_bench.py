@@ -125,6 +125,14 @@ def main():
                          "from the block layout and report refined "
                          "candidate recall@10 alongside the raw probe "
                          "recall; 0 = off")
+    ap.add_argument("--hops", type=int, default=1,
+                    help="refinement hops (engine REFINE_HOPS "
+                         "semantics): hop h>1 re-expands from the "
+                         "best-scored additions of hop h-1, scored by "
+                         "a device gather of their int8 layout rows "
+                         "(the engine uses its exact host mirror; at "
+                         "10M the bench has none — dequantized int8 "
+                         "ranking is within quantization noise of it)")
     args = ap.parse_args()
     n, rows_left = args.rows, args.rows
     c = args.nlist or min(8192, max(2, round(float(np.sqrt(n)))))
@@ -382,23 +390,54 @@ def main():
         if nbrs is not None:
             # refined candidate recall: probe candidates UNION their
             # top-frontier graph neighbors (the engine's
-            # _expand_candidates; the exact re-rank preserves the set)
+            # _expand_candidates; the exact re-rank preserves the set).
+            # hops > 1 re-expand from the best-scored additions of the
+            # previous hop (engine REFINE_HOPS): the next frontier is
+            # ranked by a device gather of the additions' int8 layout
+            # rows — rank-equivalent to the engine's exact host-mirror
+            # scoring up to quantization noise.
+            emb_flat = emb_i8.reshape(c * lcap, D)
+            rinv_flat2 = rinv_sl.reshape(c * lcap)
+            fp = jnp.asarray(flat_pos)          # [n] global row -> slot
+
+            @jax.jit
+            def _score_rows(qs2, rows2, ok2):
+                pos2 = fp[jnp.where(ok2, rows2, 0)]
+                g = emb_flat[pos2].astype(jnp.float32)     # [B, M, d]
+                s = jnp.einsum("bmd,bd->bm", g, qs2)
+                return jnp.where(ok2, s * rinv_flat2[pos2], NEG_INF)
+
+            oracle = [set(best_i[b].tolist()) for b in range(64)]
             for e in (16, 32, 64):
                 front = rows_ivf[:, :e]
-                fv = front >= 0          # engine front_v semantics:
-                exp = nbrs[np.where(fv, front, 0)
-                           ].reshape(rows_ivf.shape[0], e, -1)
-                # an invalid frontier slot must not credit row 0's
-                # neighbor list (the engine masks it the same way)
-                exp = np.where(fv[:, :, None], exp, -1
-                               ).reshape(rows_ivf.shape[0], -1)
-                rh = np.mean([
-                    len((set(rows_ivf[b][rows_ivf[b] >= 0].tolist())
-                         | set(exp[b][exp[b] >= 0].tolist()))
-                        & set(best_i[b].tolist())) / K
-                    for b in range(64)])
-                emit(f"ivf refined recall@10 ({fam}, frontier {e})",
-                     rh, f"fraction (degree {args.graph_degree})")
+                fv = front >= 0          # engine front_v semantics
+                found = [set(rows_ivf[b][rows_ivf[b] >= 0].tolist())
+                         for b in range(64)]
+                for hop in range(1, max(1, args.hops) + 1):
+                    exp = nbrs[np.where(fv, front, 0)
+                               ].reshape(rows_ivf.shape[0], e, -1)
+                    # an invalid frontier slot must not credit row 0's
+                    # neighbor list (the engine masks it the same way)
+                    exp = np.where(fv[:, :, None], exp, -1
+                                   ).reshape(rows_ivf.shape[0], -1)
+                    ok = exp >= 0
+                    for b in range(64):
+                        found[b] |= set(exp[b][ok[b]].tolist())
+                    rh = np.mean([len(found[b] & oracle[b]) / K
+                                  for b in range(64)])
+                    tag = f", hop {hop}" if args.hops > 1 else ""
+                    emit(f"ivf refined recall@10 ({fam}, frontier {e}"
+                         f"{tag})", rh,
+                         f"fraction (degree {args.graph_degree})")
+                    if hop <= max(1, args.hops) - 1:
+                        sc = np.asarray(_score_rows(
+                            qs, jnp.asarray(np.where(ok, exp, 0)),
+                            jnp.asarray(ok)))
+                        sel = np.argsort(-sc, axis=1)[:, :e]
+                        front = np.take_along_axis(exp, sel, axis=1)
+                        fv = (np.take_along_axis(ok, sel, axis=1)
+                              & (np.take_along_axis(sc, sel, axis=1)
+                                 > -1e29))
 
 
 if __name__ == "__main__":

@@ -647,3 +647,28 @@ class TestBenchScriptRunnable:
         assert rec and all(r["value"] > 0.5
                            for r in rec
                            if "in-distribution" in r["metric"]), rec
+
+    def test_ivf_scale_bench_graph_hops_cpu(self):
+        """--graph-degree + --hops: refined recall is reported per hop
+        and never decreases across hops (refinement is set-additive)."""
+        import json as _json
+        import subprocess
+        import sys
+        out = subprocess.run(
+            [sys.executable, "benches/ivf_scale_bench.py",
+             "--rows", "2000", "--cpu", "--graph-degree", "8",
+             "--hops", "2"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+                __file__))))
+        assert out.returncode == 0, out.stdout + out.stderr
+        lines = [_json.loads(ln) for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        ref = [m for m in lines
+               if m["metric"].startswith("ivf refined recall")]
+        assert any("hop 2" in m["metric"] for m in ref), ref
+        for fam in ("in-distribution", "iid-gaussian"):
+            for e in (16, 32, 64):
+                seq = [m["value"] for m in ref
+                       if f"({fam}, frontier {e}," in m["metric"]]
+                assert seq == sorted(seq), (fam, e, seq)

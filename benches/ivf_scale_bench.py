@@ -69,12 +69,18 @@ def _gen_chunk(key, n, groups, ck, off, noise=0.35):
     noise. Centers are drawn ON THE FLY from per-group threefry streams
     (fold_in(ck, g)) — a materialized [groups, D] center table is
     3.8 GB of HBM at 10M rows / 8-member groups, which is exactly the
-    headroom the 10 GB block layout needs (r3 OOM)."""
-    idx = (off + jnp.arange(n)) % groups
-    keys = jax.vmap(lambda g: jax.random.fold_in(ck, g))(idx)
+    headroom the 10 GB block layout needs (r3 OOM). Noise is ALSO
+    per-row streamed (fold_in(key, global row)) so any row is exactly
+    regenerable BY ID from (key, ck) alone — the multi-hop frontier
+    scorer relies on this (an XLA row gather from the int8 layout was
+    measured pathological: its compile wedged for 10+ minutes at
+    [64, 512] x 1M on this target)."""
+    idx = off + jnp.arange(n)
+    keys = jax.vmap(lambda g: jax.random.fold_in(ck, g))(idx % groups)
     ctr = jax.vmap(lambda k: jax.random.normal(k, (D,), jnp.float32))(keys)
-    noise = noise * jax.random.normal(key, (n, D), jnp.float32)
-    v = ctr + noise
+    nkeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    nz = jax.vmap(lambda k: jax.random.normal(k, (D,), jnp.float32))(nkeys)
+    v = ctr + noise * nz
     return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
                            1e-12)
 
@@ -128,11 +134,11 @@ def main():
     ap.add_argument("--hops", type=int, default=1,
                     help="refinement hops (engine REFINE_HOPS "
                          "semantics): hop h>1 re-expands from the "
-                         "best-scored additions of hop h-1, scored by "
-                         "a device gather of their int8 layout rows "
-                         "(the engine uses its exact host mirror; at "
-                         "10M the bench has none — dequantized int8 "
-                         "ranking is within quantization noise of it)")
+                         "best-scored additions of hop h-1, scored "
+                         "exactly (fp32) by regenerating the addition "
+                         "rows from their threefry streams on device — "
+                         "the bench analog of the engine's host-mirror "
+                         "scoring")
     args = ap.parse_args()
     n, rows_left = args.rows, args.rows
     c = args.nlist or min(8192, max(2, round(float(np.sqrt(n)))))
@@ -165,11 +171,15 @@ def main():
     assign = np.empty(n, np.int32)
     second = np.empty(n, np.int32)
     margin = np.empty(n, np.float32)
+    # ONE corpus noise key: per-row noise streams (fold_in(nk, row))
+    # make every corpus row regenerable by id — chunk boundaries don't
+    # affect content
+    nk, key = jax.random.split(key)
     chunk_keys = []
     off = 0
     while rows_left > 0:
         m = min(CHUNK, rows_left)
-        gk = jax.random.fold_in(key, off)
+        gk = nk
         chunk_keys.append((gk, off, m))
         v = _gen_chunk(gk, m, groups, ck, off, noise=args.noise)
         if args.spill > 0:
@@ -393,19 +403,30 @@ def main():
             # _expand_candidates; the exact re-rank preserves the set).
             # hops > 1 re-expand from the best-scored additions of the
             # previous hop (engine REFINE_HOPS): the next frontier is
-            # ranked by a device gather of the additions' int8 layout
-            # rows — rank-equivalent to the engine's exact host-mirror
-            # scoring up to quantization noise.
-            emb_flat = emb_i8.reshape(c * lcap, D)
-            rinv_flat2 = rinv_sl.reshape(c * lcap)
-            fp = jnp.asarray(flat_pos)          # [n] global row -> slot
+            # ranked EXACTLY (fp32) by regenerating the addition rows
+            # from their threefry streams on device — the bench analog
+            # of the engine's host-mirror scoring. (A row gather from
+            # the int8 layout was tried first and its XLA compile
+            # wedged 10+ minutes at [64, 512] x 1M on this target.)
+            noise_f = float(args.noise)
 
             @jax.jit
             def _score_rows(qs2, rows2, ok2):
-                pos2 = fp[jnp.where(ok2, rows2, 0)]
-                g = emb_flat[pos2].astype(jnp.float32)     # [B, M, d]
-                s = jnp.einsum("bmd,bd->bm", g, qs2)
-                return jnp.where(ok2, s * rinv_flat2[pos2], NEG_INF)
+                ids = jnp.where(ok2, rows2, 0).reshape(-1)
+                gk2 = jax.vmap(
+                    lambda g: jax.random.fold_in(ck, g))(ids % groups)
+                ctr = jax.vmap(lambda kk: jax.random.normal(
+                    kk, (D,), jnp.float32))(gk2)
+                rk = jax.vmap(
+                    lambda i: jax.random.fold_in(nk, i))(ids)
+                nz = jax.vmap(lambda kk: jax.random.normal(
+                    kk, (D,), jnp.float32))(rk)
+                v = ctr + noise_f * nz
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                v = v.reshape(rows2.shape[0], rows2.shape[1], D)
+                s = jnp.einsum("bmd,bd->bm", v, qs2)
+                return jnp.where(ok2, s, NEG_INF)
 
             oracle = [set(best_i[b].tolist()) for b in range(64)]
             for e in (16, 32, 64):

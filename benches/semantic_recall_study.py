@@ -241,10 +241,58 @@ def measure_corpus(name, corpus_dev, host_corpus, queries, dprimes,
     return {p: r for p, r, _ in results}
 
 
+def measure_ivf(name, host_corpus, queries, graph_degree=32):
+    """The engine's REAL IVF index (spill packing + kNN-graph
+    refinement + exact fp32 re-rank) on this corpus — recall@10 vs the
+    fp32-exact oracle. The synthetic-corpus IVF story lives in
+    ivf_scale_bench; this measures the sublinear option on realistic
+    embedding geometry (the r3 tables never did)."""
+    from cortex_tpu.vector.ivf import TpuIvfIndex
+    n, d = host_corpus.shape
+    ref = oracle_topk(jnp.asarray(host_corpus), jnp.asarray(queries))
+    idx = TpuIvfIndex(d, graph_degree=graph_degree)
+    t0 = time.perf_counter()
+    step = 50_000
+    for s in range(0, n, step):
+        idx.insert_batch([str(i) for i in range(s, min(n, s + step))],
+                         host_corpus[s:s + step])
+    idx.search_batch(queries[:1], K)          # sync -> build
+    # serving-scale graph builds run on a background thread; the study
+    # wants the refined number, so wait for the swap
+    t1 = time.perf_counter()
+    while (idx._corpus._graph_inflight
+           and time.perf_counter() - t1 < 600):
+        time.sleep(0.5)
+    build_s = time.perf_counter() - t0
+    got = idx.search_batch(queries, K)
+    rows = np.full((queries.shape[0], K), -1, np.int64)
+    for b, hits in enumerate(got):
+        for j, (i, _score) in enumerate(hits[:K]):
+            if i:
+                rows[b, j] = int(i)
+    rec = recall_of(rows, ref)
+    co = idx._corpus
+    print(json.dumps({
+        "metric": f"recall@10 {name} ({n}x{d}) ivf+graph+rerank",
+        "value": round(rec, 4), "unit": "recall@10",
+        "build_s": round(build_s, 1),
+        "nlist": int(co._centroids_h.shape[0]),
+        "nprobe": int(co._nprobe(co._centroids_h.shape[0])),
+        "graph": bool(co._nbrs_h is not None)}), flush=True)
+    idx.close() if hasattr(idx, "close") else None
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small sizes, CPU-friendly")
+    ap.add_argument("--only", default="",
+                    help="substring filter on corpus names")
+    ap.add_argument("--ivf", action="store_true",
+                    help="also measure the engine's IVF index "
+                         "(text corpora only — synthetic IVF scale "
+                         "lives in ivf_scale_bench)")
     args = ap.parse_args()
     big_n = 100_000 if args.quick else 1_000_000
     text_n = 5_000 if args.quick else 200_000
@@ -253,6 +301,8 @@ def main():
     # synthetic geometries at scale (device-generated: no upload cost)
     for name, builder in (("gaussian", device_gaussian),
                           ("lowdim-a1.0", device_lowdim)):
+        if args.only and args.only not in name:
+            continue
         corpus = builder(big_n, 768)
         host = np.asarray(corpus)
         qs = np.asarray(builder(B, 768, seed=99))
@@ -260,25 +310,35 @@ def main():
         del corpus, host
 
     # real text, two embedders
+    if args.only and not any(args.only in nm
+                             for nm in ("hash-text", "bert-text")):
+        return
     texts = harvest_sentences(text_n + B)
     qs_text, corpus_texts = texts[:B], texts[B:]
-    t0 = time.perf_counter()
-    h = hash_embed(corpus_texts)
-    hq = hash_embed(qs_text)
-    print(json.dumps({"metric": "hash-embed corpus", "value":
-                      round(len(corpus_texts) /
-                            (time.perf_counter() - t0), 1),
-                      "unit": "texts/sec"}), flush=True)
-    measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
+    if not args.only or args.only in "hash-text":
+        t0 = time.perf_counter()
+        h = hash_embed(corpus_texts)
+        hq = hash_embed(qs_text)
+        print(json.dumps({"metric": "hash-embed corpus", "value":
+                          round(len(corpus_texts) /
+                                (time.perf_counter() - t0), 1),
+                          "unit": "texts/sec"}), flush=True)
+        measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
+        if args.ivf:
+            measure_ivf("hash-text", h, hq)
+        del h
 
-    t0 = time.perf_counter()
-    be = bert_embed(corpus_texts)
-    bq = bert_embed(qs_text)
-    print(json.dumps({"metric": "bert-embed corpus (random weights)",
-                      "value": round(len(corpus_texts) /
-                                     (time.perf_counter() - t0), 1),
-                      "unit": "texts/sec"}), flush=True)
-    measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
+    if not args.only or args.only in "bert-text":
+        t0 = time.perf_counter()
+        be = bert_embed(corpus_texts)
+        bq = bert_embed(qs_text)
+        print(json.dumps({"metric": "bert-embed corpus (random weights)",
+                          "value": round(len(corpus_texts) /
+                                         (time.perf_counter() - t0), 1),
+                          "unit": "texts/sec"}), flush=True)
+        measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
+        if args.ivf:
+            measure_ivf("bert-text", be, bq)
 
 
 if __name__ == "__main__":

@@ -247,6 +247,11 @@ class AutoLinker:
             # and transfer overlap the host rule evaluation below; on a
             # network-attached TPU this also overlaps the round trips
             chunk = 128
+            # refine=False: graph-refined indexes widen candidates for
+            # SERVING recall; the linker's similarity rules threshold
+            # at 0.75+ (far above the structural-miss band), and the
+            # expansion's extra host re-rank rows measured as a 2-4 s
+            # per-cycle tax in the 300k IVF mixed soak
             with span("linker.search"):
                 if (len(batch) > chunk
                         and hasattr(self.index, "search_stream")):
@@ -254,18 +259,20 @@ class AutoLinker:
                     # results concatenate on device, ONE fetch — per-
                     # chunk draining pays a host<->device RTT per chunk
                     all_hits = self.index.search_stream(
-                        queries, self.config.candidate_k, batch=chunk)
+                        queries, self.config.candidate_k, batch=chunk,
+                        refine=False)
                 elif (len(batch) > chunk
                         and hasattr(self.index, "search_batch_async")):
                     finishers = [self.index.search_batch_async(
-                        queries[s:s + chunk], self.config.candidate_k)
+                        queries[s:s + chunk], self.config.candidate_k,
+                        refine=False)
                         for s in range(0, len(batch), chunk)]
                     all_hits = []
                     for fin in finishers:
                         all_hits.extend(fin())
                 else:
                     all_hits = self.index.search_batch(
-                        queries, self.config.candidate_k)
+                        queries, self.config.candidate_k, refine=False)
 
             node_cache: Dict[str, Node] = {n.id: n for n in batch}
             # hydrate every candidate neighbor in one batched read —

@@ -93,7 +93,10 @@ class DedupScanner:
         for start in range(0, len(nodes), _BATCH):
             chunk = nodes[start:start + _BATCH]
             q = np.stack([np.asarray(n.embedding, np.float32) for n in chunk])
-            hits = self.index.search_batch(q, _CAND_K)
+            # refine=False: near-duplicates (>= 0.92) rank at the very
+            # top of any candidate scan — graph expansion can't add
+            # them and only inflates the host re-rank leg
+            hits = self.index.search_batch(q, _CAND_K, refine=False)
             for j, node in enumerate(chunk):
                 for other_id, score in hits[j]:
                     if other_id == node.id or score < thr:

@@ -76,8 +76,13 @@ class VectorIndex:
         return self.search_batch(np.asarray(vector)[None, :], k, flt)[0]
 
     def search_batch(self, vectors: np.ndarray, k: int,
-                     flt: Optional[VectorFilter] = None
-                     ) -> List[List[SearchHit]]:
+                     flt: Optional[VectorFilter] = None, *,
+                     refine: bool = True) -> List[List[SearchHit]]:
+        """refine=False skips recall-widening candidate expansion
+        (graph-refined indexes) — bulk scan paths whose similarity
+        thresholds sit above the structural-miss band (auto-linker
+        0.75+, dedup 0.92+) pass False to keep their host re-rank leg
+        lean. Exact/flat indexes ignore it."""
         raise NotImplementedError
 
     def search_threshold(self, vector: np.ndarray, threshold: float,
@@ -141,12 +146,13 @@ class TpuFlatIndex(VectorIndex):
         return self._corpus.remove(node_id)
 
     def search_batch(self, vectors: np.ndarray, k: int,
-                     flt: Optional[VectorFilter] = None
-                     ) -> List[List[SearchHit]]:
-        return self.search_batch_async(vectors, k, flt)()
+                     flt: Optional[VectorFilter] = None, *,
+                     refine: bool = True) -> List[List[SearchHit]]:
+        return self.search_batch_async(vectors, k, flt, refine=refine)()
 
     def search_batch_async(self, vectors: np.ndarray, k: int,
-                           flt: Optional[VectorFilter] = None):
+                           flt: Optional[VectorFilter] = None, *,
+                           refine: bool = True):
         """Dispatch without fetching; returns a zero-arg callable that
         blocks for the hits. Lets callers overlap several searches with
         host work (JAX dispatch is async)."""
@@ -156,7 +162,7 @@ class TpuFlatIndex(VectorIndex):
         flt = flt or VectorFilter()
         finish = self._corpus.topk_async(
             vectors, k, kinds=flt.kinds, agent=flt.source_agent,
-            exclude_ids=flt.exclude_ids)
+            exclude_ids=flt.exclude_ids, refine=refine)
         b_count = vectors.shape[0]
 
         def done() -> List[List[SearchHit]]:
@@ -168,7 +174,8 @@ class TpuFlatIndex(VectorIndex):
 
     def search_stream(self, vectors: np.ndarray, k: int,
                       flt: Optional[VectorFilter] = None,
-                      batch: int = 512) -> List[List[SearchHit]]:
+                      batch: int = 512, *,
+                      refine: bool = True) -> List[List[SearchHit]]:
         """Bulk search over a query stream with ONE device drain.
 
         Same results as search_batch over the concatenated stream, but
@@ -183,7 +190,8 @@ class TpuFlatIndex(VectorIndex):
         flt = flt or VectorFilter()
         scores, ids = self._corpus.topk_stream(
             vectors, k, batch=batch, kinds=flt.kinds,
-            agent=flt.source_agent, exclude_ids=flt.exclude_ids)
+            agent=flt.source_agent, exclude_ids=flt.exclude_ids,
+            refine=refine)
         return [[(nid, float(scores[b, j]))
                  for j, nid in enumerate(ids[b]) if nid is not None]
                 for b in range(vectors.shape[0])]
@@ -346,8 +354,8 @@ class BruteForceIndex(VectorIndex):
         return self._vecs.pop(node_id, None) is not None
 
     def search_batch(self, vectors: np.ndarray, k: int,
-                     flt: Optional[VectorFilter] = None
-                     ) -> List[List[SearchHit]]:
+                     flt: Optional[VectorFilter] = None, *,
+                     refine: bool = True) -> List[List[SearchHit]]:
         flt = flt or VectorFilter()
         ids = [i for i in self._vecs
                if (flt.kinds is None or self._kind[i] in flt.kinds)

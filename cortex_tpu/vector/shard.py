@@ -1219,7 +1219,7 @@ class DeviceCorpus:
     def _finish_topk(self, v, i, k: int, kk: int, generation: int,
                      q_np: Optional[np.ndarray] = None,
                      rescore: bool = False, bf16_mu=_MU_CURRENT,
-                     flt=None):
+                     flt=None, refine: bool = True):
         """Fetch device results and map rows -> ids. If rows were freed
         AND reassigned while the device ran (generation changed), the
         row->id mapping is no longer the one the scores were computed
@@ -1247,7 +1247,16 @@ class DeviceCorpus:
                 # surface as score <= -1e29 → id None → dropped,
                 # honoring the documented dead-hit contract.
                 valid &= self._live_h[np.where(valid, i, 0)]
-                i, valid = self._expand_candidates(i, valid, q_np, flt)
+                if refine:
+                    # graph refinement is a SERVING-recall feature;
+                    # bulk scan paths (auto-linker, dedup) pass
+                    # refine=False — their 0.75+/0.92+ similarity
+                    # thresholds sit far above the structural-miss
+                    # band, and the expansion's extra host re-rank
+                    # rows measured as a 2-4 s linker-cycle tax in the
+                    # 300k IVF mixed soak (BASELINE.md)
+                    i, valid = self._expand_candidates(i, valid, q_np,
+                                                       flt)
                 nat = (rerank_topk_native(self._emb_h, q_np, i, valid, kk)
                        if _USE_NATIVE_RERANK else None)
                 if nat is not None:
@@ -1304,7 +1313,8 @@ class DeviceCorpus:
     def topk_async(self, queries: np.ndarray, k: int, *,
                    kinds: Optional[Sequence[str]] = None,
                    agent: Optional[str] = None,
-                   exclude_ids: Optional[Sequence[str]] = None):
+                   exclude_ids: Optional[Sequence[str]] = None,
+                   refine: bool = True):
         """Dispatch a search WITHOUT fetching: returns a zero-arg
         callable that blocks for the result. JAX dispatch is async, so
         callers can issue several searches back-to-back and overlap
@@ -1385,7 +1395,8 @@ class DeviceCorpus:
             return self._finish_topk(av, ai, k, a_kk, a_gen,
                                      q_np=q_np, rescore=a_resc,
                                      bf16_mu=a_mu,
-                                     flt=(kinds, agent, exclude_ids))
+                                     flt=(kinds, agent, exclude_ids),
+                                     refine=refine)
 
         def finish_full():
             out = None
@@ -1395,7 +1406,8 @@ class DeviceCorpus:
                                             q_np=q_np, rescore=resc,
                                             bf16_mu=mu,
                                             flt=(kinds, agent,
-                                                 exclude_ids))
+                                                 exclude_ids),
+                                            refine=refine)
                 except DeviceFetchTimeout:
                     log.warning("device fetch wedged (>%.0fs); "
                                 "re-dispatching", FETCH_TIMEOUT_S)
@@ -1443,7 +1455,8 @@ class DeviceCorpus:
                     batch: int = 512,
                     kinds: Optional[Sequence[str]] = None,
                     agent: Optional[str] = None,
-                    exclude_ids: Optional[Sequence[str]] = None):
+                    exclude_ids: Optional[Sequence[str]] = None,
+                    refine: bool = True):
         """Bulk search over a query STREAM with one result drain.
 
         Dispatches the whole [NQ, d] stream chunk-by-chunk (device
@@ -1515,7 +1528,8 @@ class DeviceCorpus:
             return self._finish_topk(v_all, i_all, k, kk, gen,
                                      q_np=q_np, rescore=resc,
                                      bf16_mu=mu,
-                                     flt=(kinds, agent, exclude_ids))
+                                     flt=(kinds, agent, exclude_ids),
+                                     refine=refine)
 
         out = None
         for _ in range(3):

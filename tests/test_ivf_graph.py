@@ -376,3 +376,58 @@ class TestConfigWiring:
         cfg.embedding.ivf_graph_degree = -1
         with pytest.raises(ConfigError, match="ivf_graph_degree"):
             cfg.validate()
+
+
+class TestRefineFlag:
+    def test_refine_false_skips_expansion(self, monkeypatch):
+        """Bulk scan paths (auto-linker, dedup) pass refine=False so
+        graph expansion never joins their host re-rank leg — the 300k
+        IVF mixed soak measured it as a 2-4 s per-cycle tax."""
+        ids, vecs, _ = clustered(n=400, nc=8, noise=0.6)
+        idx = TpuIvfIndex(DIM, nlist=8, nprobe=2, graph_degree=16)
+        idx.insert_batch(ids, vecs)
+        idx.search_batch(vecs[:1], 3)          # sync -> graph build
+        assert idx._corpus._nbrs_h is not None
+        calls = []
+        orig = idx._corpus._expand_candidates
+        monkeypatch.setattr(
+            idx._corpus, "_expand_candidates",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        idx.search_batch(vecs[:2], 5)
+        assert calls                            # serving path refines
+        calls.clear()
+        idx.search_batch(vecs[:2], 5, refine=False)
+        idx.search_stream(vecs[:4], 5, refine=False)
+        assert not calls
+
+    def test_linker_and_dedup_scans_pass_refine_false(self, monkeypatch):
+        """The auto-linker's candidate scan and the dedup scan both run
+        unrefined against a graph-enabled index."""
+        from cortex_tpu.linker.auto_linker import AutoLinker
+        from cortex_tpu.linker.dedup import DedupScanner
+        from cortex_tpu.storage.memory_store import MemoryStorage
+        from cortex_tpu.types import Node, Source
+        from cortex_tpu.vector.config import SimilarityConfig
+        from cortex_tpu.vector.embedding import HashingEmbedder
+
+        store = MemoryStorage()
+        emb = HashingEmbedder(dim=DIM)
+        idx = TpuIvfIndex(DIM, nlist=2, nprobe=2, graph_degree=8)
+        for i in range(40):
+            n = Node.new("fact", f"fact number {i}",
+                         f"body text for fact {i} " * 3,
+                         Source(agent="tester"))
+            n.embedding = emb.embed(n.title + " " + (n.body or ""))
+            store.put_node(n)
+            idx.insert(n.id, np.asarray(n.embedding, np.float32),
+                       kind=n.kind)
+        idx.search_batch(np.zeros((1, DIM), np.float32), 3)  # build
+        calls = []
+        orig = idx._corpus._expand_candidates
+        monkeypatch.setattr(
+            idx._corpus, "_expand_candidates",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        linker = AutoLinker(store, idx, emb)
+        linker.run_cycle()
+        DedupScanner(store, idx, SimilarityConfig()).scan()
+        assert not calls

@@ -219,7 +219,11 @@ class WriteGate:
             if ov and ov.conflict_threshold is not None \
             else config.conflict_threshold
         try:
-            hits = index.search(np.asarray(embedding, np.float32), 5)
+            # refine=False: duplicates/conflicts (>= 0.85) rank at the
+            # top of any candidate scan — graph expansion can't surface
+            # one the scan missed, and this check runs on every write
+            hits = index.search(np.asarray(embedding, np.float32), 5,
+                                refine=False)
         except Exception:  # noqa: BLE001 — search errors never block writes
             return None
         for nid, score in hits:

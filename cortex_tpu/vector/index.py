@@ -72,8 +72,10 @@ class VectorIndex:
         raise NotImplementedError
 
     def search(self, vector: np.ndarray, k: int,
-               flt: Optional[VectorFilter] = None) -> List[SearchHit]:
-        return self.search_batch(np.asarray(vector)[None, :], k, flt)[0]
+               flt: Optional[VectorFilter] = None, *,
+               refine: bool = True) -> List[SearchHit]:
+        return self.search_batch(np.asarray(vector)[None, :], k, flt,
+                                 refine=refine)[0]
 
     def search_batch(self, vectors: np.ndarray, k: int,
                      flt: Optional[VectorFilter] = None, *,

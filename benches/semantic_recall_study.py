@@ -241,7 +241,8 @@ def measure_corpus(name, corpus_dev, host_corpus, queries, dprimes,
     return {p: r for p, r, _ in results}
 
 
-def measure_ivf(name, host_corpus, queries, graph_degree=32):
+def measure_ivf(name, host_corpus, queries, graph_degree=32,
+                nprobe=0):
     """The engine's REAL IVF index (spill packing + kNN-graph
     refinement + exact fp32 re-rank) on this corpus — recall@10 vs the
     fp32-exact oracle. The synthetic-corpus IVF story lives in
@@ -250,7 +251,7 @@ def measure_ivf(name, host_corpus, queries, graph_degree=32):
     from cortex_tpu.vector.ivf import TpuIvfIndex
     n, d = host_corpus.shape
     ref = oracle_topk(jnp.asarray(host_corpus), jnp.asarray(queries))
-    idx = TpuIvfIndex(d, graph_degree=graph_degree)
+    idx = TpuIvfIndex(d, graph_degree=graph_degree, nprobe=nprobe)
     t0 = time.perf_counter()
     step = 50_000
     for s in range(0, n, step):
@@ -293,6 +294,11 @@ def main():
                     help="also measure the engine's IVF index "
                          "(text corpora only — synthetic IVF scale "
                          "lives in ivf_scale_bench)")
+    ap.add_argument("--ivf-nprobe", type=int, default=0,
+                    help="override the engine's auto nprobe (C/8) — "
+                         "probes whether real-text recall is "
+                         "nprobe-limited, unlike the synthetic "
+                         "corpora's flat curve")
     args = ap.parse_args()
     big_n = 100_000 if args.quick else 1_000_000
     text_n = 5_000 if args.quick else 200_000
@@ -325,7 +331,7 @@ def main():
                           "unit": "texts/sec"}), flush=True)
         measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
         if args.ivf:
-            measure_ivf("hash-text", h, hq)
+            measure_ivf("hash-text", h, hq, nprobe=args.ivf_nprobe)
         del h
 
     if not args.only or args.only in "bert-text":
@@ -338,7 +344,7 @@ def main():
                           "unit": "texts/sec"}), flush=True)
         measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
         if args.ivf:
-            measure_ivf("bert-text", be, bq)
+            measure_ivf("bert-text", be, bq, nprobe=args.ivf_nprobe)
 
 
 if __name__ == "__main__":

@@ -872,7 +872,10 @@ class IvfCorpus(DeviceCorpus):
         # gets a second chance to be probed. The r3 10M measurement
         # showed the recall curve FLAT in nprobe because misses are
         # exactly such rows; spilling attacks the cause instead of
-        # paying 8x probes for +0.05. Costs ZERO extra HBM (the slots
+        # paying 8x probes for +0.05. (Real-TEXT geometry measured the
+        # opposite — nprobe-limited, +9 pts from C/8 to C/2 at 200k —
+        # so `ivf_nprobe` stays the recall knob for text deployments;
+        # see BASELINE.md "IVF on real-text geometry".) Costs ZERO extra HBM (the slots
         # exist as SLOT_SLACK padding); each cluster keeps
         # max(room//4, 1) spare slots in reserve for incremental
         # inserts between retrains. Duplicate candidates are masked on

@@ -242,7 +242,7 @@ def measure_corpus(name, corpus_dev, host_corpus, queries, dprimes,
 
 
 def measure_ivf(name, host_corpus, queries, graph_degree=32,
-                nprobe=0):
+                nprobe=0, target_recall=0.0):
     """The engine's REAL IVF index (spill packing + kNN-graph
     refinement + exact fp32 re-rank) on this corpus — recall@10 vs the
     fp32-exact oracle. The synthetic-corpus IVF story lives in
@@ -251,7 +251,8 @@ def measure_ivf(name, host_corpus, queries, graph_degree=32,
     from cortex_tpu.vector.ivf import TpuIvfIndex
     n, d = host_corpus.shape
     ref = oracle_topk(jnp.asarray(host_corpus), jnp.asarray(queries))
-    idx = TpuIvfIndex(d, graph_degree=graph_degree, nprobe=nprobe)
+    idx = TpuIvfIndex(d, graph_degree=graph_degree, nprobe=nprobe,
+                      target_recall=target_recall)
     t0 = time.perf_counter()
     step = 50_000
     for s in range(0, n, step):
@@ -279,6 +280,7 @@ def measure_ivf(name, host_corpus, queries, graph_degree=32,
         "build_s": round(build_s, 1),
         "nlist": int(co._centroids_h.shape[0]),
         "nprobe": int(co._nprobe(co._centroids_h.shape[0])),
+        "nprobe_tuned": int(co._nprobe_tuned),
         "graph": bool(co._nbrs_h is not None)}), flush=True)
     idx.close() if hasattr(idx, "close") else None
     return rec
@@ -299,6 +301,10 @@ def main():
                          "probes whether real-text recall is "
                          "nprobe-limited, unlike the synthetic "
                          "corpora's flat curve")
+    ap.add_argument("--ivf-target-recall", type=float, default=0.0,
+                    help="exercise the engine's recall-target nprobe "
+                         "tuner (ivf_target_recall) instead of a "
+                         "fixed nprobe")
     args = ap.parse_args()
     big_n = 100_000 if args.quick else 1_000_000
     text_n = 5_000 if args.quick else 200_000
@@ -331,7 +337,8 @@ def main():
                           "unit": "texts/sec"}), flush=True)
         measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
         if args.ivf:
-            measure_ivf("hash-text", h, hq, nprobe=args.ivf_nprobe)
+            measure_ivf("hash-text", h, hq, nprobe=args.ivf_nprobe,
+                        target_recall=args.ivf_target_recall)
         del h
 
     if not args.only or args.only in "bert-text":
@@ -344,7 +351,8 @@ def main():
                           "unit": "texts/sec"}), flush=True)
         measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
         if args.ivf:
-            measure_ivf("bert-text", be, bq, nprobe=args.ivf_nprobe)
+            measure_ivf("bert-text", be, bq, nprobe=args.ivf_nprobe,
+                        target_recall=args.ivf_target_recall)
 
 
 if __name__ == "__main__":

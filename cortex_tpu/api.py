@@ -322,6 +322,8 @@ class Cortex:
                         spill=self.config.embedding.ivf_spill,
                         graph_degree=(
                             self.config.embedding.ivf_graph_degree),
+                        target_recall=(
+                            self.config.embedding.ivf_target_recall),
                         search_path=self.config.embedding.search_path,
                         storage_dtype=self.config.embedding.device_dtype)
                 from .parallel import ShardedFlatIndex
@@ -337,6 +339,7 @@ class Cortex:
                 nprobe=self.config.embedding.ivf_nprobe,
                 spill=self.config.embedding.ivf_spill,
                 graph_degree=self.config.embedding.ivf_graph_degree,
+                target_recall=self.config.embedding.ivf_target_recall,
                 search_path=self.config.embedding.search_path,
                 storage_dtype=self.config.embedding.device_dtype)
         return TpuFlatIndex(

@@ -97,6 +97,15 @@ class EmbeddingConfig:
     index: str = "flat"
     ivf_nlist: int = 0                # 0 = auto (~sqrt(N), <= 8192)
     ivf_nprobe: int = 0               # 0 = auto (nlist/8, >= 8)
+    # recall-target nprobe tuning: when > 0 (and ivf_nprobe is auto),
+    # each retrain samples corpus rows as self-queries, measures the
+    # probe-hit curve on the trained layout, and picks the smallest
+    # nprobe whose sampled candidate recall@10 meets this target.
+    # Replaces guessing a geometry-dependent knob with measuring it:
+    # real-text corpora are nprobe-limited while blocky synthetic ones
+    # are flat (BASELINE.md "IVF on real-text geometry"). Costs ~one
+    # extra corpus pass per retrain. 0.0 disables (auto nlist/8).
+    ivf_target_recall: float = 0.0
     # fraction of the IVF layout's spare slots (the SLOT_SLACK padding
     # it allocates anyway) filled with spilled duplicates of boundary
     # rows — each lands in its second-choice cluster too, lifting
@@ -231,7 +240,8 @@ class CortexConfig:
             ivf_nlist=int(e.get("ivf_nlist", 0)),
             ivf_nprobe=int(e.get("ivf_nprobe", 0)),
             ivf_spill=float(e.get("ivf_spill", 1.0)),
-            ivf_graph_degree=int(e.get("ivf_graph_degree", 32)))
+            ivf_graph_degree=int(e.get("ivf_graph_degree", 32)),
+            ivf_target_recall=float(e.get("ivf_target_recall", 0.0)))
 
         al = raw.get("auto_linker", {})
         linker = AutoLinkerConfig(
@@ -389,6 +399,9 @@ class CortexConfig:
         if not 0 <= self.embedding.ivf_graph_degree <= 1024:
             raise ConfigError(
                 "[embedding] ivf_graph_degree must be in [0, 1024]")
+        if not 0.0 <= self.embedding.ivf_target_recall <= 1.0:
+            raise ConfigError(
+                "[embedding] ivf_target_recall must be in [0, 1]")
         r = self.embedding.mesh_replicas
         if r < 1 or (r & (r - 1)) != 0:
             raise ConfigError(

@@ -131,11 +131,13 @@ class ShardedIvfCorpus(IvfCorpus):
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
                  nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
-                 search_path: str = "auto", graph_degree: int = 32):
+                 search_path: str = "auto", graph_degree: int = 32,
+                 target_recall: float = 0.0):
         super().__init__(dim, nlist=nlist, nprobe=nprobe, spill=spill,
                          storage_dtype=storage_dtype,
                          search_path=search_path,
-                         graph_degree=graph_degree)
+                         graph_degree=graph_degree,
+                         target_recall=target_recall)
         self.mesh = mesh or build_mesh()
         self._n_shard = shard_count(self.mesh)
         self._n_replica = replica_count(self.mesh)
@@ -229,13 +231,15 @@ class ShardedIvfIndex(TpuIvfIndex):
     def __init__(self, dim: int, mesh: Optional[Mesh] = None, *,
                  nlist: int = 0, nprobe: int = 0, spill: float = 1.0,
                  storage_dtype: str = "float32",
-                 search_path: str = "auto", graph_degree: int = 32):
+                 search_path: str = "auto", graph_degree: int = 32,
+                 target_recall: float = 0.0):
         self.dim = dim
         self._corpus = ShardedIvfCorpus(dim, mesh, nlist=nlist,
                                         nprobe=nprobe, spill=spill,
                                         storage_dtype=storage_dtype,
                                         search_path=search_path,
-                                        graph_degree=graph_degree)
+                                        graph_degree=graph_degree,
+                                        target_recall=target_recall)
         self._delta_ids: set = set()
 
     @property
@@ -250,4 +254,5 @@ class ShardedIvfIndex(TpuIvfIndex):
                                 spill=old._spill,
                                 storage_dtype=self._storage_dtype_str(),
                                 search_path=old._search_path,
-                                graph_degree=old._graph_degree)
+                                graph_degree=old._graph_degree,
+                                target_recall=old._target_recall)

@@ -93,6 +93,12 @@ REFINE_FRONTIER = int(os.environ.get("CORTEX_IVF_REFINE_FRONTIER", 16))
 #: recall lever); 2+ re-expands from the exact-scored top of each
 #: hop's additions (one extra host BLAS pass per hop)
 REFINE_HOPS = int(os.environ.get("CORTEX_IVF_REFINE_HOPS", 1))
+#: recall-target nprobe tuning ([embedding] ivf_target_recall): corpus
+#: rows sampled as self-queries at (re)train time to measure the
+#: probe-hit curve
+TUNE_SAMPLES = int(os.environ.get("CORTEX_IVF_TUNE_SAMPLES", 256))
+#: the recall@k the tuner measures (the serving metric's k)
+TUNE_TRUTH_K = 10
 #: the background warm-ahead only engages for layouts of at least this
 #: many slots (C*L): the warm compiles ~25 programs, and through a
 #: tunneled device each compile RPC head-of-line-blocks serving — worth
@@ -317,6 +323,28 @@ def _quantize_queries(qq):
     return qi8, qs
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _tune_chunk_topk(blk, ri, sr, q, *, k: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k of the sampled tuner queries against ONE cluster
+    chunk of the layout, using the SAME int8-descaled scoring the
+    serving kernel ranks by (so the tuner's 'truth' is the truth the
+    candidate generator could at best produce at full probe). blk
+    [cc, L, d] int8 centered rows, ri/sr [cc, L], q [S, d] fp32.
+    Returns ([S, k] scores, [S, k] global rows)."""
+    cc, L, d = blk.shape
+    qi8, qs = _quantize_queries(q)
+    s32 = jax.lax.dot_general(
+        qi8, blk.reshape(cc * L, d),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)     # [S, cc*L]
+    s = s32.astype(jnp.float32) * (ri.reshape(-1)[None, :]
+                                   / qs[:, None])
+    s = jnp.where(sr.reshape(-1)[None, :] >= 0, s, NEG_INF)
+    v, idx = jax.lax.top_k(s, k)
+    return v, sr.reshape(-1)[idx]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("p", "cand", "filtered", "dedup"))
 def _ivf_search_pallas(cent, emb_i8, meta, ak, aa, ex, q, *,
@@ -467,11 +495,25 @@ class IvfCorpus(DeviceCorpus):
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
                  spill: float = 1.0, storage_dtype: str = "float32",
-                 search_path: str = "auto", graph_degree: int = 32):
+                 search_path: str = "auto", graph_degree: int = 32,
+                 target_recall: float = 0.0):
         super().__init__(dim, search_path=search_path,
                          storage_dtype=storage_dtype)
         self._nlist_cfg = int(nlist)          # 0 = auto (~sqrt(N))
         self._nprobe_cfg = int(nprobe)        # 0 = auto (C/8, >= 8)
+        #: recall-target nprobe tuning: when > 0 (and ivf_nprobe is
+        #: auto), each fresh retrain samples corpus rows as
+        #: self-queries, measures the probe-hit curve — the fraction
+        #: of true top-10 rows (by the layout's own int8-exact
+        #: scoring) whose home-or-spill cluster ranks inside the top-p
+        #: probed — and sets the smallest ladder nprobe meeting the
+        #: target. Geometry-adaptive: real-text corpora measured
+        #: nprobe-LIMITED (+9 pts C/8 -> C/2 at 200k) while blocky
+        #: synthetic ones measured FLAT (BASELINE.md "IVF on real-text
+        #: geometry"); this knob replaces guessing with measuring.
+        self._target_recall = min(1.0, max(0.0, float(target_recall)))
+        self._nprobe_tuned = 0                # 0 = not tuned
+        self._boot_nprobe_tuned = 0           # snapshot-restored
         #: kNN-graph refinement degree (knn_graph.py): the graph is
         #: built from the block layout at (re)train time and search
         #: expands its candidate frontier through it into the exact
@@ -542,6 +584,11 @@ class IvfCorpus(DeviceCorpus):
                 rws = [self._row_of[i] for i in st["ids"]]
                 st["ivf_cluster"] = self._cluster_of[rws].copy()
                 st["ivf_cluster2"] = self._cluster_of2[rws].copy()
+                if self._nprobe_tuned > 0:
+                    # restore skips the tuning pass like it skips the
+                    # k-means (the value was measured on this layout)
+                    st["ivf_nprobe_tuned"] = np.int32(
+                        self._nprobe_tuned)
                 if self._nbrs_h is not None:
                     # persist the kNN graph id-relative: values become
                     # positions in st["ids"] (-1 for dead/absent rows),
@@ -733,6 +780,8 @@ class IvfCorpus(DeviceCorpus):
     def _nprobe(self, c: int) -> int:
         if self._nprobe_cfg > 0:
             return min(c, self._nprobe_cfg)
+        if self._nprobe_tuned > 0:            # ivf_target_recall
+            return min(c, self._nprobe_tuned)
         # recall headroom over QPS, same call as _cand_count: c/16
         # measured 0.86 in-distribution recall@10 at 200k, c/8 is the
         # ~0.92+ band; latency-sensitive deployments tune it down
@@ -794,10 +843,12 @@ class IvfCorpus(DeviceCorpus):
                     first[sel] = np.asarray(a1)
             second = None                     # spill -> least-filled
             margin = None                     # boot spill: hints only
+            boot_restored = True
             log.info("ivf build: snapshot-restored clustering "
                      "(%d clusters, %d rows assigned fresh)",
                      c, int(miss.sum()))
         else:
+            boot_restored = False
             c = self._auto_nlist(n)
             rng = np.random.default_rng(n)    # deterministic per size
             sample = data[rng.choice(n, size=min(n, 131072),
@@ -930,6 +981,19 @@ class IvfCorpus(DeviceCorpus):
                                         meta)
         n_spilled = int((self._cluster_of2[rows] >= 0).sum())
         self._has_spill = n_spilled > 0
+        # recall-target nprobe tuning: snapshot-restored builds reuse
+        # the persisted tuned value (one-shot, like the clustering
+        # hints — the layout is the same one it was measured on);
+        # fresh retrains re-measure on the layout just placed
+        boot_np = self._boot_nprobe_tuned
+        self._boot_nprobe_tuned = 0
+        if self._target_recall <= 0.0 or self._nprobe_cfg > 0:
+            self._nprobe_tuned = 0            # explicit nprobe wins
+        elif boot_restored and boot_np > 0:
+            self._nprobe_tuned = min(c, boot_np)
+        else:
+            self._tune_nprobe(rows, data, c, emb_i8, rinv_sl,
+                              slot_rows)
         # kNN-graph refinement structure (knn_graph.py): a
         # snapshot-restored graph is consumed as-is (one-shot, like
         # the clustering hints); otherwise built from the layout just
@@ -978,6 +1042,117 @@ class IvfCorpus(DeviceCorpus):
         copies — dynamic_slice across a NamedSharding'd cluster axis
         would all-gather the layout."""
         return self._ivf_dev[1], self._ivf_dev[2], self._ivf_dev[3]
+
+    def _tune_nprobe(self, rows: np.ndarray, data: np.ndarray,
+                     c: int, emb_i8, rinv_sl, slot_rows) -> None:
+        """Measure the probe-hit curve on the corpus itself and set
+        the smallest ladder nprobe whose sampled candidate recall@10
+        meets [embedding] ivf_target_recall.
+
+        Method: sample corpus rows as self-queries; compute each
+        sample's true top-10 (by the layout's own int8-descaled
+        scoring — the best the candidate generator can produce at
+        full probe, one chunked pass over the [C, L, d] planes); rank
+        clusters per query exactly as the serving kernel does (raw
+        fp32 q . centroids); a truth row is 'hit at p' when its home
+        OR spill cluster ranks inside the top p. recall(p) then needs
+        no extra searches — one [S, C] matmul plus host rank lookups.
+        The chosen p is a ladder rung (C/64..C/2, C — discrete, so a
+        retrain at the same shape-bucketed C reuses every compiled
+        search program). Runs under the corpus lock at (re)train time;
+        cost is ~one corpus pass for TUNE_SAMPLES queries. Probe-hit
+        bounds candidate recall from above, but candidate width was
+        measured non-binding (cand 64 -> 512 moved recall not at all,
+        BASELINE.md 10M findings), so the bound is tight in practice.
+        Geometry evidence for WHY this must be measured, not guessed:
+        BASELINE.md 'IVF on real-text geometry'."""
+        self._nprobe_tuned = 0
+        n = len(rows)
+        if c <= 8 or n < 4 * TUNE_TRUTH_K:
+            return                            # trivial layouts: auto
+        from .shard import _fetch_array
+        rng = np.random.default_rng(n ^ 0x5EED)
+        s = min(TUNE_SAMPLES, n)
+        pick = rng.choice(n, size=s, replace=False)
+        q = np.ascontiguousarray(data[pick], np.float32)  # [S, d]
+        qrows = rows[pick]
+        ge, gr, gs = self._graph_build_arrays(emb_i8, rinv_sl,
+                                              slot_rows)
+        # exact top-k truth, chunk-wise over the cluster axis: fixed
+        # chunk shape (the last chunk slides back and overlaps; host
+        # merge dedups), so the pass compiles ONE program. Chunk size
+        # bounds the transient HBM of BOTH the int8 chunk (L*d bytes
+        # per cluster) and the [S, cc*L] fp32 score plane (4*S per
+        # slot)
+        L = int(ge.shape[1])
+        per_cluster = L * (self.dim + 4 * s)
+        cc = max(1, min(c, GATHER_BUDGET_BYTES // max(1, per_cluster)))
+        k_chunk = min(cc * L, 2 * TUNE_TRUTH_K + 12)  # dup/self margin
+        vs, rs = [], []
+        q_dev = jnp.asarray(q)
+        for c0 in range(0, c, cc):
+            c0 = min(c0, c - cc)
+            v, r = _tune_chunk_topk(ge[c0:c0 + cc], gr[c0:c0 + cc],
+                                    gs[c0:c0 + cc], q_dev, k=k_chunk)
+            vs.append(_fetch_array(v))
+            rs.append(_fetch_array(r))
+        v = np.concatenate(vs, axis=1)        # [S, nchunk*k]
+        r = np.concatenate(rs, axis=1)
+        order = np.argsort(-v, axis=1, kind="stable")
+        v = np.take_along_axis(v, order, axis=1)
+        r = np.take_along_axis(r, order, axis=1)
+        # per query: drop self + spill/overlap duplicates, keep top-10
+        truth = np.full((s, TUNE_TRUTH_K), -1, np.int64)
+        for i in range(s):
+            seen: set = {int(qrows[i])}
+            t = 0
+            for j in range(r.shape[1]):
+                if v[i, j] <= NEG_INF / 2:
+                    break
+                row = int(r[i, j])
+                if row in seen:
+                    continue
+                seen.add(row)
+                truth[i, t] = row
+                t += 1
+                if t == TUNE_TRUTH_K:
+                    break
+        valid = truth >= 0
+        total = int(valid.sum())
+        if total == 0:
+            return
+        # serving probe order (matches _ivf_search: fp32 q . cent^T)
+        cs = q @ self._centroids_h.T          # [S, C]
+        crank = np.empty((s, c), np.int64)
+        np.put_along_axis(
+            crank, np.argsort(-cs, axis=1, kind="stable"),
+            np.broadcast_to(np.arange(c, dtype=np.int64), (s, c)),
+            axis=1)
+        tr = np.where(valid, truth, 0)
+        cl1 = self._cluster_of[tr]
+        cl2 = self._cluster_of2[tr]
+        r1 = np.take_along_axis(crank, np.clip(cl1, 0, c - 1).astype(
+            np.int64), axis=1)
+        r1 = np.where(cl1 >= 0, r1, c)
+        r2 = np.take_along_axis(crank, np.clip(cl2, 0, c - 1).astype(
+            np.int64), axis=1)
+        r2 = np.where(cl2 >= 0, r2, c)
+        pr = np.sort(np.minimum(r1, r2)[valid])
+        ladder = sorted({max(8, c >> i) for i in range(6, 0, -1)}
+                        | {c})
+        curve = [(p, np.searchsorted(pr, p, side="left") / total)
+                 for p in ladder if p <= c]
+        chosen = c
+        for p, rec in curve:
+            if rec >= self._target_recall:
+                chosen = p
+                break
+        self._nprobe_tuned = chosen
+        log.info(
+            "ivf nprobe tune: target %.3f -> nprobe %d/%d "
+            "(auto would be %d; sampled probe-hit curve %s)",
+            self._target_recall, chosen, c, max(8, c // 8),
+            [(p, round(float(rec), 4)) for p, rec in curve])
 
     def _spawn_graph_build(self, emb_i8, rinv_sl, slot_rows,
                            rows: np.ndarray) -> None:
@@ -1589,13 +1764,15 @@ class TpuIvfIndex(TpuFlatIndex):
 
     def __init__(self, dim: int, *, nlist: int = 0, nprobe: int = 0,
                  spill: float = 1.0, storage_dtype: str = "float32",
-                 search_path: str = "auto", graph_degree: int = 32):
+                 search_path: str = "auto", graph_degree: int = 32,
+                 target_recall: float = 0.0):
         self.dim = dim
         self._corpus = IvfCorpus(dim, nlist=nlist, nprobe=nprobe,
                                  spill=spill,
                                  storage_dtype=storage_dtype,
                                  search_path=search_path,
-                                 graph_degree=graph_degree)
+                                 graph_degree=graph_degree,
+                                 target_recall=target_recall)
         self._delta_ids: set = set()
 
     def retrain(self) -> None:
@@ -1627,6 +1804,8 @@ class TpuIvfIndex(TpuFlatIndex):
         extra = {}
         if "ivf_nbrs" in st:
             extra["ivf_nbrs"] = st["ivf_nbrs"]
+        if "ivf_nprobe_tuned" in st:
+            extra["ivf_nprobe_tuned"] = st["ivf_nprobe_tuned"]
         np.savez(path, vectors=st["vectors"],
                  ivf_centroids=st["ivf_centroids"],
                  ivf_cluster=st["ivf_cluster"],
@@ -1665,6 +1844,8 @@ class TpuIvfIndex(TpuFlatIndex):
             co._boot_cent = z["ivf_centroids"].astype(np.float32)
             co._boot_cluster = boot
             co._boot_cluster2 = boot2
+            if "ivf_nprobe_tuned" in z.files:
+                co._boot_nprobe_tuned = int(z["ivf_nprobe_tuned"])
             if "ivf_nbrs" in z.files and co._graph_degree > 0:
                 # remap id-relative neighbor positions to the new row
                 # assignment (see state()); absent ids drop their edges
@@ -1682,4 +1863,5 @@ class TpuIvfIndex(TpuFlatIndex):
                          nprobe=old._nprobe_cfg, spill=old._spill,
                          storage_dtype=self._storage_dtype_str(),
                          search_path=old._search_path,
-                         graph_degree=old._graph_degree)
+                         graph_degree=old._graph_degree,
+                         target_recall=old._target_recall)

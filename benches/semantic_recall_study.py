@@ -281,6 +281,7 @@ def measure_ivf(name, host_corpus, queries, graph_degree=32,
         "nlist": int(co._centroids_h.shape[0]),
         "nprobe": int(co._nprobe(co._centroids_h.shape[0])),
         "nprobe_tuned": int(co._nprobe_tuned),
+        "tune_curve": [[p, round(r, 4)] for p, r in co._tune_curve],
         "graph": bool(co._nbrs_h is not None)}), flush=True)
     idx.close() if hasattr(idx, "close") else None
     return rec

@@ -514,6 +514,7 @@ class IvfCorpus(DeviceCorpus):
         self._target_recall = min(1.0, max(0.0, float(target_recall)))
         self._nprobe_tuned = 0                # 0 = not tuned
         self._boot_nprobe_tuned = 0           # snapshot-restored
+        self._tune_curve: list = []           # last measured (p, rec)
         #: kNN-graph refinement degree (knn_graph.py): the graph is
         #: built from the block layout at (re)train time and search
         #: expands its candidate frontier through it into the exact
@@ -1148,6 +1149,10 @@ class IvfCorpus(DeviceCorpus):
                 chosen = p
                 break
         self._nprobe_tuned = chosen
+        # the measured curve is worth more than the single pick it
+        # produced: diagnostics (semantic_recall_study) read it to
+        # report the pick for EVERY target from one tuning pass
+        self._tune_curve = [(int(p), float(rec)) for p, rec in curve]
         log.info(
             "ivf nprobe tune: target %.3f -> nprobe %d/%d "
             "(auto would be %d; sampled probe-hit curve %s)",

@@ -135,6 +135,24 @@ class TestTunerPrecedence:
         ladder = {max(8, c >> i) for i in range(6, 0, -1)} | {c}
         assert co._nprobe_tuned in ladder
 
+    def test_curve_recorded_monotone(self):
+        """The tuner keeps the full probe-hit curve for diagnostics
+        (semantic_recall_study reports it): ladder-ascending,
+        recall-monotone, consistent with the chosen rung."""
+        idx, _ = build(smooth(), nlist=64, target_recall=0.9,
+                       graph_degree=0)
+        co = idx._corpus
+        assert co._tune_curve, "tuned build must record its curve"
+        ps = [p for p, _ in co._tune_curve]
+        rs = [r for _, r in co._tune_curve]
+        assert ps == sorted(ps)
+        assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:]))
+        assert all(0.0 <= r <= 1.0 for r in rs)
+        # the pick is the first rung meeting the target (or full probe)
+        met = [p for p, r in co._tune_curve if r >= 0.9]
+        want = met[0] if met else co._centroids_h.shape[0]
+        assert co._nprobe_tuned == want
+
 
 class TestTunerPersistence:
     def test_snapshot_restores_without_retune(self, tmp_path,

@@ -201,6 +201,7 @@ def create_app(state: ServerState) -> web.Application:
             "edges_by_relation": s.edges_by_relation,
             "db_size_bytes": s.db_size_bytes,
             "index_size": len(cx.index),
+            "index": cx.index.index_info(),
         })
 
     # -------------------------------------------------------------- nodes

@@ -102,6 +102,14 @@ class VectorIndex:
     def __contains__(self, node_id: str) -> bool:
         raise NotImplementedError
 
+    def index_info(self) -> dict:
+        """Operational description of the serving index, surfaced by
+        GET /stats — what an operator needs to see to know WHICH
+        engine is answering queries and how it is configured right
+        now. Subclasses extend (flat adds the resolved device path,
+        IVF adds clustering + tuned-nprobe state)."""
+        return {"kind": type(self).__name__, "size": len(self)}
+
     def rebuild(self) -> None:
         """Compaction; searches are always exact so this is maintenance,
         not a correctness step (unlike the reference's stale HNSW)."""
@@ -203,6 +211,22 @@ class TpuFlatIndex(VectorIndex):
 
     def __contains__(self, node_id: str) -> bool:
         return node_id in self._corpus
+
+    def index_info(self) -> dict:
+        co = self._corpus
+        info = {
+            "kind": "flat",
+            "size": len(co),
+            "capacity": int(co._cap),
+            "storage_dtype": self._storage_dtype_str(),
+            "search_path": co._search_path,         # configured
+            "resolved_path": co._choose_path(8),    # what serves now
+        }
+        if hasattr(co, "_n_shard"):                 # mesh variants
+            info["mesh"] = {"shards": int(co._n_shard),
+                            "replicas": int(getattr(co, "_n_replica",
+                                                    1))}
+        return info
 
     def rebuild(self) -> None:
         self._corpus.compact()

@@ -1789,6 +1789,25 @@ class TpuIvfIndex(TpuFlatIndex):
             self._corpus._boot_nbrs = None    # graph rebuilds fresh too
             self._corpus.sync()
 
+    def index_info(self) -> dict:
+        info = super().index_info()
+        co = self._corpus
+        info["kind"] = "ivf"
+        trained = co._centroids_h is not None
+        info["trained"] = trained
+        if trained:
+            c = int(co._centroids_h.shape[0])
+            info.update(
+                nlist=c,
+                nprobe=int(co._nprobe(c)),
+                nprobe_tuned=int(co._nprobe_tuned),
+                target_recall=float(co._target_recall),
+                tune_curve=[[int(p), round(float(r), 4)]
+                            for p, r in co._tune_curve],
+                graph_degree=int(co._graph_degree),
+                spill=bool(co._has_spill))
+        return info
+
     def snapshot_base_stale(self) -> bool:
         """True when the on-disk base snapshot predates training (no
         clustering keys) but the corpus is trained now: the checkpoint

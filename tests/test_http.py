@@ -48,7 +48,14 @@ class TestBasics:
         async def s(client, cx, state):
             await client.post("/nodes", json=GOOD_NODE)
             r = await client.get("/stats")
-            assert (await r.json())["data"]["node_count"] == 1
+            data = (await r.json())["data"]
+            assert data["node_count"] == 1
+            # operational index description (index_info): which engine
+            # serves queries and how it is configured right now
+            assert data["index"]["kind"] in ("flat", "ivf")
+            assert data["index"]["size"] == data["index_size"]
+            assert data["index"]["resolved_path"] in (
+                "xla", "quant", "approx")
             r = await client.get("/metrics")
             text = await r.text()
             assert "cortex_nodes_total 1" in text

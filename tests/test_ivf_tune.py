@@ -153,6 +153,22 @@ class TestTunerPrecedence:
         want = met[0] if met else co._centroids_h.shape[0]
         assert co._nprobe_tuned == want
 
+    def test_index_info_reports_tuned_state(self):
+        """index_info (the GET /stats operational block) exposes the
+        clustering and tuned-nprobe state an operator needs."""
+        idx, _ = build(smooth(), nlist=64, target_recall=0.9,
+                       graph_degree=0)
+        co = idx._corpus
+        info = idx.index_info()
+        assert info["kind"] == "ivf" and info["trained"]
+        assert info["nlist"] == co._centroids_h.shape[0]
+        assert info["nprobe_tuned"] == co._nprobe_tuned > 0
+        assert info["nprobe"] == co._nprobe_tuned
+        assert info["target_recall"] == 0.9
+        assert info["tune_curve"] and all(
+            len(pair) == 2 for pair in info["tune_curve"])
+        assert info["size"] == len(idx)
+
 
 class TestTunerPersistence:
     def test_snapshot_restores_without_retune(self, tmp_path,

@@ -227,17 +227,26 @@ def cmd_stats(ctx: CliContext, args) -> int:
     if ctx.remote:
         d = ctx.http("GET", "/stats")
     else:
-        s = ctx.cortex().stats()
+        cx = ctx.cortex()
+        s = cx.stats()
         d = {"node_count": s.node_count, "edge_count": s.edge_count,
              "deleted_node_count": s.deleted_node_count,
              "nodes_by_kind": s.nodes_by_kind,
              "edges_by_relation": s.edges_by_relation,
-             "db_size_bytes": s.db_size_bytes}
+             "db_size_bytes": s.db_size_bytes,
+             "index": cx.index.index_info()}
     lines = [f"nodes: {d['node_count']}  edges: {d['edge_count']}  "
              f"deleted: {d.get('deleted_node_count', 0)}  "
              f"db: {d.get('db_size_bytes', 0)/1024:.1f}KiB"]
     for k, v in sorted(d.get("nodes_by_kind", {}).items()):
         lines.append(f"  {k:<14} {v}")
+    ix = d.get("index")
+    if ix:
+        extra = (f" nlist={ix['nlist']} nprobe={ix['nprobe']}"
+                 f"{' (tuned)' if ix.get('nprobe_tuned') else ''}"
+                 if ix.get("trained") else "")
+        lines.append(f"index: {ix['kind']} size={ix['size']} "
+                     f"path={ix.get('resolved_path', '?')}{extra}")
     emit(args, d, "\n".join(lines))
     return 0
 

@@ -514,6 +514,7 @@ class IvfCorpus(DeviceCorpus):
         self._target_recall = min(1.0, max(0.0, float(target_recall)))
         self._nprobe_tuned = 0                # 0 = not tuned
         self._boot_nprobe_tuned = 0           # snapshot-restored
+        self._boot_tune_curve: Optional[list] = None
         self._tune_curve: list = []           # last measured (p, rec)
         #: kNN-graph refinement degree (knn_graph.py): the graph is
         #: built from the block layout at (re)train time and search
@@ -590,6 +591,12 @@ class IvfCorpus(DeviceCorpus):
                     # k-means (the value was measured on this layout)
                     st["ivf_nprobe_tuned"] = np.int32(
                         self._nprobe_tuned)
+                    if self._tune_curve:
+                        # the probe-hit curve travels with the pick it
+                        # produced, so /stats after a restore shows the
+                        # measurement, not just the conclusion
+                        st["ivf_tune_curve"] = np.asarray(
+                            self._tune_curve, np.float64)
                 if self._nbrs_h is not None:
                     # persist the kNN graph id-relative: values become
                     # positions in st["ids"] (-1 for dead/absent rows),
@@ -987,11 +994,17 @@ class IvfCorpus(DeviceCorpus):
         # hints — the layout is the same one it was measured on);
         # fresh retrains re-measure on the layout just placed
         boot_np = self._boot_nprobe_tuned
+        boot_curve = self._boot_tune_curve
         self._boot_nprobe_tuned = 0
+        self._boot_tune_curve = None
         if self._target_recall <= 0.0 or self._nprobe_cfg > 0:
             self._nprobe_tuned = 0            # explicit nprobe wins
+            self._tune_curve = []             # curve follows the pick
         elif boot_restored and boot_np > 0:
             self._nprobe_tuned = min(c, boot_np)
+            # snapshot-restored curve (if the snapshot carried one);
+            # without it the value stands alone until the next retrain
+            self._tune_curve = list(boot_curve or [])
         else:
             self._tune_nprobe(rows, data, c, emb_i8, rinv_sl,
                               slot_rows)
@@ -1068,6 +1081,7 @@ class IvfCorpus(DeviceCorpus):
         Geometry evidence for WHY this must be measured, not guessed:
         BASELINE.md 'IVF on real-text geometry'."""
         self._nprobe_tuned = 0
+        self._tune_curve = []   # never report a stale layout's curve
         n = len(rows)
         if c <= 8 or n < 4 * TUNE_TRUTH_K:
             return                            # trivial layouts: auto
@@ -1793,19 +1807,25 @@ class TpuIvfIndex(TpuFlatIndex):
         info = super().index_info()
         co = self._corpus
         info["kind"] = "ivf"
-        trained = co._centroids_h is not None
-        info["trained"] = trained
-        if trained:
-            c = int(co._centroids_h.shape[0])
-            info.update(
-                nlist=c,
-                nprobe=int(co._nprobe(c)),
-                nprobe_tuned=int(co._nprobe_tuned),
-                target_recall=float(co._target_recall),
-                tune_curve=[[int(p), round(float(r), 4)]
-                            for p, r in co._tune_curve],
-                graph_degree=int(co._graph_degree),
-                spill=bool(co._has_spill))
+        # under the corpus lock (RLock, cheap): index mutations run on
+        # worker threads, and _build_ivf sets _centroids_h = None on an
+        # emptied corpus — an unlocked read could observe trained=True
+        # then crash on .shape, or emit a torn nlist/nprobe/tune_curve
+        # snapshot mid-retrain (ADVICE r3 #1)
+        with co._lock:
+            trained = co._centroids_h is not None
+            info["trained"] = trained
+            if trained:
+                c = int(co._centroids_h.shape[0])
+                info.update(
+                    nlist=c,
+                    nprobe=int(co._nprobe(c)),
+                    nprobe_tuned=int(co._nprobe_tuned),
+                    target_recall=float(co._target_recall),
+                    tune_curve=[[int(p), round(float(r), 4)]
+                                for p, r in co._tune_curve],
+                    graph_degree=int(co._graph_degree),
+                    spill=bool(co._has_spill))
         return info
 
     def snapshot_base_stale(self) -> bool:
@@ -1830,6 +1850,8 @@ class TpuIvfIndex(TpuFlatIndex):
             extra["ivf_nbrs"] = st["ivf_nbrs"]
         if "ivf_nprobe_tuned" in st:
             extra["ivf_nprobe_tuned"] = st["ivf_nprobe_tuned"]
+        if "ivf_tune_curve" in st:
+            extra["ivf_tune_curve"] = st["ivf_tune_curve"]
         np.savez(path, vectors=st["vectors"],
                  ivf_centroids=st["ivf_centroids"],
                  ivf_cluster=st["ivf_cluster"],
@@ -1870,6 +1892,10 @@ class TpuIvfIndex(TpuFlatIndex):
             co._boot_cluster2 = boot2
             if "ivf_nprobe_tuned" in z.files:
                 co._boot_nprobe_tuned = int(z["ivf_nprobe_tuned"])
+                if "ivf_tune_curve" in z.files:
+                    co._boot_tune_curve = [
+                        (int(p), float(r))
+                        for p, r in z["ivf_tune_curve"]]
             if "ivf_nbrs" in z.files and co._graph_degree > 0:
                 # remap id-relative neighbor positions to the new row
                 # assignment (see state()); absent ids drop their edges

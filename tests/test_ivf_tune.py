@@ -192,6 +192,40 @@ class TestTunerPersistence:
         idx2._corpus.sync()
         assert idx2._corpus._nprobe_tuned == tuned
 
+    def test_snapshot_restores_curve_with_value(self, tmp_path):
+        """ADVICE r3 #3: the probe-hit curve persists with the tuned
+        value, so /stats after a restore shows the measurement the
+        pick came from (PARITY.md's stated contract)."""
+        idx, _ = build(smooth(), nlist=64, target_recall=0.95,
+                       graph_degree=0)
+        curve = list(idx._corpus._tune_curve)
+        assert curve
+        path = str(tmp_path / "ivf.npz")
+        idx.save(path)
+        idx2 = TpuIvfIndex(DIM, nlist=64, target_recall=0.95,
+                           graph_degree=0)
+        idx2.load(path)
+        idx2._corpus.sync()
+        assert idx2._corpus._tune_curve == curve
+        info = idx2.index_info()
+        assert info["tune_curve"] == [[p, round(r, 4)]
+                                      for p, r in curve]
+
+    def test_trivial_layout_clears_stale_curve(self):
+        """ADVICE r3 #2: when tuning resets (trivial layout after a
+        shrink-retrain), the previous layout's curve must not linger
+        as if it described the current state."""
+        idx, _ = build(smooth(), nlist=64, target_recall=0.9,
+                       graph_degree=0)
+        co = idx._corpus
+        assert co._nprobe_tuned > 0 and co._tune_curve
+        # shrink below the tuner's minimum layout and retrain
+        for i in range(30, 800):
+            idx.remove(f"n{i:04d}")
+        idx.retrain()
+        assert co._nprobe_tuned == 0
+        assert co._tune_curve == []
+
     def test_retrain_remeasures(self):
         vecs = smooth()
         idx, _ = build(vecs, nlist=64, target_recall=0.95,

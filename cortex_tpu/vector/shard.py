@@ -95,6 +95,31 @@ def _fetch_array(x, timeout: float = None) -> np.ndarray:
             _time.sleep(0.0002 if el < 0.05 else
                         0.005 if el < 1.0 else 0.05)
     return np.asarray(x)
+
+
+def wait_ready(x, timeout: float = None) -> None:
+    """Block until a device value is ready, bounded like _fetch_array
+    but WITHOUT fetching — for multi-GB device arrays (corpus uploads,
+    on-device generation) where np.asarray would drag the payload
+    through the tunnel just to prove liveness. Falls back to
+    block_until_ready when the array type has no is_ready (then it is
+    unbounded — local backends, where wedges don't happen)."""
+    import time as _time
+    if timeout is None:
+        timeout = FETCH_TIMEOUT_S
+    if timeout > 0 and hasattr(x, "is_ready"):
+        start = _time.monotonic()
+        deadline = start + timeout
+        while not x.is_ready():
+            now = _time.monotonic()
+            if now > deadline:
+                raise DeviceFetchTimeout(
+                    f"device value not ready after {timeout:.0f}s")
+            el = now - start
+            _time.sleep(0.0002 if el < 0.05 else
+                        0.005 if el < 1.0 else 0.05)
+        return
+    x.block_until_ready()
 # the C++ re-rank parallelizes across queries (ctypes releases the
 # GIL); single-core it's a wash with numpy's BLAS path, so only prefer
 # it when there are cores to use

@@ -54,8 +54,10 @@ def free_port():
         return s.getsockname()[1]
 
 
-def seed(cortex, rows: int):
-    """1M nodes into SQLite (no inline embeddings) + device index."""
+def seed(cortex, rows: int, edges_per_node: int = 0):
+    """1M nodes into SQLite (no inline embeddings) + device index.
+    With edges_per_node > 0, also seeds rows*edges_per_node edges
+    (column-level inserts — the hybrid-at-scale soak's graph)."""
     from cortex_tpu.types import Node, Source
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
@@ -87,6 +89,49 @@ def seed(cortex, rows: int):
     print(f"# seeded {rows} nodes into sqlite in {t_store:.1f}s",
           file=sys.stderr)
 
+    if edges_per_node > 0:
+        # bulk edge seed straight through the sqlite connection: the
+        # storage API validates endpoints per edge (several SELECTs
+        # each), which at 100M edges costs hours — the soak measures
+        # SERVING over an existing graph, not import throughput.
+        # Topology: a ring (guaranteed connectivity) + random chords.
+        import json as _json
+        from cortex_tpu.types import EdgeProvenance
+        assert hasattr(cortex.storage, "_db"), \
+            "edge seeding needs the sqlite backend"
+        prov = _json.dumps(EdgeProvenance.manual("seed").to_dict())
+        t0 = time.perf_counter()
+        rng_e = np.random.default_rng(1)
+        now_s = time.time()
+        chunk = 200_000
+        total = rows * edges_per_node
+        eseq = 0
+        for s0 in range(0, total, chunk):
+            m = min(chunk, total - s0)
+            src = ((np.arange(s0, s0 + m)) // edges_per_node)
+            first = (np.arange(s0, s0 + m) % edges_per_node) == 0
+            dst = np.where(
+                first, (src + 1) % rows,
+                rng_e.integers(0, rows, size=m))
+            keep = dst != src
+            rows_sql = [(f"e{eseq + j:012x}", ids[int(src[j])],
+                         ids[int(dst[j])], "related_to", 0.5, prov,
+                         now_s, now_s)
+                        for j in range(m) if keep[j]]
+            eseq += m
+            with cortex.storage._lock:
+                cortex.storage._db.executemany(
+                    "INSERT OR IGNORE INTO edges (id, from_id, to_id, "
+                    "relation, weight, provenance, created_at, "
+                    "updated_at) VALUES (?,?,?,?,?,?,?,?)", rows_sql)
+                cortex.storage._db.commit()
+            if s0 % 2_000_000 == 0:
+                print(f"# edges seeded: {eseq}/{total}",
+                      file=sys.stderr)
+        cortex.graph.cache.invalidate()
+        emit("mixed-load one-time edge seed",
+             time.perf_counter() - t0, "seconds")
+
     t0 = time.perf_counter()
     step = 100_000
     for s in range(0, rows, step):
@@ -115,6 +160,7 @@ def seed(cortex, rows: int):
     t_index = time.perf_counter() - t0
     print(f"# index seeded + synced in {t_index:.1f}s", file=sys.stderr)
     emit("mixed-load one-time corpus upload+compile", t_index, "seconds")
+    return ids
 
 
 async def main_async(args):
@@ -142,7 +188,8 @@ async def main_async(args):
     srv = Server(cfg)
     await srv.start()
     try:
-        await asyncio.to_thread(seed, srv.cortex, args.rows)
+        seed_ids = await asyncio.to_thread(
+            seed, srv.cortex, args.rows, args.edges_per_node)
         # warm the serving programs AT THE SEEDED CAPACITY (boot
         # warmup ran on an empty index, so its bucket compiles don't
         # cover the 1M-cap programs; without this the measurement
@@ -163,8 +210,14 @@ async def main_async(args):
              time.perf_counter() - t0, "seconds")
         base = f"http://{cfg.server.http_addr}"
         lat = []
+        hlat = []
         searches = 0
+        hybrid_searches = 0
         inserts = 0
+        stats_polls = 0
+        stats_failures = []
+        tier_checks = 0
+        tier_divergences = 0
         stop_at = time.monotonic() + args.secs
 
         async def search_worker(wid):
@@ -179,6 +232,122 @@ async def main_async(args):
                         assert r.status == 200
                     lat.append(time.perf_counter() - t0)
                     searches += 1
+
+        async def hybrid_worker(wid):
+            """/search/hybrid with random seeded anchors — drives the
+            vector leg AND the proximity tiers (packed host BFS /
+            device frontier walk at scale) under live writes."""
+            nonlocal hybrid_searches
+            rng_h = np.random.default_rng(1000 + wid)
+            async with aiohttp.ClientSession() as http:
+                while time.monotonic() < stop_at:
+                    q = f"topic {rng_h.integers(997)} node"
+                    anchors = ",".join(
+                        seed_ids[int(i)] for i in
+                        rng_h.integers(0, len(seed_ids), 2))
+                    t0 = time.perf_counter()
+                    async with http.get(
+                            f"{base}/search/hybrid",
+                            params={"q": q, "limit": "10",
+                                    "anchors": anchors}) as r:
+                        await r.read()
+                        assert r.status == 200, r.status
+                    hlat.append(time.perf_counter() - t0)
+                    hybrid_searches += 1
+
+        def tier_divergence_check():
+            """Host-tier vs device-tier proximity parity on live data
+            (VERDICT r3 #5: 'zero tier-divergence assertions'). Exact
+            equality is the contract when no hub was truncated and the
+            device walk did not overflow its frontier cap."""
+            nonlocal tier_checks, tier_divergences
+            from cortex_tpu.graph.csr import (
+                _frontier_bfs_device_compact)
+            import jax.numpy as jnp
+            from cortex_tpu.vector.shard import _fetch_array
+            mirror = srv.cortex.mirror
+            if not mirror._packed_mode():
+                return
+            pk = mirror._ensure_packed()
+            rng_t = np.random.default_rng(tier_checks)
+            anchors = [seed_ids[int(i)] for i in
+                       rng_t.integers(0, len(seed_ids), 4)]
+            rows = [pk.row_of[a] for a in anchors if a in pk.row_of]
+            if not rows:
+                return
+            host = pk.multi_bfs(rows, 3)           # exact, unbudgeted
+            nbrs = mirror._packed_device_nbrs(pk)
+            a = jnp.full((8,), -1, jnp.int32)
+            a = a.at[:len(rows)].set(jnp.asarray(rows, jnp.int32))
+            rows_d, depth_d, overflow = _frontier_bfs_device_compact(
+                nbrs, a, 3, mirror.DEVICE_FRONTIER_CAP,
+                mirror.PACKED_OUT_CAP)
+            rows_h = _fetch_array(rows_d)
+            depth_h = _fetch_array(depth_d)
+            if bool(_fetch_array(overflow)) or mirror.truncated_nodes:
+                return                  # subset semantics apply
+            got = {int(r): int(d) for r, d in zip(rows_h, depth_h)
+                   if d <= 3}
+            from cortex_tpu.graph.packed import UNREACHED
+            want = {int(i): int(d) for i, d in enumerate(host)
+                    if d != UNREACHED}
+            tier_checks += 1
+            if got != want:
+                tier_divergences += 1
+                print(f"# TIER DIVERGENCE at check {tier_checks}: "
+                      f"{len(got)} device vs {len(want)} host rows",
+                      file=sys.stderr)
+
+        async def stats_assert_worker():
+            """GET /stats poller asserting the serving-index block's
+            invariants under churn (VERDICT r3 #8): the reported
+            state must never lie about the index that is serving."""
+            nonlocal stats_polls
+            async with aiohttp.ClientSession() as http:
+                while time.monotonic() < stop_at:
+                    async with http.get(f"{base}/stats") as r:
+                        if r.status != 200:
+                            stats_failures.append(
+                                f"/stats -> {r.status}")
+                            await asyncio.sleep(2)
+                            continue
+                        d = (await r.json())["data"]
+                    stats_polls += 1
+                    ix = d.get("index", {})
+                    try:
+                        assert ix.get("kind") in ("flat", "ivf"), ix
+                        assert ix.get("size", -1) >= 0
+                        assert ix.get("capacity", 0) >= ix["size"]
+                        assert ix.get("resolved_path") in (
+                            "xla", "approx", "quant", "ivf")
+                        if ix["kind"] == "ivf" and ix.get("trained"):
+                            assert ix["nlist"] >= 1
+                            assert 1 <= ix["nprobe"] <= ix["nlist"]
+                            assert 0 <= ix["nprobe_tuned"] <= ix["nlist"]
+                            curve = ix.get("tune_curve", [])
+                            if ix["nprobe_tuned"] == 0:
+                                assert curve == [], \
+                                    "stale curve with tuned==0"
+                            ps = [p for p, _ in curve]
+                            rs = [r_ for _, r_ in curve]
+                            assert ps == sorted(ps)
+                            assert all(0.0 <= r_ <= 1.0 for r_ in rs)
+                        # the block must describe the index that is
+                        # actually serving: a live search succeeds
+                        async with http.get(
+                                f"{base}/search",
+                                params={"q": "liveness probe topic",
+                                        "limit": "1"}) as r2:
+                            assert r2.status == 200, \
+                                f"stats said serving, search {r2.status}"
+                    except AssertionError as e:
+                        stats_failures.append(str(e))
+                    await asyncio.sleep(2)
+
+        async def tier_check_loop():
+            while time.monotonic() < stop_at:
+                await asyncio.to_thread(tier_divergence_check)
+                await asyncio.sleep(10)
 
         def write_batch(j):
             nodes = [Node.new("event", f"live insert {j}-{i} topic {i%97}",
@@ -211,9 +380,17 @@ async def main_async(args):
                 await asyncio.sleep(max(0.0, min(
                     5.0, stop_at - time.monotonic())))
 
+        n_hybrid = args.conc // 2 if args.hybrid else 0
+        n_plain = args.conc - n_hybrid
+        tasks = [writer(), linker_loop(),
+                 *[search_worker(i) for i in range(n_plain)],
+                 *[hybrid_worker(i) for i in range(n_hybrid)]]
+        if args.stats_assert or args.hybrid:
+            tasks.append(stats_assert_worker())
+        if args.hybrid:
+            tasks.append(tier_check_loop())
         t0 = time.monotonic()
-        await asyncio.gather(writer(), linker_loop(),
-                             *[search_worker(i) for i in range(args.conc)])
+        await asyncio.gather(*tasks)
         wall = time.monotonic() - t0
 
         lat_ms = np.sort(np.asarray(lat) * 1e3)
@@ -227,6 +404,30 @@ async def main_async(args):
              "queries/sec", (searches / wall) / 100.0)
         emit("mixed-load sustained insert rate", inserts / wall,
              "inserts/sec")
+        if hlat:
+            hms = np.sort(np.asarray(hlat) * 1e3)
+            hp = lambda q: float(hms[min(len(hms) - 1,
+                                         int(q * len(hms)))])
+            emit(f"mixed-load hybrid p50 @ {args.rows} rows / "
+                 f"{args.rows * args.edges_per_node} edges",
+                 hp(0.50), "ms")
+            emit("mixed-load hybrid p95", hp(0.95), "ms")
+            emit("mixed-load hybrid throughput",
+                 hybrid_searches / wall, "queries/sec")
+        if args.hybrid:
+            emit("mixed-load tier-divergence checks", tier_checks,
+                 "checks")
+            emit("mixed-load tier divergences", tier_divergences,
+                 "divergences")
+            m = srv.cortex.mirror
+            emit("mixed-load packed adjacency rebuilds",
+                 getattr(m, "packed_rebuilds", 0), "rebuilds")
+        if args.stats_assert or args.hybrid:
+            emit("mixed-load /stats polls", stats_polls, "polls")
+            emit("mixed-load /stats assertion failures",
+                 len(stats_failures), "failures")
+            for f in stats_failures[:5]:
+                print(f"# stats-assert: {f}", file=sys.stderr)
         if cycle_times:
             emit("mixed-load in-window linker cycle+checkpoint (mean)",
                  float(np.mean(cycle_times)) * 1e3, "ms")
@@ -259,6 +460,16 @@ def main():
     ap.add_argument("--index", choices=("flat", "ivf"), default="flat",
                     help="index structure to soak through the server")
     ap.add_argument("--data-dir", default="/tmp/cortex-mixed-bench")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="half the workers drive /search/hybrid with "
+                         "seeded anchors; enables tier-divergence and "
+                         "/stats assertions (VERDICT r3 #5)")
+    ap.add_argument("--edges-per-node", type=int, default=0,
+                    help="seed rows*this edges (ring + random chords) "
+                         "before the window — the hybrid-at-scale graph")
+    ap.add_argument("--stats-assert", action="store_true",
+                    help="poll GET /stats and assert the serving-index "
+                         "block's invariants under churn (VERDICT r3 #8)")
     args = ap.parse_args()
     # cycle-phase spans (linker.scan/embed/search/rules/edge_write/
     # decay) land at DEBUG on cortex.trace — surface them so a slow

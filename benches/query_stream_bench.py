@@ -69,6 +69,41 @@ def main():
     got = idx.search_stream(queries, K)
     stream_s = time.perf_counter() - t0
 
+    # --- RTT accounting (r3 VERDICT #6): the numbers above measure a
+    # network-tunneled device; a deployment co-locates the host with
+    # the chip. Three measured ingredients make the engine-attached
+    # projection explicit instead of hand-waved:
+    #   rtt_s           — measured tunnel round-trip (tiny dispatch +
+    #                     scalar fetch, p50 of 30)
+    #   device_stream_s — device execution per full 1k-query stream,
+    #                     amortized: M streams' chunks dispatched
+    #                     back-to-back in-order, ONE drain at the end,
+    #                     total/M (transport leaves the loop)
+    #   projection      — NQ / (device_stream_s + LOCAL_RTT_S), where
+    #                     LOCAL_RTT_S is a documented PCIe-class
+    #                     dispatch+fetch allowance (0.5 ms — generous;
+    #                     measured local JAX dispatch overhead is
+    #                     ~0.1-0.3 ms)
+    import jax.numpy as jnp
+    probe = jnp.zeros((), jnp.float32)
+    rtts = []
+    for i in range(30):
+        t0r = time.perf_counter()
+        np.asarray(probe + np.float32(i))
+        rtts.append(time.perf_counter() - t0r)
+    rtt_s = sorted(rtts)[len(rtts) // 2]
+
+    M = 5
+    t0 = time.perf_counter()
+    pend = []
+    for _ in range(M):
+        pend += [idx.search_batch_async(queries[s:s + B], K)
+                 for s in range(0, NQ, B)]
+    pend[-1]()                       # in-order: drains every stream
+    device_stream_s = (time.perf_counter() - t0) / M
+    LOCAL_RTT_S = 0.0005
+    engine_attached_qps = NQ / (device_stream_s + LOCAL_RTT_S)
+
     # recall vs the fp32 oracle on a query subsample (oracle is host
     # numpy — full 1k x 100k on host is slow but exact)
     oracle = BruteForceIndex(dim=d)
@@ -89,6 +124,9 @@ def main():
         "recall_at_10_vs_fp32_oracle": round(recall, 4),
         "per_batch_drain_qps": round(NQ / per_batch_s, 1),
         "index_build_secs": round(build_s, 2),
+        "tunnel_rtt_ms_p50": round(rtt_s * 1e3, 1),
+        "device_stream_ms": round(device_stream_s * 1e3, 1),
+        "engine_attached_qps_at_0.5ms_rtt": round(engine_attached_qps, 1),
         "vs_baseline": round(NQ / stream_s / 100.0, 1)}), flush=True)
 
 

@@ -21,6 +21,10 @@ rebuilds only after graph mutations.
 from __future__ import annotations
 
 import functools
+import logging
+import os
+import threading
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -28,6 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cache import AdjacencyCache
+from .packed import UNREACHED, PackedAdjacency
+
+log = logging.getLogger("cortex.csr")
 
 INF_DEPTH = np.int32(2**30)
 DEFAULT_MAX_DEG = 64
@@ -110,19 +117,66 @@ def _frontier_bfs_device(nbrs, anchors, hops: int, cap: int):
     return dist, overflow
 
 
+@functools.partial(jax.jit, static_argnames=("hops", "cap", "out_cap"))
+def _frontier_bfs_device_compact(nbrs, anchors, hops: int, cap: int,
+                                 out_cap: int):
+    """Frontier walk + ON-DEVICE compaction of the reached set.
+
+    The raw walk returns dist [N] — a 40 MB fetch at 10M rows, which
+    through a tunneled device costs seconds and through local PCIe
+    still wastes bandwidth on 99.9% UNREACHED entries. Serving
+    proximity only needs the reached rows (<= cap x deg per hop), so
+    compact on device: cap unreached to hops+1 and top_k the
+    `out_cap` smallest depths. Returns (rows [out_cap], depth
+    [out_cap] — hops+1 marks padding/unreached, overflowed)."""
+    dist, overflow = _frontier_bfs_device(nbrs, anchors, hops, cap)
+    capped = jnp.minimum(dist, jnp.int32(hops + 1))
+    vals, rows = jax.lax.top_k(-capped, min(out_cap, capped.shape[0]))
+    return rows, -vals, overflow
+
+
 class DeviceGraphMirror:
     """Undirected padded-neighbor adjacency on device, keyed to a
     node-id <-> row mapping shared with the embedding corpus."""
 
+    #: edge count above which proximity routes through the packed CSR
+    #: (graph/packed.py) instead of the object-graph AdjacencyCache —
+    #: ~200M AdjacencyEntry objects at the reference's 100M-edge
+    #: ceiling is tens of GB of heap + GC collapse; the packed build
+    #: is ~1 GB of numpy at the same scale
+    PACKED_EDGE_THRESHOLD = int(os.environ.get(
+        "CORTEX_PACKED_ADJ_EDGES", "2000000"))
+    #: packed snapshots serve STALE for at most this long under write
+    #: churn: a per-write rebuild at 100M edges would be a rebuild
+    #: storm (the scan itself is minutes), and proximity tolerates
+    #: bounded staleness (new edges join the next snapshot; the
+    #: reference's invalidate-on-write cache has no answer at all at
+    #: this scale — it caps there)
+    REBUILD_MIN_S = float(os.environ.get(
+        "CORTEX_ADJ_REBUILD_MIN_S", "30"))
+    #: device compaction width for packed-tier results (reached rows
+    #: per anchor set; deg^hops for real anchor fans is << this)
+    PACKED_OUT_CAP = 16384
+
     def __init__(self, cache: AdjacencyCache, *,
-                 max_deg: int = DEFAULT_MAX_DEG):
+                 max_deg: int = DEFAULT_MAX_DEG,
+                 storage=None):
         self._cache = cache
+        self._storage = storage if storage is not None \
+            else getattr(cache, "_storage", None)
         self._max_deg = max_deg
         self._built_version = -1
         self._row_of: Dict[str, int] = {}
         self._id_of: List[str] = []
         self._nbrs: Optional[jnp.ndarray] = None
         self.truncated_nodes = 0   # hubs that lost neighbors to the cap
+        # packed tier state (scale mode)
+        self._packed: Optional[PackedAdjacency] = None
+        self._packed_version = -1
+        self._packed_nbrs: Optional[jnp.ndarray] = None
+        self._packed_lock = threading.Lock()
+        self.packed_overflows = 0  # device walks that hit the cap
+        self.packed_rebuilds = 0
 
     @property
     def n(self) -> int:
@@ -183,7 +237,109 @@ class DeviceGraphMirror:
     #: approximated; the host path is exact below the budget.
     HOP_CAP = 8
 
+    # ---------------------------------------------------- packed tier
+    def _packed_mode(self) -> bool:
+        """True when the edge set is too big for the object cache.
+        The decision re-checks at most every 10 s: storage.stats() is
+        a COUNT(*) on some backends — seconds at 100M rows, so it must
+        never sit on the per-query path."""
+        if self._storage is None:
+            return False
+        if self._packed is not None:
+            return True          # once at scale, stay packed
+        now = time.monotonic()
+        if now - getattr(self, "_mode_checked_at", -1e9) < 10.0:
+            return False         # last check said small
+        try:
+            big = (self._storage.stats().edge_count
+                   > self.PACKED_EDGE_THRESHOLD)
+        except Exception:  # noqa: BLE001 — stats failure = small mode
+            big = False
+        if not big:
+            self._mode_checked_at = now
+        return big
+
+    def _ensure_packed(self) -> PackedAdjacency:
+        """Current packed snapshot; rebuilds (debounced) when the
+        graph version moved. Build runs under its own lock — racing
+        readers serve the previous immutable snapshot."""
+        pk = self._packed
+        ver = self._cache.version
+        if pk is not None and (
+                self._packed_version == ver
+                or time.monotonic() - pk.built_at < self.REBUILD_MIN_S):
+            return pk
+        with self._packed_lock:
+            pk = self._packed
+            if pk is not None and (
+                    self._packed_version == ver
+                    or time.monotonic() - pk.built_at
+                    < self.REBUILD_MIN_S):
+                return pk
+            t0 = time.perf_counter()
+            pk = PackedAdjacency.build(self._storage)
+            self._packed = pk
+            self._packed_version = ver
+            self._packed_nbrs = None        # device table lazily
+            self.packed_rebuilds += 1
+            log.info("packed adjacency: %d edges -> %d rows in %.1fs",
+                     pk.edge_count, pk.n, time.perf_counter() - t0)
+            return pk
+
+    def _packed_device_nbrs(self, pk: PackedAdjacency) -> jnp.ndarray:
+        if self._packed_nbrs is None:
+            nbrs, trunc = pk.neighbor_table(self._max_deg)
+            self._packed_nbrs = jnp.asarray(nbrs)
+            self.truncated_nodes = trunc
+        return self._packed_nbrs
+
+    def _packed_per_anchor(self, anchor_ids: Sequence[str],
+                           max_hops: int) -> Dict[str, "np.ndarray"]:
+        """per_anchor_depths over the packed tiers: vectorized host
+        BFS per anchor; budget overflow routes THAT anchor to the
+        device frontier walk with on-device compaction."""
+        pk = self._ensure_packed()
+        known = [a for a in anchor_ids if a in pk.row_of]
+        if not known:
+            return {}
+        out: Dict[str, np.ndarray] = {}
+
+        def put(j: int, rows: np.ndarray, depths: np.ndarray) -> None:
+            ids = pk.ids
+            for r, d in zip(rows.tolist(), depths.tolist()):
+                nid = ids[r]
+                row = out.get(nid)
+                if row is None:
+                    row = np.full(len(known), INF_DEPTH, np.int32)
+                    out[nid] = row
+                row[j] = d
+
+        for j, a in enumerate(known):
+            dist = pk.multi_bfs([pk.row_of[a]], max_hops,
+                                self.HOST_FRONTIER_BUDGET)
+            if dist is not None:
+                rows = np.nonzero(dist != UNREACHED)[0]
+                put(j, rows, dist[rows].astype(np.int32))
+                continue
+            # device frontier walk (the 100M-edge tier)
+            nbrs = self._packed_device_nbrs(pk)
+            anchors = jnp.full((8,), -1, jnp.int32).at[0].set(
+                pk.row_of[a])
+            rows_d, depth_d, overflow = _frontier_bfs_device_compact(
+                nbrs, anchors, min(max_hops, self.HOP_CAP),
+                self.DEVICE_FRONTIER_CAP, self.PACKED_OUT_CAP)
+            from ..vector.shard import _fetch_array
+            rows_h = _fetch_array(rows_d)
+            depth_h = _fetch_array(depth_d)
+            if bool(_fetch_array(overflow)):
+                self.packed_overflows += 1
+            keep = depth_h <= max_hops
+            put(j, rows_h[keep], depth_h[keep])
+        return out
+
     def _in_graph(self, node_id: str) -> bool:
+        if self._packed_mode():
+            return node_id in self._ensure_packed().row_of
         return bool(self._cache.outgoing(node_id)
                     or self._cache.incoming(node_id))
 
@@ -223,6 +379,8 @@ class DeviceGraphMirror:
         {node_id: [A] int32 depths} (entries omitted when unreachable
         from every anchor)."""
         max_hops = min(max_hops, self.HOP_CAP)
+        if self._packed_mode():
+            return self._packed_per_anchor(anchor_ids, max_hops)
         known = [a for a in anchor_ids if self._in_graph(a)]
         per: List[Optional[Dict[str, int]]] = [
             self._host_bfs(a, max_hops, self.HOST_FRONTIER_BUDGET)

@@ -203,6 +203,24 @@ class Storage(abc.ABC):
     @abc.abstractmethod
     def all_edges(self) -> List[Edge]: ...
 
+    def edge_endpoints(self, chunk: int = 1_000_000):
+        """Yield (from_ids, to_ids) list chunks over every edge — a
+        column-only scan for bulk adjacency builds (graph/packed.py):
+        at the 100M-edge scale constructing Edge objects would cost
+        more than the build itself. Default adapts all_edges() (fine
+        for small stores); scale backends override with a real
+        column scan."""
+        fs: List[str] = []
+        ts: List[str] = []
+        for e in self.all_edges():
+            fs.append(e.from_id)
+            ts.append(e.to_id)
+            if len(fs) >= chunk:
+                yield fs, ts
+                fs, ts = [], []
+        if fs:
+            yield fs, ts
+
     @abc.abstractmethod
     def update_edge_weight_atomic(self, edge_id: str, weight: float,
                                   touch: bool = True) -> bool:

@@ -174,6 +174,19 @@ class MemoryStorage(Storage):
     def all_edges(self) -> List[Edge]:
         return [copy.deepcopy(e) for e in self._edges.values()]
 
+    def edge_endpoints(self, chunk: int = 1_000_000):
+        """Column-only scan without deepcopy (ids are immutable)."""
+        fs: List[str] = []
+        ts: List[str] = []
+        for e in list(self._edges.values()):
+            fs.append(e.from_id)
+            ts.append(e.to_id)
+            if len(fs) >= chunk:
+                yield fs, ts
+                fs, ts = [], []
+        if fs:
+            yield fs, ts
+
     def update_edge_weight_atomic(self, edge_id: str, weight: float,
                                   touch: bool = True) -> bool:
         e = self._edges.get(edge_id)

@@ -635,6 +635,23 @@ class SqliteStorage(Storage):
     def all_edges(self) -> List[Edge]:
         return self._edges_q("SELECT * FROM edges", ())
 
+    def edge_endpoints(self, chunk: int = 1_000_000):
+        """Column-only (from_id, to_id) scan in chunks — no Edge
+        construction; the packed-adjacency build's source. Snapshots
+        the cursor per chunk under the lock so writers never block
+        for the whole scan."""
+        last = ""
+        while True:
+            with self._lock:
+                rows = self._db.execute(
+                    "SELECT rowid, from_id, to_id FROM edges "
+                    "WHERE rowid > ? ORDER BY rowid LIMIT ?",
+                    (last or 0, chunk)).fetchall()
+            if not rows:
+                return
+            last = rows[-1][0]
+            yield [r[1] for r in rows], [r[2] for r in rows]
+
     def update_edge_weight_atomic(self, edge_id: str, weight: float,
                                   touch: bool = True) -> bool:
         w = min(1.0, max(0.0, weight))

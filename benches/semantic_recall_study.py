@@ -273,11 +273,23 @@ def measure_ivf(name, host_corpus, queries, graph_degree=32,
             if i:
                 rows[b, j] = int(i)
     rec = recall_of(rows, ref)
+    # QPS at the serving setting (pipelined dispatch, single drain —
+    # the tuner's pick costs probes, so its price must be on record
+    # next to the recall it buys)
+    qps = 0.0
+    if hasattr(idx, "search_batch_async"):
+        R = 20
+        idx.search_batch(queries, K)          # warm
+        t0 = time.perf_counter()
+        pend = [idx.search_batch_async(queries, K) for _ in range(R)]
+        pend[-1]()                            # in-order drain
+        qps = R * queries.shape[0] / (time.perf_counter() - t0)
     co = idx._corpus
     print(json.dumps({
         "metric": f"recall@10 {name} ({n}x{d}) ivf+graph+rerank",
         "value": round(rec, 4), "unit": "recall@10",
         "build_s": round(build_s, 1),
+        "qps_batch64_pipelined": round(qps, 1),
         "nlist": int(co._centroids_h.shape[0]),
         "nprobe": int(co._nprobe(co._centroids_h.shape[0])),
         "nprobe_tuned": int(co._nprobe_tuned),

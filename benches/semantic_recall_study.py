@@ -305,6 +305,11 @@ def main():
                     help="small sizes, CPU-friendly")
     ap.add_argument("--only", default="",
                     help="substring filter on corpus names")
+    ap.add_argument("--ivf-only", action="store_true",
+                    help="skip the flat-path corpus measurements and "
+                         "run only the IVF study (tuner validation "
+                         "re-runs: the corpus paths are already on "
+                         "record in BASELINE.md)")
     ap.add_argument("--ivf", action="store_true",
                     help="also measure the engine's IVF index "
                          "(text corpora only — synthetic IVF scale "
@@ -348,8 +353,9 @@ def main():
                           round(len(corpus_texts) /
                                 (time.perf_counter() - t0), 1),
                           "unit": "texts/sec"}), flush=True)
-        measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
-        if args.ivf:
+        if not args.ivf_only:
+            measure_corpus("hash-text", jnp.asarray(h), h, hq, dprimes)
+        if args.ivf or args.ivf_only:
             measure_ivf("hash-text", h, hq, nprobe=args.ivf_nprobe,
                         target_recall=args.ivf_target_recall)
         del h
@@ -362,8 +368,9 @@ def main():
                           "value": round(len(corpus_texts) /
                                          (time.perf_counter() - t0), 1),
                           "unit": "texts/sec"}), flush=True)
-        measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
-        if args.ivf:
+        if not args.ivf_only:
+            measure_corpus("bert-text", jnp.asarray(be), be, bq, dprimes)
+        if args.ivf or args.ivf_only:
             measure_ivf("bert-text", be, bq, nprobe=args.ivf_nprobe,
                         target_recall=args.ivf_target_recall)
 

@@ -1153,8 +1153,14 @@ class IvfCorpus(DeviceCorpus):
             np.int64), axis=1)
         r2 = np.where(cl2 >= 0, r2, c)
         pr = np.sort(np.minimum(r1, r2)[valid])
+        # rungs: C/64..C/2 by doubling, then 3C/4, then C. The 3C/4
+        # rung exists because real-text curves measured a hole there
+        # (hardware r4: probe-hit 0.87-0.89 at C/2 jumping to 1.0 at
+        # C on both text corpora) — without it any target above the
+        # C/2 reading pays FULL probe; with it, ~25% less work when
+        # the curve crosses the target in between
         ladder = sorted({max(8, c >> i) for i in range(6, 0, -1)}
-                        | {c})
+                        | {(3 * c) // 4, c})
         curve = [(p, np.searchsorted(pr, p, side="left") / total)
                  for p in ladder if p <= c]
         chosen = c

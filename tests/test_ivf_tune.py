@@ -132,7 +132,8 @@ class TestTunerPrecedence:
                        graph_degree=0)
         co = idx._corpus
         c = co._centroids_h.shape[0]
-        ladder = {max(8, c >> i) for i in range(6, 0, -1)} | {c}
+        ladder = {max(8, c >> i) for i in range(6, 0, -1)} \
+            | {(3 * c) // 4, c}
         assert co._nprobe_tuned in ladder
 
     def test_curve_recorded_monotone(self):

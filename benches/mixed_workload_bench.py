@@ -429,6 +429,40 @@ async def main_async(args):
             emit("mixed-load hybrid p95", hp(0.95), "ms")
             emit("mixed-load hybrid throughput",
                  hybrid_searches / wall, "queries/sec")
+        if args.hybrid and srv.cortex.mirror._packed_mode():
+            # post-window: force EVERY proximity query onto the device
+            # frontier walk (host budget 0) and serve real hybrid HTTP
+            # requests through it — live traffic otherwise prefers the
+            # packed host tier at bench fan-outs, and the 100M-edge
+            # device tier must have a serving number, not just the
+            # checker's parity
+            mirror = srv.cortex.mirror
+            saved_budget = mirror.HOST_FRONTIER_BUDGET
+            mirror.HOST_FRONTIER_BUDGET = 0
+            try:
+                dlat = []
+                rng_d = np.random.default_rng(77)
+                async with aiohttp.ClientSession() as http:
+                    for i in range(60):
+                        anchors = ",".join(
+                            seed_ids[int(j)] for j in
+                            rng_d.integers(0, len(seed_ids), 2))
+                        t0 = time.perf_counter()
+                        async with http.get(
+                                f"{base}/search/hybrid",
+                                params={"q": f"topic {i} node",
+                                        "limit": "10",
+                                        "anchors": anchors}) as r:
+                            await r.read()
+                            assert r.status == 200
+                        dlat.append(time.perf_counter() - t0)
+                dms = np.sort(np.asarray(dlat) * 1e3)
+                emit("mixed-load hybrid (device-tier FORCED) p50",
+                     float(dms[len(dms) // 2]), "ms")
+                emit("mixed-load hybrid (device-tier FORCED) p95",
+                     float(dms[int(0.95 * len(dms))]), "ms")
+            finally:
+                mirror.HOST_FRONTIER_BUDGET = saved_budget
         if args.hybrid:
             emit("mixed-load tier-divergence checks", tier_checks,
                  "checks")

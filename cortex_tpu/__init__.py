@@ -19,7 +19,7 @@ from .errors import (CortexError, DuplicateEdge, EdgeNotFound, GateRejection,
                      ValidationError)
 from .types import Edge, EdgeProvenance, Node, Source
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "kinds", "relations",

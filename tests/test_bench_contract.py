@@ -116,3 +116,48 @@ class TestDeadline:
         # nothing measured: value 0, explicit unavailability marker
         assert last["value"] == 0
         assert "not measured" in last["metric"]
+
+
+class TestWaitReady:
+    """wait_ready (shard.py): the non-fetching bounded wait the bench
+    chain relies on — a wedged value raises instead of blocking, a
+    ready value returns fast, and the fetch path stays untouched."""
+
+    def test_ready_value_returns(self):
+        import jax.numpy as jnp
+
+        from cortex_tpu.vector.shard import wait_ready
+        x = jnp.arange(8) * 2
+        x.block_until_ready()
+        t0 = time.monotonic()
+        wait_ready(x, timeout=5.0)
+        assert time.monotonic() - t0 < 1.0
+
+    def test_never_ready_raises_at_deadline(self):
+        from cortex_tpu.vector.shard import (DeviceFetchTimeout,
+                                             wait_ready)
+
+        class Wedged:
+            def is_ready(self):
+                return False
+
+            def block_until_ready(self):
+                raise AssertionError("must not fall through to the "
+                                     "unbounded wait")
+
+        t0 = time.monotonic()
+        with pytest.raises(DeviceFetchTimeout):
+            wait_ready(Wedged(), timeout=0.3)
+        dt = time.monotonic() - t0
+        assert 0.25 < dt < 2.0
+
+    def test_timeout_zero_disables(self):
+        from cortex_tpu.vector.shard import wait_ready
+
+        class Plain:
+            def block_until_ready(self):
+                self.blocked = True
+
+        p = Plain()
+        wait_ready(p, timeout=0)
+        assert p.blocked

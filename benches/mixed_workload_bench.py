@@ -301,6 +301,8 @@ async def main_async(args):
             from cortex_tpu.graph.packed import UNREACHED
             want = {int(i): int(d) for i, d in enumerate(host)
                     if d != UNREACHED}
+            if len(want) >= mirror.PACKED_OUT_CAP:
+                return      # device compaction is a subset by design
             tier_checks += 1
             if got != want:
                 tier_divergences += 1

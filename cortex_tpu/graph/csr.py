@@ -170,10 +170,11 @@ class DeviceGraphMirror:
         self._id_of: List[str] = []
         self._nbrs: Optional[jnp.ndarray] = None
         self.truncated_nodes = 0   # hubs that lost neighbors to the cap
-        # packed tier state (scale mode)
+        # packed tier state (scale mode); the device neighbor table
+        # caches on each PackedAdjacency snapshot, not here (see
+        # _packed_device_nbrs)
         self._packed: Optional[PackedAdjacency] = None
         self._packed_version = -1
-        self._packed_nbrs: Optional[jnp.ndarray] = None
         self._packed_lock = threading.Lock()
         self.packed_overflows = 0  # device walks that hit the cap
         self.packed_rebuilds = 0
@@ -240,12 +241,15 @@ class DeviceGraphMirror:
     # ---------------------------------------------------- packed tier
     def _packed_mode(self) -> bool:
         """True when the edge set is too big for the object cache.
-        The decision re-checks at most every 10 s: storage.stats() is
-        a COUNT(*) on some backends — seconds at 100M rows, so it must
-        never sit on the per-query path."""
+        The decision is sticky once made (a corpus does not shrink
+        under the threshold mid-serving) and re-checks at most every
+        10 s otherwise: storage.stats() is a COUNT(*) on some
+        backends — seconds at 100M rows, so it must never sit on the
+        per-query path."""
         if self._storage is None:
             return False
-        if self._packed is not None:
+        if self._packed is not None or getattr(self, "_mode_big",
+                                               False):
             return True          # once at scale, stay packed
         now = time.monotonic()
         if now - getattr(self, "_mode_checked_at", -1e9) < 10.0:
@@ -255,50 +259,102 @@ class DeviceGraphMirror:
                    > self.PACKED_EDGE_THRESHOLD)
         except Exception:  # noqa: BLE001 — stats failure = small mode
             big = False
-        if not big:
+        if big:
+            self._mode_big = True
+        else:
             self._mode_checked_at = now
         return big
 
+    #: seconds to wait after a failed packed build before re-trying —
+    #: without this every query would repeat the minutes-long build
+    #: attempt on the serving path
+    BUILD_BACKOFF_S = 30.0
+
     def _ensure_packed(self) -> PackedAdjacency:
         """Current packed snapshot; rebuilds (debounced) when the
-        graph version moved. Build runs under its own lock — racing
-        readers serve the previous immutable snapshot."""
+        graph version moved. Only the thread that TRIPS the rebuild
+        builds; concurrent readers serve the previous immutable
+        snapshot instead of queueing behind a minutes-long 100M-edge
+        scan (only the very first build, when no snapshot exists yet,
+        blocks everyone — there is nothing older to serve). A failed
+        build backs off BUILD_BACKOFF_S and serves stale when it can."""
         pk = self._packed
         ver = self._cache.version
         if pk is not None and (
                 self._packed_version == ver
                 or time.monotonic() - pk.built_at < self.REBUILD_MIN_S):
             return pk
-        with self._packed_lock:
-            pk = self._packed
-            if pk is not None and (
-                    self._packed_version == ver
-                    or time.monotonic() - pk.built_at
-                    < self.REBUILD_MIN_S):
+        if pk is not None:
+            # stale but serviceable: rebuild only if no one else is
+            # already on it — never block a reader on the build
+            if not self._packed_lock.acquire(blocking=False):
                 return pk
+        else:
+            if (time.monotonic()
+                    < getattr(self, "_build_backoff_until", 0.0)):
+                raise RuntimeError(
+                    "packed adjacency build failed recently; "
+                    "backing off")
+            self._packed_lock.acquire()
+            if self._packed is not None:     # lost the first-build race
+                self._packed_lock.release()
+                return self._packed
+        try:
+            cur = self._packed
+            if cur is not None and (
+                    self._packed_version == ver
+                    or time.monotonic() - cur.built_at
+                    < self.REBUILD_MIN_S):
+                return cur
             t0 = time.perf_counter()
-            pk = PackedAdjacency.build(self._storage)
+            try:
+                pk = PackedAdjacency.build(self._storage)
+            except Exception:
+                self._build_backoff_until = (time.monotonic()
+                                             + self.BUILD_BACKOFF_S)
+                if cur is not None:
+                    log.warning("packed adjacency rebuild failed; "
+                                "serving the previous snapshot",
+                                exc_info=True)
+                    return cur
+                raise
             self._packed = pk
             self._packed_version = ver
-            self._packed_nbrs = None        # device table lazily
             self.packed_rebuilds += 1
             log.info("packed adjacency: %d edges -> %d rows in %.1fs",
                      pk.edge_count, pk.n, time.perf_counter() - t0)
             return pk
+        finally:
+            self._packed_lock.release()
 
     def _packed_device_nbrs(self, pk: PackedAdjacency) -> jnp.ndarray:
-        if self._packed_nbrs is None:
+        """Device neighbor table FOR THIS SNAPSHOT — cached on the
+        snapshot object itself, never on the mirror: interning order
+        shifts between snapshots, so pairing an old table with a new
+        snapshot's ids would attribute depths to the wrong nodes."""
+        dev = getattr(pk, "_nbrs_dev", None)
+        if dev is None:
             nbrs, trunc = pk.neighbor_table(self._max_deg)
-            self._packed_nbrs = jnp.asarray(nbrs)
-            self.truncated_nodes = trunc
-        return self._packed_nbrs
+            dev = jnp.asarray(nbrs)
+            pk._nbrs_dev = dev
+            pk._nbrs_trunc = trunc
+        self.truncated_nodes = getattr(pk, "_nbrs_trunc", 0)
+        return dev
 
     def _packed_per_anchor(self, anchor_ids: Sequence[str],
                            max_hops: int) -> Dict[str, "np.ndarray"]:
         """per_anchor_depths over the packed tiers: vectorized host
         BFS per anchor; budget overflow routes THAT anchor to the
-        device frontier walk with on-device compaction."""
-        pk = self._ensure_packed()
+        device frontier walk with on-device compaction. An
+        unavailable snapshot (first build failed, in backoff)
+        degrades to no proximity — hybrid then scores vector-only
+        rather than 500ing."""
+        try:
+            pk = self._ensure_packed()
+        except Exception:  # noqa: BLE001 — backoff/build failure
+            log.warning("packed adjacency unavailable; serving "
+                        "vector-only proximity", exc_info=True)
+            return {}
         known = [a for a in anchor_ids if a in pk.row_of]
         if not known:
             return {}
@@ -331,15 +387,30 @@ class DeviceGraphMirror:
             from ..vector.shard import _fetch_array
             rows_h = _fetch_array(rows_d)
             depth_h = _fetch_array(depth_d)
-            if bool(_fetch_array(overflow)):
-                self.packed_overflows += 1
             keep = depth_h <= max_hops
+            if bool(_fetch_array(overflow)) or \
+                    int(keep.sum()) >= min(self.PACKED_OUT_CAP,
+                                           rows_h.shape[0]):
+                # frontier-cap overflow OR the compaction width
+                # filled: the device result is a SUBSET. Correctness
+                # falls back to the exact packed host BFS without a
+                # budget — vectorized numpy, O(visited), seconds at
+                # multi-million reach; slower than the walk but never
+                # silently zero-scoring reachable nodes.
+                self.packed_overflows += 1
+                dist = pk.multi_bfs([pk.row_of[a]], max_hops)
+                rows = np.nonzero(dist != UNREACHED)[0]
+                put(j, rows, dist[rows].astype(np.int32))
+                continue
             put(j, rows_h[keep], depth_h[keep])
         return out
 
     def _in_graph(self, node_id: str) -> bool:
         if self._packed_mode():
-            return node_id in self._ensure_packed().row_of
+            try:
+                return node_id in self._ensure_packed().row_of
+            except Exception:  # noqa: BLE001 — backoff/build failure
+                return False
         return bool(self._cache.outgoing(node_id)
                     or self._cache.incoming(node_id))
 

@@ -516,6 +516,7 @@ class IvfCorpus(DeviceCorpus):
         self._boot_nprobe_tuned = 0           # snapshot-restored
         self._boot_tune_curve: Optional[list] = None
         self._tune_curve: list = []           # last measured (p, rec)
+        self._info_pub: dict = {"trained": False}   # see _publish_info
         #: kNN-graph refinement degree (knn_graph.py): the graph is
         #: built from the block layout at (re)train time and search
         #: expands its candidate frontier through it into the exact
@@ -815,6 +816,7 @@ class IvfCorpus(DeviceCorpus):
             self._nbrs_h = None
             self._graph_seq += 1          # discard in-flight builds
             self._graph_inflight = False
+            self._publish_info()
             return
         data = self._emb_h[rows]              # unit-norm fp32 [N, d]
         # boot hints (snapshot-restored centroids + per-row clusters,
@@ -1045,9 +1047,33 @@ class IvfCorpus(DeviceCorpus):
                                         rows)
         else:
             self._nbrs_h = None
+        self._publish_info()
         log.info("ivf build: %d rows -> %d clusters x %d slots "
                  "(fill %.2f, %d spilled)", n, c, lcap, n / (c * lcap),
                  n_spilled)
+
+    def _publish_info(self) -> None:
+        """Publish the operational-state snapshot index_info() serves.
+        One atomically-swapped plain dict: /stats must never queue
+        behind the corpus lock for the length of a retrain (~90 s at
+        10M rows), and an unlocked field-by-field read could tear
+        mid-rebuild (ADVICE r3 #1) — readers get the whole pre- or
+        post-build state, never a mix."""
+        if self._centroids_h is None:
+            self._info_pub = {"trained": False}
+            return
+        c = int(self._centroids_h.shape[0])
+        self._info_pub = {
+            "trained": True,
+            "nlist": c,
+            "nprobe": int(self._nprobe(c)),
+            "nprobe_tuned": int(self._nprobe_tuned),
+            "target_recall": float(self._target_recall),
+            "tune_curve": [[int(p), round(float(r), 4)]
+                           for p, r in self._tune_curve],
+            "graph_degree": int(self._graph_degree),
+            "spill": bool(self._has_spill),
+        }
 
     def _graph_build_arrays(self, emb_i8, rinv_sl, slot_rows):
         """Layout planes the kNN-graph build reads: the DEVICE-resident
@@ -1811,27 +1837,14 @@ class TpuIvfIndex(TpuFlatIndex):
 
     def index_info(self) -> dict:
         info = super().index_info()
-        co = self._corpus
         info["kind"] = "ivf"
-        # under the corpus lock (RLock, cheap): index mutations run on
-        # worker threads, and _build_ivf sets _centroids_h = None on an
-        # emptied corpus — an unlocked read could observe trained=True
-        # then crash on .shape, or emit a torn nlist/nprobe/tune_curve
-        # snapshot mid-retrain (ADVICE r3 #1)
-        with co._lock:
-            trained = co._centroids_h is not None
-            info["trained"] = trained
-            if trained:
-                c = int(co._centroids_h.shape[0])
-                info.update(
-                    nlist=c,
-                    nprobe=int(co._nprobe(c)),
-                    nprobe_tuned=int(co._nprobe_tuned),
-                    target_recall=float(co._target_recall),
-                    tune_curve=[[int(p), round(float(r), 4)]
-                                for p, r in co._tune_curve],
-                    graph_degree=int(co._graph_degree),
-                    spill=bool(co._has_spill))
+        # lock-FREE read of the published snapshot (_publish_info):
+        # taking the corpus lock here would queue /stats behind a
+        # full retrain (~90 s at 10M rows), and an unlocked
+        # field-by-field read could tear mid-rebuild (ADVICE r3 #1).
+        # The atomically-swapped dict gives whole pre- or post-build
+        # state, never a mix.
+        info.update(self._corpus._info_pub)
         return info
 
     def snapshot_base_stale(self) -> bool:

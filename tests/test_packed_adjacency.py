@@ -200,3 +200,104 @@ class TestMirrorRouting:
         pk1 = packed._ensure_packed()
         assert packed._ensure_packed() is pk1   # version unchanged
         assert packed.packed_rebuilds == 1
+
+
+class TestReviewR4Fixes:
+    """Regressions for the r4 review findings in the packed tier."""
+
+    def _forced(self, st):
+        m = DeviceGraphMirror(AdjacencyCache(st))
+        m.PACKED_EDGE_THRESHOLD = 0
+        return m
+
+    def test_rebuild_never_blocks_readers(self, monkeypatch):
+        """A debounced rebuild runs on the tripping thread only;
+        concurrent readers serve the previous snapshot instead of
+        queueing behind a minutes-long build."""
+        import threading
+        import time as _t
+        st, ids = build_graph(seed=21)
+        m = self._forced(st)
+        pk1 = m._ensure_packed()
+        m.REBUILD_MIN_S = 0.0
+        m._cache.invalidate()
+
+        real_build = PackedAdjacency.build
+        entered = threading.Event()
+        release = threading.Event()
+
+        def slow_build(storage, chunk=1_000_000):
+            entered.set()
+            release.wait(timeout=10)
+            return real_build(storage, chunk)
+
+        monkeypatch.setattr(PackedAdjacency, "build",
+                            staticmethod(slow_build))
+        t = threading.Thread(target=m._ensure_packed)
+        t.start()
+        assert entered.wait(timeout=5)
+        # reader during the build: immediate stale snapshot
+        t0 = _t.monotonic()
+        assert m._ensure_packed() is pk1
+        assert _t.monotonic() - t0 < 1.0
+        release.set()
+        t.join(timeout=10)
+        assert m._packed is not pk1          # rebuild landed
+
+    def test_device_table_keyed_to_snapshot(self):
+        """The device neighbor table caches on the snapshot, so an
+        old snapshot can never pair with a new snapshot's ids."""
+        st, ids = build_graph(seed=23)
+        m = self._forced(st)
+        pk1 = m._ensure_packed()
+        t1 = m._packed_device_nbrs(pk1)
+        m.REBUILD_MIN_S = 0.0
+        st.put_edge(Edge.new(ids[0], ids[2], "supersedes", 0.9,
+                             EdgeProvenance.manual("t")))
+        m._cache.invalidate()
+        pk2 = m._ensure_packed()
+        assert pk2 is not pk1
+        t2 = m._packed_device_nbrs(pk2)
+        assert t2 is not t1
+        assert m._packed_device_nbrs(pk1) is t1   # old pairing intact
+
+    def test_out_cap_fill_falls_back_to_exact(self):
+        """When the device compaction width fills, the tier falls
+        back to the exact host BFS — reachable nodes must never
+        silently score zero."""
+        st, ids = build_graph(seed=25)
+        m = self._forced(st)
+        want = m.per_anchor_depths([ids[3]], 3)
+        forced = self._forced(st)
+        forced.HOST_FRONTIER_BUDGET = 0      # device tier for all
+        forced.PACKED_OUT_CAP = 4            # width certainly fills
+        got = forced.per_anchor_depths([ids[3]], 3)
+        assert forced.packed_overflows >= 1
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+    def test_build_failure_degrades_and_backs_off(self):
+        """First-build failure: proximity degrades to empty (hybrid
+        serves vector-only) and the build is not re-attempted inside
+        the backoff window."""
+        st, ids = build_graph(seed=27)
+        m = self._forced(st)
+        calls = {"n": 0}
+        real = st.edge_endpoints
+
+        def boom(chunk=1_000_000):
+            calls["n"] += 1
+            raise OSError("storage io error (test)")
+
+        st.edge_endpoints = boom
+        assert m.per_anchor_depths([ids[0]], 3) == {}
+        assert m._in_graph(ids[0]) is False
+        assert calls["n"] == 1
+        # inside the backoff window: no second build attempt
+        assert m.per_anchor_depths([ids[0]], 3) == {}
+        assert calls["n"] == 1
+        # after backoff, a healthy storage recovers
+        m._build_backoff_until = 0.0
+        st.edge_endpoints = real
+        assert m.per_anchor_depths([ids[0]], 3)

@@ -68,6 +68,12 @@ class TestHarnessSelfTest:
         """Full harness on a synthesized random-weight checkpoint:
         conversion + exact tokenizer parity + encoder parity + the
         recall machinery, exit 0."""
+        # the harness synthesizes its checkpoint with torch +
+        # transformers — absent in minimal CI installs (the main test
+        # job installs neither); every other torch-dependent test
+        # guards the same way (tests/test_models.py)
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
         out = str(tmp_path / "results.json")
         proc = subprocess.run(
             [sys.executable,

@@ -146,3 +146,23 @@ class TestLexerPrecision:
         code = strip_ts('const a = "x";\nconst b = {\n', "t.ts", errs)
         out = check_balanced(code, "t.ts")
         assert out and "t.ts:2" in out[0]
+
+
+class TestGateRobustness:
+    def test_missing_client_file_is_finding_not_crash(self, ts_copy,
+                                                      go_copy):
+        os.remove(os.path.join(ts_copy, "src", "client.ts"))
+        errs = check_ts_package(ts_copy)
+        assert any("client.ts missing" in e for e in errs), errs
+        os.remove(os.path.join(go_copy, "client.go"))
+        errs = check_go_package(go_copy)
+        assert any("client.go missing" in e for e in errs), errs
+
+    def test_bare_directory_import_rejected(self, ts_copy):
+        os.makedirs(os.path.join(ts_copy, "src", "util"))
+        p = os.path.join(ts_copy, "src", "index.ts")
+        with open(p, "a", encoding="utf-8") as fh:
+            fh.write('\nexport * from "./util";\n')
+        errs = check_ts_package(ts_copy)
+        assert any("unresolved import './util'" in e for e in errs), \
+            errs

@@ -267,18 +267,24 @@ def check_ts_package(root: str) -> List[str]:
             src = fh.read()
         code = strip_ts(src, path, errors)
         errors += check_balanced(code, path)
-        # relative imports must resolve within the package
+        # relative imports must resolve within the package (a bare
+        # directory does NOT resolve — node needs an index.ts)
         for m in re.finditer(
                 r"""(?:from|import)\s+['"](\.\.?/[^'"]+)['"]""", src):
             rel = m.group(1)
             base = os.path.normpath(
                 os.path.join(os.path.dirname(path), rel))
             if not any(os.path.exists(base + ext)
-                       for ext in (".ts", ".tsx", "/index.ts", "")):
+                       for ext in (".ts", ".tsx", "/index.ts")):
                 line = src[:m.start()].count("\n") + 1
                 errors.append(_err(path, line,
                                    f"unresolved import '{rel}'"))
     client = os.path.join(src_dir, "client.ts")
+    if not os.path.exists(client):
+        # a deleted/renamed client is exactly the breakage class the
+        # gate exists for — finding, not traceback
+        return errors + [f"{client}:1: client API census: client.ts "
+                         f"missing"]
     with open(client, encoding="utf-8") as fh:
         csrc = fh.read()
     for meth in TS_CLIENT_METHODS:
@@ -303,6 +309,9 @@ def check_go_package(root: str) -> List[str]:
         if not re.search(r"^package\s+\w+", code, re.MULTILINE):
             errors.append(_err(path, 1, "missing package declaration"))
     client = os.path.join(root, "client.go")
+    if not os.path.exists(client):
+        return errors + [f"{client}:1: client API census: client.go "
+                         f"missing"]
     with open(client, encoding="utf-8") as fh:
         csrc = fh.read()
     for meth in GO_CLIENT_METHODS:

@@ -272,12 +272,13 @@ class DeviceGraphMirror:
 
     def _ensure_packed(self) -> PackedAdjacency:
         """Current packed snapshot; rebuilds (debounced) when the
-        graph version moved. Only the thread that TRIPS the rebuild
-        builds; concurrent readers serve the previous immutable
-        snapshot instead of queueing behind a minutes-long 100M-edge
-        scan (only the very first build, when no snapshot exists yet,
-        blocks everyone — there is nothing older to serve). A failed
-        build backs off BUILD_BACKOFF_S and serves stale when it can."""
+        graph version moved. EVERY reader — including the one that
+        trips a rebuild — serves the previous immutable snapshot
+        immediately; the rebuild itself runs on one background thread
+        (a 100M-edge build is minutes and no serving request should
+        ever carry it). Only the very first build, when no snapshot
+        exists yet, runs inline and blocks — there is nothing older to
+        serve. A failed build backs off BUILD_BACKOFF_S."""
         pk = self._packed
         ver = self._cache.version
         if pk is not None and (
@@ -285,47 +286,47 @@ class DeviceGraphMirror:
                 or time.monotonic() - pk.built_at < self.REBUILD_MIN_S):
             return pk
         if pk is not None:
-            # stale but serviceable: rebuild only if no one else is
-            # already on it — never block a reader on the build
-            if not self._packed_lock.acquire(blocking=False):
-                return pk
-        else:
-            if (time.monotonic()
-                    < getattr(self, "_build_backoff_until", 0.0)):
-                raise RuntimeError(
-                    "packed adjacency build failed recently; "
-                    "backing off")
-            self._packed_lock.acquire()
-            if self._packed is not None:     # lost the first-build race
-                self._packed_lock.release()
+            if not getattr(self, "_rebuild_inflight", False):
+                self._rebuild_inflight = True
+
+                def bg():
+                    try:
+                        self._build_and_swap(ver)
+                    except Exception:  # noqa: BLE001 — stays stale
+                        log.warning(
+                            "packed adjacency rebuild failed; "
+                            "serving the previous snapshot",
+                            exc_info=True)
+                    finally:
+                        self._rebuild_inflight = False
+
+                threading.Thread(target=bg, name="packed-rebuild",
+                                 daemon=True).start()
+            return pk
+        # first build: inline, serialized, with failure backoff
+        if time.monotonic() < getattr(self, "_build_backoff_until",
+                                      0.0):
+            raise RuntimeError(
+                "packed adjacency build failed recently; backing off")
+        with self._packed_lock:
+            if self._packed is not None:   # lost the first-build race
                 return self._packed
-        try:
-            cur = self._packed
-            if cur is not None and (
-                    self._packed_version == ver
-                    or time.monotonic() - cur.built_at
-                    < self.REBUILD_MIN_S):
-                return cur
-            t0 = time.perf_counter()
             try:
-                pk = PackedAdjacency.build(self._storage)
+                return self._build_and_swap(ver)
             except Exception:
                 self._build_backoff_until = (time.monotonic()
                                              + self.BUILD_BACKOFF_S)
-                if cur is not None:
-                    log.warning("packed adjacency rebuild failed; "
-                                "serving the previous snapshot",
-                                exc_info=True)
-                    return cur
                 raise
-            self._packed = pk
-            self._packed_version = ver
-            self.packed_rebuilds += 1
-            log.info("packed adjacency: %d edges -> %d rows in %.1fs",
-                     pk.edge_count, pk.n, time.perf_counter() - t0)
-            return pk
-        finally:
-            self._packed_lock.release()
+
+    def _build_and_swap(self, ver: int) -> PackedAdjacency:
+        t0 = time.perf_counter()
+        pk = PackedAdjacency.build(self._storage)
+        self._packed = pk
+        self._packed_version = ver
+        self.packed_rebuilds += 1
+        log.info("packed adjacency: %d edges -> %d rows in %.1fs",
+                 pk.edge_count, pk.n, time.perf_counter() - t0)
+        return pk
 
     def _packed_device_nbrs(self, pk: PackedAdjacency) -> jnp.ndarray:
         """Device neighbor table FOR THIS SNAPSHOT — cached on the

@@ -176,6 +176,7 @@ class TestMirrorRouting:
             [linked[0]]
 
     def test_rebuild_debounce(self):
+        import time as _t
         st, ids = build_graph(seed=17)
         packed = self._forced_packed(st)
         pk1 = packed._ensure_packed()
@@ -184,8 +185,14 @@ class TestMirrorRouting:
                             EdgeProvenance.manual("t")))
         packed._cache.invalidate()
         assert packed._ensure_packed() is pk1
-        # past the debounce window a rebuild picks up the edge
+        # past the debounce window the tripping call STILL serves the
+        # stale snapshot (rebuilds are background); the swap lands
+        # shortly after
         packed.REBUILD_MIN_S = 0.0
+        assert packed._ensure_packed() is pk1
+        deadline = _t.monotonic() + 10
+        while packed._packed is pk1 and _t.monotonic() < deadline:
+            _t.sleep(0.02)
         pk2 = packed._ensure_packed()
         assert pk2 is not pk1
         assert packed.packed_rebuilds == 2
@@ -233,15 +240,20 @@ class TestReviewR4Fixes:
 
         monkeypatch.setattr(PackedAdjacency, "build",
                             staticmethod(slow_build))
-        t = threading.Thread(target=m._ensure_packed)
-        t.start()
+        # the tripping reader returns the stale snapshot immediately
+        # (the rebuild runs on a background thread)
+        t0 = _t.monotonic()
+        assert m._ensure_packed() is pk1
+        assert _t.monotonic() - t0 < 1.0
         assert entered.wait(timeout=5)
-        # reader during the build: immediate stale snapshot
+        # readers during the build: still immediate stale snapshots
         t0 = _t.monotonic()
         assert m._ensure_packed() is pk1
         assert _t.monotonic() - t0 < 1.0
         release.set()
-        t.join(timeout=10)
+        deadline = _t.monotonic() + 10
+        while m._packed is pk1 and _t.monotonic() < deadline:
+            _t.sleep(0.02)
         assert m._packed is not pk1          # rebuild landed
 
     def test_device_table_keyed_to_snapshot(self):
@@ -255,6 +267,11 @@ class TestReviewR4Fixes:
         st.put_edge(Edge.new(ids[0], ids[2], "supersedes", 0.9,
                              EdgeProvenance.manual("t")))
         m._cache.invalidate()
+        import time as _t
+        m._ensure_packed()                 # trips the background swap
+        deadline = _t.monotonic() + 10
+        while m._packed is pk1 and _t.monotonic() < deadline:
+            _t.sleep(0.02)
         pk2 = m._ensure_packed()
         assert pk2 is not pk1
         t2 = m._packed_device_nbrs(pk2)

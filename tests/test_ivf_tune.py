@@ -278,3 +278,58 @@ class TestConfig:
             {"embedding": {"index": "ivf", "ivf_target_recall": 0.9}})
         ok.validate()
         assert ok.embedding.ivf_target_recall == 0.9
+
+
+class TestInfoSnapshot:
+    def test_index_info_lock_free_during_retrains(self):
+        """GET /stats must never block behind (or tear against) a
+        retrain: index_info reads an atomically-published dict
+        (ADVICE r3 #1 + the r4 review's lock-queueing finding). Hammer
+        it from a thread while the corpus flips between trained and
+        emptied states; every read must be internally consistent and
+        fast."""
+        import threading
+        import time as _t
+        idx, _ = build(smooth(), nlist=64, target_recall=0.9,
+                       graph_degree=0)
+        stop = _t.monotonic() + 3.0
+        errs = []
+
+        def reader():
+            while _t.monotonic() < stop:
+                info = idx.index_info()
+                try:
+                    assert info["kind"] == "ivf"
+                    if info["trained"]:
+                        assert info["nlist"] >= 1
+                        assert 1 <= info["nprobe"] <= info["nlist"]
+                        curve = info["tune_curve"]
+                        if info["nprobe_tuned"] == 0:
+                            assert curve == []
+                    else:
+                        assert "nlist" not in info
+                except AssertionError as e:
+                    errs.append(repr(e))
+                    return
+
+        t = threading.Thread(target=reader)
+        t.start()
+        ids2 = [f"x{i:04d}" for i in range(800)]
+        flip = 0
+        while _t.monotonic() < stop:
+            if flip % 2 == 0:
+                idx.insert_batch(ids2, blocky())
+                for i in range(800):
+                    idx.remove(f"n{i:04d}" if flip == 0
+                               else f"x{i:04d}")
+            else:
+                idx.insert_batch([f"n{i:04d}" for i in range(800)],
+                                 smooth())
+            idx.retrain()
+            flip += 1
+        t.join()
+        assert errs == []
+        # reads stay fast even mid-retrain: the snapshot is a dict
+        t0 = _t.monotonic()
+        idx.index_info()
+        assert _t.monotonic() - t0 < 0.1

@@ -54,11 +54,35 @@ def free_port():
         return s.getsockname()[1]
 
 
-def seed(cortex, rows: int, edges_per_node: int = 0):
+def seed(cortex, rows: int, edges_per_node: int = 0,
+         reuse: bool = False):
     """1M nodes into SQLite (no inline embeddings) + device index.
     With edges_per_node > 0, also seeds rows*edges_per_node edges
-    (column-level inserts — the hybrid-at-scale soak's graph)."""
+    (column-level inserts — the hybrid-at-scale soak's graph).
+    reuse=True skips node/edge seeding when the data dir already
+    holds them (a 10M/100M seed is ~1 h of wall-clock on this host;
+    the soak measures SERVING, so a previously seeded store is just
+    as valid) — ids are read back with a column scan and the actual
+    edge census is reported."""
     from cortex_tpu.types import Node, Source
+    if reuse and hasattr(cortex.storage, "_db"):
+        with cortex.storage._lock:
+            have = cortex.storage._db.execute(
+                "SELECT COUNT(*) FROM nodes").fetchone()[0]
+        if have >= rows:
+            t0 = time.perf_counter()
+            with cortex.storage._lock:
+                ids = [r[0] for r in cortex.storage._db.execute(
+                    "SELECT id FROM nodes ORDER BY rowid").fetchall()]
+                n_edges = cortex.storage._db.execute(
+                    "SELECT COUNT(*) FROM edges").fetchone()[0]
+            print(f"# reusing seeded store: {len(ids)} nodes, "
+                  f"{n_edges} edges (id scan "
+                  f"{time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr)
+            emit("mixed-load reused edge census", n_edges, "edges")
+            _seed_index(cortex, ids)
+            return ids
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
     dim = cortex.embedder.dimension
@@ -132,6 +156,15 @@ def seed(cortex, rows: int, edges_per_node: int = 0):
         emit("mixed-load one-time edge seed",
              time.perf_counter() - t0, "seconds")
 
+    _seed_index(cortex, ids)
+    return ids
+
+
+def _seed_index(cortex, ids):
+    rng = np.random.default_rng(2)
+    dim = cortex.embedder.dimension
+    rows = len(ids)
+    kinds = ("fact", "event", "observation", "decision")
     t0 = time.perf_counter()
     step = 100_000
     for s in range(0, rows, step):
@@ -160,7 +193,6 @@ def seed(cortex, rows: int, edges_per_node: int = 0):
     t_index = time.perf_counter() - t0
     print(f"# index seeded + synced in {t_index:.1f}s", file=sys.stderr)
     emit("mixed-load one-time corpus upload+compile", t_index, "seconds")
-    return ids
 
 
 async def main_async(args):
@@ -191,7 +223,8 @@ async def main_async(args):
     await srv.start()
     try:
         seed_ids = await asyncio.to_thread(
-            seed, srv.cortex, args.rows, args.edges_per_node)
+            seed, srv.cortex, args.rows, args.edges_per_node,
+            args.reuse_seed)
         # warm the serving programs AT THE SEEDED CAPACITY (boot
         # warmup ran on an empty index, so its bucket compiles don't
         # cover the 1M-cap programs; without this the measurement
@@ -521,6 +554,10 @@ def main():
     ap.add_argument("--ivf-target-recall", type=float, default=0.0,
                     help="run the soak with the recall-target nprobe "
                          "tuner live (ivf index only)")
+    ap.add_argument("--reuse-seed", action="store_true",
+                    help="reuse an already-seeded --data-dir "
+                         "(skips the node/edge seed; the index is "
+                         "re-seeded deterministically)")
     ap.add_argument("--stats-assert", action="store_true",
                     help="poll GET /stats and assert the serving-index "
                          "block's invariants under churn (VERDICT r3 #8)")
@@ -531,7 +568,8 @@ def main():
     logging.basicConfig(level=logging.INFO)
     logging.getLogger("cortex.trace").setLevel(logging.DEBUG)
     import shutil
-    shutil.rmtree(args.data_dir, ignore_errors=True)
+    if not args.reuse_seed:
+        shutil.rmtree(args.data_dir, ignore_errors=True)
     os.makedirs(args.data_dir, exist_ok=True)
     asyncio.run(main_async(args))
 

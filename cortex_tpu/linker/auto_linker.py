@@ -228,8 +228,23 @@ class AutoLinker:
             batch = self._nodes_since_cursor(limit)
         decay_due = self.cycle_count % self.config.decay_every_n_cycles == 0
         dedup_due = self.cycle_count % self.config.dedup_every_n_cycles == 0
+        # dedup pages lag the main scan by _DEDUP_PAGE per due cycle;
+        # a remaining backlog keeps an otherwise-idle cycle active so
+        # it drains on the dedup schedule, not only when decay_due
+        # happens to coincide
+        dedup_behind = ((self.dedup_cursor, self.dedup_cursor_id)
+                        < (self.cursor, self.cursor_id))
 
-        if not batch and not decay_due:
+        if not batch and not decay_due and not (dedup_due and dedup_behind):
+            # idle cycle: still advance (and persist) the schedule
+            # clock — without this, once the count parks on a
+            # non-multiple an idle server NEVER reaches the next
+            # decay/dedup-due cycle, so old edges never decay until
+            # some unrelated write arrives
+            self.cycle_count += 1
+            self.metrics.cycles_completed = self.cycle_count
+            self.storage.put_metadata(CYCLE_COUNT_KEY,
+                                      str(self.cycle_count))
             self.metrics.cycle_duration_secs = time.monotonic() - start
             return self.metrics
 

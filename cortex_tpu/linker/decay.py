@@ -19,7 +19,6 @@ import numpy as np
 from ..ops.decay import (DEVICE_SWEEP_MIN_EDGES, decay_sweep,
                          decay_sweep_host)
 from ..storage.base import Storage
-from ..types import EdgeProvenance
 from .config import DecayConfig
 
 
@@ -28,72 +27,76 @@ class DecayEngine:
         self.storage = storage
         self.config = config
 
-    def apply_decay(self, now: float | None = None) -> Tuple[int, int]:
-        """Sweep all edges. Returns (pruned_count, deleted_count)."""
-        now = time.time() if now is None else now
-        edges = self.storage.all_edges()
-        if not edges:
-            return 0, 0
+    #: scan/persist unit: bounds both peak host memory (a few hundred
+    #: MB of ids per chunk at UUID sizes) and the storage-lock hold
+    #: time of each bulk-apply transaction (~2-4 s at 1M updates), so
+    #: concurrent searches interleave with the persist instead of
+    #: stalling behind one 20M-row transaction
+    CHUNK = 1_000_000
 
-        e_count = len(edges)
-        weights = np.empty(e_count, np.float32)
-        days = np.empty(e_count, np.float32)
-        max_imp = np.empty(e_count, np.float32)
-        exempt = np.empty(e_count, bool)
-
-        imp_cache: dict[str, float] = {}
-
-        def importance(nid: str) -> float:
-            v = imp_cache.get(nid)
-            if v is None:
-                n = self.storage.get_node(nid)
-                v = n.importance if n is not None else 0.0
-                imp_cache[nid] = v
-            return v
-
-        for i, e in enumerate(edges):
-            weights[i] = e.weight
-            days[i] = (now - e.updated_at) / 86400.0
-            max_imp[i] = max(importance(e.from_id), importance(e.to_id))
-            exempt[i] = self.config.exempt_manual and e.provenance.is_manual
-
-        if e_count >= DEVICE_SWEEP_MIN_EDGES:
-            new_w, delete, prune, changed = decay_sweep(
-                jnp.asarray(weights), jnp.asarray(days),
-                jnp.asarray(max_imp), jnp.asarray(exempt),
-                jnp.float32(self.config.daily_decay_rate),
-                jnp.float32(self.config.importance_shield),
-                jnp.float32(self.config.delete_threshold),
-                jnp.float32(self.config.prune_threshold))
-            # watchdogged fetches: a lost remote-device response fails
-            # this sweep (the linker loop logs and retries next cycle)
-            # instead of hanging the background task forever
-            from ..vector import fetch_array as _fetch_array
-            new_w = _fetch_array(new_w)
-            delete = _fetch_array(delete)
-            prune = _fetch_array(prune)
-            changed = _fetch_array(changed)
-        else:
-            new_w, delete, prune, changed = decay_sweep_host(
+    def _sweep_arrays(self, weights, days, max_imp, exempt):
+        """Run the decay kernel over one chunk's packed arrays.
+        Device for big chunks (padded to pow2 buckets so at most
+        ~5 compiled shapes ever exist), vectorized host below the
+        dispatch-latency crossover."""
+        n = len(weights)
+        if n < DEVICE_SWEEP_MIN_EDGES:
+            return decay_sweep_host(
                 weights, days, max_imp, exempt,
                 self.config.daily_decay_rate,
                 self.config.importance_shield,
                 self.config.delete_threshold,
                 self.config.prune_threshold)
+        bucket = 1 << (n - 1).bit_length()
+        pad = bucket - n
+        if pad:
+            weights = np.pad(weights, (0, pad), constant_values=1.0)
+            days = np.pad(days, (0, pad))
+            max_imp = np.pad(max_imp, (0, pad))
+            exempt = np.pad(exempt, (0, pad), constant_values=True)
+        new_w, delete, prune, changed = decay_sweep(
+            jnp.asarray(weights), jnp.asarray(days),
+            jnp.asarray(max_imp), jnp.asarray(exempt),
+            jnp.float32(self.config.daily_decay_rate),
+            jnp.float32(self.config.importance_shield),
+            jnp.float32(self.config.delete_threshold),
+            jnp.float32(self.config.prune_threshold))
+        # watchdogged fetches: a lost remote-device response fails
+        # this sweep (the linker loop logs and retries next cycle)
+        # instead of hanging the background task forever
+        from ..vector import fetch_array as _fetch_array
+        return (_fetch_array(new_w)[:n], _fetch_array(delete)[:n],
+                _fetch_array(prune)[:n], _fetch_array(changed)[:n])
 
+    def apply_decay(self, now: float | None = None) -> Tuple[int, int]:
+        """Sweep all edges. Returns (pruned_count, deleted_count).
+
+        Pipeline per chunk: columnar storage scan (no Edge objects) →
+        fused device/host sweep → ONE bulk-apply transaction
+        (storage.apply_decay_results). The r4 shape — full object
+        materialization feeding per-edge autocommit writes — took
+        934 s to persist one sweep at 20.8M edges; this persists the
+        same sweep in executemany transactions (ref contrast: the
+        reference batches writes inside one redb txn,
+        linker/decay.rs:21-101)."""
+        now = time.time() if now is None else now
         deleted_count = 0
         pruned_count = 0
-        for i, e in enumerate(edges):
-            if delete[i]:
-                if self.storage.delete_edge(e.id):
-                    deleted_count += 1
-            elif changed[i]:
-                # decay writes don't touch updated_at — the decay clock
-                # keeps running (weight RMW only)
-                self.storage.update_edge_weight_atomic(
-                    e.id, float(new_w[i]), touch=False)
-                if prune[i]:
-                    pruned_count += 1
+        for ids, weights, updated_at, max_imp, manual in \
+                self.storage.decay_scan(chunk=self.CHUNK):
+            days = ((now - updated_at) / 86400.0).astype(np.float32)
+            exempt = manual if self.config.exempt_manual \
+                else np.zeros_like(manual)
+            new_w, delete, prune, changed = self._sweep_arrays(
+                weights, days, max_imp, exempt)
+            upd_mask = changed & ~delete
+            updates = [(ids[i], float(new_w[i]))
+                       for i in np.flatnonzero(upd_mask)]
+            deletes = [ids[i] for i in np.flatnonzero(delete)]
+            _, ndel = self.storage.apply_decay_results(
+                updates, deletes, actor="decay")
+            deleted_count += ndel
+            pruned_count += int(np.count_nonzero(prune & upd_mask))
         return pruned_count, deleted_count
 
     REINFORCED_AT_KEY = "_last_reinforced_at"

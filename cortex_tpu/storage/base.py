@@ -227,6 +227,60 @@ class Storage(abc.ABC):
         """Atomic read-modify-write of one edge's weight
         (redb_storage.rs:459-515). When touch, bumps updated_at."""
 
+    def decay_scan(self, chunk: int = 2_000_000):
+        """Yield columnar chunks for the decay sweep:
+        (ids, weights[f32], updated_at[f32], max_importance[f32],
+        manual[bool]) — everything the sweep kernel needs, no Edge
+        objects. max_importance is the max endpoint importance
+        (missing endpoints count 0.0, matching the object path).
+        Default adapts all_edges(); scale backends override with a
+        single JOIN scan (at 100M edges, Edge construction costs more
+        than the sweep itself)."""
+        import numpy as np
+        edges = self.all_edges()
+        imp_cache: Dict[str, float] = {}
+
+        def importance(nid: str) -> float:
+            v = imp_cache.get(nid)
+            if v is None:
+                n = self.get_node(nid)
+                v = n.importance if n is not None else 0.0
+                imp_cache[nid] = v
+            return v
+
+        for s in range(0, len(edges), chunk):
+            part = edges[s:s + chunk]
+            ids = [e.id for e in part]
+            weights = np.fromiter((e.weight for e in part), np.float32,
+                                  count=len(part))
+            updated = np.fromiter((e.updated_at for e in part), np.float64,
+                                  count=len(part))
+            max_imp = np.fromiter(
+                (max(importance(e.from_id), importance(e.to_id))
+                 for e in part), np.float32, count=len(part))
+            manual = np.fromiter((e.provenance.is_manual for e in part),
+                                 bool, count=len(part))
+            yield ids, weights, updated, max_imp, manual
+
+    def apply_decay_results(self, updates, deletes, *,
+                            actor: str = "system") -> Tuple[int, int]:
+        """Persist one decay sweep's outcome in bulk: `updates` yields
+        (edge_id, new_weight) pairs (weight-only, updated_at untouched
+        — the decay clock keeps running), `deletes` yields edge ids.
+        Returns (updated_count, deleted_count). Backends override with
+        one transaction of executemany writes — the default's per-edge
+        atomic calls commit per row (measured 934 s for one sweep at
+        20.8M edges, serializing the r4 soak window)."""
+        updated = 0
+        deleted = 0
+        for eid, w in updates:
+            if self.update_edge_weight_atomic(eid, float(w), touch=False):
+                updated += 1
+        for eid in deletes:
+            if self.delete_edge(eid, actor=actor):
+                deleted += 1
+        return updated, deleted
+
     # -- batches ----------------------------------------------------------
     def put_nodes_batch(self, nodes: Iterable[Node], *, actor: str = "system") -> int:
         n = 0

@@ -652,6 +652,76 @@ class SqliteStorage(Storage):
             last = rows[-1][0]
             yield [r[1] for r in rows], [r[2] for r in rows]
 
+    def decay_scan(self, chunk: int = 2_000_000):
+        """Columnar decay sweep scan: one JOIN query per chunk pulls
+        (id, weight, updated_at, max endpoint importance, manual flag)
+        straight out of SQL — no Edge/Node object construction (at
+        20M+ edges the object path costs more than the sweep). Keyset
+        pagination by rowid; the lock is held per chunk, not for the
+        whole scan, so concurrent reads/writes interleave."""
+        last = 0
+        while True:
+            with self._lock:
+                rows = self._db.execute(
+                    "SELECT e.rowid, e.id, e.weight, e.updated_at, "
+                    "MAX(COALESCE(nf.importance, 0.0), "
+                    "    COALESCE(nt.importance, 0.0)), "
+                    "COALESCE(json_extract(e.provenance, '$.kind'), '') "
+                    "  = 'manual' "
+                    "FROM edges e "
+                    "LEFT JOIN nodes nf ON nf.id = e.from_id "
+                    "LEFT JOIN nodes nt ON nt.id = e.to_id "
+                    "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?",
+                    (last, chunk)).fetchall()
+            if not rows:
+                return
+            last = rows[-1][0]
+            n = len(rows)
+            ids = [r[1] for r in rows]
+            weights = np.fromiter((r[2] for r in rows), np.float32, count=n)
+            updated = np.fromiter((r[3] for r in rows), np.float64, count=n)
+            max_imp = np.fromiter((r[4] for r in rows), np.float32, count=n)
+            manual = np.fromiter((bool(r[5]) for r in rows), bool, count=n)
+            yield ids, weights, updated, max_imp, manual
+
+    def apply_decay_results(self, updates, deletes, *,
+                            actor: str = "system"):
+        """One transaction per call: executemany weight UPDATEs (weight
+        only — updated_at untouched so the decay clock keeps running),
+        chunked bulk DELETEs, and a batched audit write for the
+        deletions. This is the fix for the r4 anti-pattern where a
+        20.9 B edges/s device sweep fed a per-row commit loop
+        (934 s to persist one sweep at 20.8M edges)."""
+        with self._lock:
+            try:
+                before = self._db.total_changes
+                self._db.executemany(
+                    "UPDATE edges SET weight=? WHERE id=?",
+                    ((min(1.0, max(0.0, float(w))), eid)
+                     for eid, w in updates))
+                updated = self._db.total_changes - before
+                deleted = 0
+                del_ids = deletes if isinstance(deletes, list) else list(deletes)
+                now = time.time()
+                for s in range(0, len(del_ids), _SQL_IN_CHUNK):
+                    part = del_ids[s:s + _SQL_IN_CHUNK]
+                    before = self._db.total_changes
+                    self._db.execute(
+                        "DELETE FROM edges WHERE id IN "
+                        f"({','.join('?' * len(part))})", part)
+                    deleted += self._db.total_changes - before
+                    if self.audit_enabled:
+                        self._db.executemany(
+                            "INSERT INTO audit(ts, action, target_id, "
+                            "actor, details) VALUES (?,?,?,?,NULL)",
+                            ((now, "edge_deleted", eid, actor)
+                             for eid in part))
+                self._db.commit()
+                return updated, deleted
+            except BaseException:
+                self._db.rollback()
+                raise
+
     def update_edge_weight_atomic(self, edge_id: str, weight: float,
                                   touch: bool = True) -> bool:
         w = min(1.0, max(0.0, weight))

@@ -1,0 +1,200 @@
+"""Regression tests for the batched decay persist (r5).
+
+The r4 sweep computed on device at 20.9 B edges/s, then persisted via a
+per-edge autocommit loop — measured 934 s for one sweep at 20.8M edges
+(BASELINE r4 'Hybrid soak at 10M'). These tests pin the fix:
+
+  - SqliteStorage.decay_scan: columnar JOIN scan matches the object
+    path (weights, timestamps, max endpoint importance, manual flag)
+  - SqliteStorage.apply_decay_results: ONE commit per call, bulk
+    deletes audited, weight updates leave updated_at alone
+  - DecayEngine.apply_decay end-to-end: same outcome as the semantic
+    (object/per-edge) reference, with a bounded commit count
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from cortex_tpu.linker.config import DecayConfig
+from cortex_tpu.linker.decay import DecayEngine
+from cortex_tpu.storage.memory_store import MemoryStorage
+from cortex_tpu.storage.sqlite_store import SqliteStorage
+from cortex_tpu.types import Edge, EdgeProvenance, Node, Source
+
+
+#: one shared reference instant so two stores built seconds apart get
+#: bit-identical decay geometry (ages are relative to _BASE, and the
+#: parity test sweeps with now=_BASE)
+_BASE = time.time()
+
+
+def _mk_store(cls, n_nodes=40, n_edges=120, *, days_old=30.0, seed=7):
+    rng = np.random.default_rng(seed)
+    store = cls()
+    now = _BASE
+    nodes = []
+    for i in range(n_nodes):
+        node = Node.new(kind="fact", title=f"n{i}", body=f"body {i}",
+                           source=Source(agent="t"),
+                           importance=float(rng.uniform(0, 1)))
+        store.put_node(node)
+        nodes.append(node)
+    edges = []
+    for i in range(n_edges):
+        a, b = rng.choice(n_nodes, size=2, replace=False)
+        prov = (EdgeProvenance.manual("t") if i % 7 == 0
+                else EdgeProvenance.auto_similarity(0.9))
+        e = Edge.new(from_id=nodes[a].id, to_id=nodes[b].id,
+                        relation="relates_to",
+                        weight=float(rng.uniform(0.02, 1.0)),
+                        provenance=prov)
+        age = float(rng.uniform(0, days_old))
+        e.updated_at = now - age * 86400.0
+        try:
+            store.put_edge(e)
+            edges.append(e)
+        except Exception:
+            pass
+    return store, edges
+
+
+def test_decay_scan_matches_object_path():
+    store, edges = _mk_store(SqliteStorage)
+    chunks = list(store.decay_scan(chunk=50))
+    assert len(chunks) >= 2  # pagination exercised
+    ids = [i for c in chunks for i in c[0]]
+    w = np.concatenate([c[1] for c in chunks])
+    upd = np.concatenate([c[2] for c in chunks])
+    imp = np.concatenate([c[3] for c in chunks])
+    manual = np.concatenate([c[4] for c in chunks])
+    by_id = {e.id: e for e in store.all_edges()}
+    assert set(ids) == set(by_id)
+    for k, eid in enumerate(ids):
+        e = by_id[eid]
+        assert w[k] == pytest.approx(e.weight, rel=1e-6)
+        assert upd[k] == pytest.approx(e.updated_at, abs=1e-3)
+        nf = store.get_node(e.from_id)
+        nt = store.get_node(e.to_id)
+        assert imp[k] == pytest.approx(
+            max(nf.importance, nt.importance), rel=1e-6)
+        assert bool(manual[k]) == e.provenance.is_manual
+
+
+class _CommitCounter:
+    """sqlite3.Connection attributes are read-only; count commits via a
+    delegating proxy swapped into store._db."""
+
+    def __init__(self, db):
+        self._real = db
+        self.commits = 0
+
+    def commit(self):
+        self.commits += 1
+        return self._real.commit()
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_apply_decay_results_single_commit_and_audit():
+    store, edges = _mk_store(SqliteStorage)
+    live = store.all_edges()
+    updates = [(e.id, 0.5) for e in live[:40]]
+    deletes = [e.id for e in live[40:50]]
+    before_upd = {e.id: e.updated_at for e in live[:40]}
+    proxy = _CommitCounter(store._db)
+    store._db = proxy
+    try:
+        updated, deleted = store.apply_decay_results(
+            iter(updates), iter(deletes), actor="decay")
+    finally:
+        store._db = proxy._real
+    assert proxy.commits == 1
+    assert updated == 40
+    assert deleted == 10
+    for eid, _ in updates:
+        e = store.get_edge(eid)
+        assert e.weight == pytest.approx(0.5)
+        # decay writes must not touch updated_at (decay clock runs on)
+        assert e.updated_at == pytest.approx(before_upd[eid], abs=1e-3)
+    for eid in deletes:
+        assert store.get_edge(eid) is None
+    audits = store.query_audit(action="edge_deleted", limit=100)
+    assert {a.target_id for a in audits} >= set(deletes)
+    # idempotent re-apply: already-deleted rows don't recount
+    updated2, deleted2 = store.apply_decay_results([], deletes)
+    assert deleted2 == 0
+
+
+def _engine_outcome(store_cls):
+    store, _ = _mk_store(store_cls, seed=11)
+    cfg = DecayConfig(daily_decay_rate=0.05, delete_threshold=0.2,
+                      prune_threshold=0.4, importance_shield=0.5)
+    eng = DecayEngine(store, cfg)
+    pruned, deleted = eng.apply_decay(_BASE)
+    weights = sorted(round(e.weight, 5) for e in store.all_edges())
+    return pruned, deleted, weights
+
+
+def test_engine_sqlite_matches_memory_semantics():
+    """The sqlite bulk path and the memory (default per-edge) path
+    compute identical sweeps from identical seeds."""
+    p1, d1, w1 = _engine_outcome(SqliteStorage)
+    p2, d2, w2 = _engine_outcome(MemoryStorage)
+    assert (p1, d1) == (p2, d2)
+    assert w1 == w2
+    assert d1 > 0 and p1 > 0  # the fixture actually exercises both
+
+
+def test_engine_commit_count_bounded():
+    """End-to-end sweep persist must be O(chunks) commits, not O(E)."""
+    store, _ = _mk_store(SqliteStorage, n_nodes=60, n_edges=400, seed=3)
+    eng = DecayEngine(store, DecayConfig(daily_decay_rate=0.05,
+                                         delete_threshold=0.2))
+    proxy = _CommitCounter(store._db)
+    store._db = proxy
+    try:
+        eng.apply_decay()
+    finally:
+        store._db = proxy._real
+    # one chunk here → one bulk-apply commit (plus nothing else)
+    assert proxy.commits == 1
+
+
+def test_idle_cycles_still_reach_decay():
+    """r5 regression: idle cycles must advance the schedule clock.
+    Before the fix, an empty scan returned without bumping
+    cycle_count, so once the count parked on a non-multiple of
+    decay_every_n_cycles an idle server never decayed old edges."""
+    from cortex_tpu.linker.auto_linker import AutoLinker
+    from cortex_tpu.linker.config import AutoLinkerConfig
+
+    store, _ = _mk_store(SqliteStorage, n_nodes=6, n_edges=10, seed=5)
+    cfg = AutoLinkerConfig()
+    cfg.decay_every_n_cycles = 4
+    cfg.decay.daily_decay_rate = 0.2
+    cfg.decay.exempt_manual = False
+
+    from cortex_tpu.vector import HashingEmbedder, TpuFlatIndex
+
+    embedder = HashingEmbedder(dim=64)
+    index = TpuFlatIndex(dim=64)
+    linker = AutoLinker(store, index, embedder, cfg)
+    # drain the initial backlog so subsequent cycles are idle
+    for _ in range(30):
+        linker.run_cycle()
+        if linker.metrics.backlog_size == 0 and \
+                linker.cycle_count % cfg.decay_every_n_cycles != 0:
+            break
+    w_before = {e.id: e.weight for e in store.all_edges()}
+    # now ONLY idle cycles; decay must still become due and apply
+    for _ in range(cfg.decay_every_n_cycles + 1):
+        linker.run_cycle(now=time.time() + 30 * 86400)
+    w_after = {e.id: e.weight for e in store.all_edges()}
+    decayed = [eid for eid, w in w_after.items()
+               if eid in w_before and w < w_before[eid] - 1e-6]
+    deleted = set(w_before) - set(w_after)
+    assert decayed or deleted, \
+        "idle cycles never reached a decay-due cycle"

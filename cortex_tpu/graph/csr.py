@@ -286,8 +286,15 @@ class DeviceGraphMirror:
                 or time.monotonic() - pk.built_at < self.REBUILD_MIN_S):
             return pk
         if pk is not None:
-            if not getattr(self, "_rebuild_inflight", False):
-                self._rebuild_inflight = True
+            # check-and-set under the lock: two readers that both see
+            # a stale snapshot must not each spawn a minutes-long
+            # 100M-edge background scan
+            spawn = False
+            with self._packed_lock:
+                if not getattr(self, "_rebuild_inflight", False):
+                    self._rebuild_inflight = True
+                    spawn = True
+            if spawn:
 
                 def bg():
                     try:
@@ -320,6 +327,13 @@ class DeviceGraphMirror:
 
     def _build_and_swap(self, ver: int) -> PackedAdjacency:
         t0 = time.perf_counter()
+        # re-read the version at scan start: the caller captured `ver`
+        # before the debounce window, so edges written since then are
+        # in the scan but a pre-scan stamp would mark the snapshot
+        # stale and trigger a spurious full rebuild even with no
+        # further writes. Scan-start (not swap-time) keeps deletions
+        # racing the minutes-long build conservatively re-buildable.
+        ver = max(ver, self._cache.version)
         pk = PackedAdjacency.build(self._storage)
         self._packed = pk
         self._packed_version = ver
@@ -343,8 +357,9 @@ class DeviceGraphMirror:
         return dev
 
     def _packed_per_anchor(self, anchor_ids: Sequence[str],
-                           max_hops: int) -> Dict[str, "np.ndarray"]:
-        """per_anchor_depths over the packed tiers: vectorized host
+                           max_hops: int) -> tuple:
+        """per_anchor over the packed tiers — returns (anchors_used,
+        depth_map) resolved against ONE snapshot: vectorized host
         BFS per anchor; budget overflow routes THAT anchor to the
         device frontier walk with on-device compaction. An
         unavailable snapshot (first build failed, in backoff)
@@ -355,10 +370,10 @@ class DeviceGraphMirror:
         except Exception:  # noqa: BLE001 — backoff/build failure
             log.warning("packed adjacency unavailable; serving "
                         "vector-only proximity", exc_info=True)
-            return {}
+            return [], {}
         known = [a for a in anchor_ids if a in pk.row_of]
         if not known:
-            return {}
+            return [], {}
         out: Dict[str, np.ndarray] = {}
 
         def put(j: int, rows: np.ndarray, depths: np.ndarray) -> None:
@@ -404,7 +419,7 @@ class DeviceGraphMirror:
                 put(j, rows, dist[rows].astype(np.int32))
                 continue
             put(j, rows_h[keep], depth_h[keep])
-        return out
+        return known, out
 
     def _in_graph(self, node_id: str) -> bool:
         if self._packed_mode():
@@ -444,12 +459,24 @@ class DeviceGraphMirror:
 
     def per_anchor_depths(self, anchor_ids: Sequence[str],
                           max_hops: int) -> Dict[str, "np.ndarray"]:
-        """depth-from-each-anchor. Host frontier BFS per anchor first
-        (tiny frontiers, no device build needed); the vmapped device
+        """depth-from-each-anchor; see per_anchor (this drops the
+        anchor-order half of its result)."""
+        return self.per_anchor(anchor_ids, max_hops)[1]
+
+    def per_anchor(self, anchor_ids: Sequence[str], max_hops: int
+                   ) -> tuple:
+        """(anchors_used, {node_id: [A] int32 depths}) — depth from
+        each anchor, with the anchor list in DEPTH-ARRAY COLUMN ORDER,
+        both derived from one adjacency snapshot. Callers must index
+        depth columns with the returned list, never a separately
+        resolved membership: a background packed-snapshot swap between
+        two resolutions can change membership and misalign columns
+        (ADVICE r4 — an IndexError or wrong nearest_anchor on a live
+        hybrid request). Host frontier BFS per anchor first (tiny
+        frontiers, no device build needed); the vmapped device
         relaxation over an [A, N] distance matrix is the fallback for
-        frontiers that cover a large fraction of the graph. Returns
-        {node_id: [A] int32 depths} (entries omitted when unreachable
-        from every anchor)."""
+        frontiers that cover a large fraction of the graph. Depth
+        entries are omitted when unreachable from every anchor."""
         max_hops = min(max_hops, self.HOP_CAP)
         if self._packed_mode():
             return self._packed_per_anchor(anchor_ids, max_hops)
@@ -466,14 +493,14 @@ class DeviceGraphMirror:
                         row = np.full(len(known), INF_DEPTH, np.int32)
                         out[nid] = row
                     row[j] = depth
-            return out
+            return known, out
         self.ensure()
         if self._nbrs is None or self.n == 0:
-            return {}
+            return [], {}
         rows = [(a, self._row_of[a]) for a in anchor_ids
                 if a in self._row_of]
         if not rows:
-            return {}
+            return [], {}
         n_pad = self._nbrs.shape[0]
         dist0 = np.full((len(rows), n_pad), INF_DEPTH, np.int32)
         for j, (_, r) in enumerate(rows):
@@ -485,12 +512,14 @@ class DeviceGraphMirror:
         reachable = (dist[:, :self.n] <= max_hops).any(axis=0)
         for i in np.nonzero(reachable)[0]:
             out[self._id_of[int(i)]] = dist[:, int(i)]
-        return out
+        return [a for a, _ in rows], out
 
     def anchor_row_ids(self, anchor_ids: Sequence[str]) -> List[str]:
         """Anchor ids present in the graph, in per_anchor_depths order.
         Membership comes from the host adjacency (same set as the
-        device row map) so no device build is forced."""
+        device row map) so no device build is forced. NOTE: for
+        pairing with depth arrays use per_anchor — it returns the
+        order from the same snapshot the depths were computed on."""
         return [a for a in anchor_ids if self._in_graph(a)]
 
     def _host_multi_bfs(self, srcs: Sequence[str], max_hops: int,

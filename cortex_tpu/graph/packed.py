@@ -11,8 +11,10 @@ numpy arrays (int64 indptr + int32 indices over interned rows,
 undirected, deduped) built in one streaming pass over a column-only
 storage scan (`Storage.edge_endpoints` — no Edge objects):
 
-    100M edges ~= 0.8 GB indices + 80 MB indptr, build is
-    sort/bincount-bound (numpy, not python loops)
+    100M edges ~= 0.8 GB resident indices + 80 MB indptr; the build
+    transiently peaks at ~3.4 GB (2E int64 composite keys sorted in
+    place + the deduped copy) — sort/bincount-bound numpy, no python
+    loops
 
 Rich adjacency (relations, weights, per-edge metadata) stays on the
 AdjacencyCache for the graph engine / linker / briefing, which never
@@ -94,12 +96,39 @@ class PackedAdjacency:
         if n == 0:
             return cls([], {}, np.zeros(1, np.int64),
                        np.zeros(0, np.int32), 0)
-        # undirected: both directions; dedup via composite key
-        u = np.concatenate(src_chunks + dst_chunks)
-        v = np.concatenate(dst_chunks + src_chunks)
-        key = np.unique(u.astype(np.int64) * n + v.astype(np.int64))
+        # undirected: both directions; dedup via composite int64 key.
+        # Fill the key array incrementally (chunks freed as consumed)
+        # and sort IN PLACE with a mask dedup instead of np.unique —
+        # unique's sort copy plus separate u/v concatenations peaked
+        # at ~5 GB at the 100M-edge design scale; this path peaks at
+        # ~2×E×8 bytes for the key plus the deduped output
+        # (~3.4 GB at 100M edges, stated in the module docstring)
+        total = sum(len(c) for c in src_chunks)
+        key = np.empty(2 * total, np.int64)
+        ofs = 0
+        while src_chunks:
+            s = src_chunks.pop(0)
+            d = dst_chunks.pop(0)
+            m = len(s)
+            ks = s.astype(np.int64)
+            ks *= n
+            ks += d
+            key[ofs:ofs + m] = ks
+            kd = d.astype(np.int64)
+            kd *= n
+            kd += s
+            key[total + ofs:total + ofs + m] = kd
+            ofs += m
+            del ks, kd
+        key.sort()
+        keep = np.empty(len(key), bool)
+        keep[0] = True
+        np.not_equal(key[1:], key[:-1], out=keep[1:])
+        key = key[keep]
+        del keep
         u = (key // n).astype(np.int32)
         v = (key % n).astype(np.int32)
+        del key
         counts = np.bincount(u, minlength=n)
         indptr = np.zeros(n + 1, np.int64)
         np.cumsum(counts, out=indptr[1:])

@@ -91,8 +91,12 @@ class HybridSearch:
         fetch = None
         if hasattr(self.index, "search_batch_async"):
             fetch = self.index.search_batch_async(emb[None, :], k, flt)
-        anchors = self.mirror.anchor_row_ids(query.anchors)
-        depth_map = self.mirror.per_anchor_depths(
+        # one call resolves ONE adjacency snapshot and returns both
+        # the anchor column order and the depth arrays — resolving
+        # them separately can straddle a background packed-snapshot
+        # swap, misaligning anchors[j] with the depth columns
+        # (ADVICE r4: IndexError / wrong nearest_anchor)
+        anchors, depth_map = self.mirror.per_anchor(
             query.anchors, query.max_anchor_depth)
         hits = fetch()[0] if fetch is not None \
             else self.index.search(emb, k, flt)

@@ -127,6 +127,17 @@ def load_import_file(path: str, fmt: str, agent: str):
 def cmd_import(ctx, args) -> int:
     nodes, edges = load_import_file(args.file, args.format, args.agent)
     cx = ctx.cortex()
+    if getattr(args, "bulk", False):
+        # bulk-load path (VERDICT r4 #3): additive executemany
+        # transactions, no per-row admission — minutes instead of
+        # hours at 10M rows
+        res = cx.bulk_import(
+            nodes, edges=edges, actor=f"import:{args.agent}",
+            advance_linker_cursor=not getattr(args, "link", False))
+        _emit(args, res,
+              f"bulk-imported {res['nodes']} nodes, "
+              f"{res['edges']} edges")
+        return 0
     # never clobber live data: rows whose preserved id already exists in
     # the target store are skipped (import was historically additive)
     fresh, skipped = [], 0
@@ -479,6 +490,15 @@ def register_data_commands(sub) -> None:
     sp.add_argument("--format", default="auto",
                     choices=["auto", "json", "jsonl", "csv", "markdown"])
     sp.add_argument("--agent", default="import")
+    sp.add_argument("--bulk", action="store_true",
+                    help="bulk-load fast path: executemany storage "
+                    "transactions, no per-row gate/hooks/edge "
+                    "validation; ~5x faster at large files")
+    sp.add_argument("--link", action="store_true",
+                    help="with --bulk: leave imported rows for the "
+                    "auto-linker to discover (default marks them "
+                    "already processed so a huge import doesn't queue "
+                    "hours of background linking)")
     sp.set_defaults(fn=cmd_import)
 
     sp = sub.add_parser("export", help="export the graph")

@@ -309,6 +309,35 @@ class Storage(abc.ABC):
                     raise
         return n
 
+    def bulk_put_nodes(self, nodes: Iterable[Node], *,
+                       actor: str = "bulk-import",
+                       validate: bool = True) -> int:
+        """Bulk-load fast path: additive INSERT semantics (existing
+        ids are left untouched, matching `cortex import`'s
+        never-clobber contract, cli/import.rs:91-186), no per-row
+        audit (backends write one summary row), no gate/hooks — the
+        CALLER owns admission policy. Returns the number of rows
+        actually inserted. Default adapts put_nodes_batch; the sqlite
+        backend overrides with executemany transactions + a suspended
+        index_seq trigger (measured 33k -> 150k rows/s)."""
+        count = 0
+        for n in nodes:
+            if validate:
+                n.validate()
+            if self.get_node(n.id) is None:
+                self.put_node(n, actor=actor)
+                count += 1
+        return count
+
+    def bulk_put_edges(self, edges: Iterable[Edge], *,
+                       actor: str = "bulk-import") -> int:
+        """Bulk edge load: INSERT OR IGNORE semantics, NO endpoint
+        validation (the caller guarantees endpoints — at 100M edges
+        per-edge existence SELECTs cost hours, storage_bench r4).
+        Returns inserted count. Default adapts tolerant
+        put_edges_batch (which does validate); sqlite overrides raw."""
+        return self.put_edges_batch(edges, actor=actor, tolerant=True)
+
     def get_nodes(self, ids: Iterable[str]) -> Dict[str, Node]:
         """Batch point-reads: present, non-None nodes keyed by id.
         Backends override with one IN query — the default's per-id

@@ -123,7 +123,11 @@ def seed(cortex, rows: int, edges_per_node: int = 0,
         # Topology: a ring (guaranteed connectivity) + random chords.
         import json as _json
         from cortex_tpu.types import EdgeProvenance
-        prov = _json.dumps(EdgeProvenance.manual("seed").to_dict())
+        # imported, NOT manual: manual edges are decay-exempt by
+        # default, which would turn the soak's every-cycle decay
+        # sweep into a no-op — the r5 run must exercise the full
+        # scan → sweep → bulk-persist pipeline at 100M edges
+        prov = _json.dumps(EdgeProvenance.imported("seed").to_dict())
         t0 = time.perf_counter()
         rng_e = np.random.default_rng(1)
         now_s = time.time()

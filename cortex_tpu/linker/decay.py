@@ -16,8 +16,8 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.decay import (DEVICE_SWEEP_MIN_EDGES, decay_sweep,
-                         decay_sweep_host)
+from ..ops.decay import (decay_sweep, decay_sweep_host,
+                         use_device_sweep)
 from ..storage.base import Storage
 from .config import DecayConfig
 
@@ -37,10 +37,13 @@ class DecayEngine:
     def _sweep_arrays(self, weights, days, max_imp, exempt):
         """Run the decay kernel over one chunk's packed arrays.
         Device for big chunks (padded to pow2 buckets so at most
-        ~5 compiled shapes ever exist), vectorized host below the
-        dispatch-latency crossover."""
+        ~5 compiled shapes ever exist) WHEN the measured link
+        bandwidth beats the host pass — sweep inputs originate on
+        the host every sweep, so a tunneled device pays 26 B/edge of
+        transfer for an op numpy does at ~100M edges/s
+        (ops.decay.use_device_sweep); vectorized host otherwise."""
         n = len(weights)
-        if n < DEVICE_SWEEP_MIN_EDGES:
+        if not use_device_sweep(n):
             return decay_sweep_host(
                 weights, days, max_imp, exempt,
                 self.config.daily_decay_rate,

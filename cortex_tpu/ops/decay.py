@@ -65,6 +65,46 @@ def decay_sweep_host(weights, days_since_update, max_importance, exempt,
 # dominates); above it HBM bandwidth wins
 DEVICE_SWEEP_MIN_EDGES = 65_536
 
+_measured_bw: float | None = None
+
+
+def device_transfer_bandwidth() -> float:
+    """One-shot measured host->device->host round-trip bandwidth in
+    bytes/s (cached per process). The decay sweep's inputs originate
+    on the HOST (a sqlite scan) every sweep, so unlike the resident
+    search corpus the device pays the full transfer both ways — on a
+    network-tunneled TPU (~6 MB/s) that transfer exceeds the numpy
+    sweep cost by ~100x, while on local PCIe the device wins at
+    scale. Probe is watchdogged: a wedged tunnel reports ~0 bw and
+    the caller stays on host instead of hanging."""
+    global _measured_bw
+    if _measured_bw is not None:
+        return _measured_bw
+    try:
+        from ..vector.shard import _fetch_array
+        import numpy as np
+        import time as _t
+        payload = np.zeros((1_000_000,), np.float32)   # 4 MB
+        t0 = _t.perf_counter()
+        dev = jnp.asarray(payload)
+        _fetch_array(dev + 1.0)
+        dt = max(_t.perf_counter() - t0, 1e-6)
+        _measured_bw = 2 * payload.nbytes / dt
+    except Exception:  # noqa: BLE001 — wedged/absent device
+        _measured_bw = 0.0
+    return _measured_bw
+
+
+def use_device_sweep(n_edges: int) -> bool:
+    """Device iff the measured link can beat the host numpy pass.
+    Host sweeps ~100M edges/s (np.exp-bound); the device moves
+    ~26 B/edge round trip, so it needs >= ~1.5 GB/s effective link
+    bandwidth to come out ahead — true on-chip/PCIe, false through
+    a network tunnel."""
+    if n_edges < DEVICE_SWEEP_MIN_EDGES:
+        return False
+    return device_transfer_bandwidth() >= 1.5e9
+
 
 @jax.jit
 def retention_eligibility(created_at: jnp.ndarray, last_accessed_at: jnp.ndarray,

@@ -516,6 +516,16 @@ class IvfCorpus(DeviceCorpus):
         self._boot_nprobe_tuned = 0           # snapshot-restored
         self._boot_tune_curve: Optional[list] = None
         self._tune_curve: list = []           # last measured (p, rec)
+        #: candidate-width escalation (VERDICT r4 #4): probe-hit only
+        #: upper-bounds delivered recall — tie-dense geometry measured
+        #: 0.973 end-to-end at probe-hit 1.0 (int8 candidate-boundary
+        #: noise). The tuner cross-checks DELIVERED recall through the
+        #: real dispatch and doubles the candidate width (up to 4x)
+        #: when the probe-hit pick under-delivers.
+        self._cand_boost = 1
+        self._delivered_recall: Optional[float] = None
+        self._boot_cand_boost = 0
+        self._boot_delivered: Optional[float] = None
         self._info_pub: dict = {"trained": False}   # see _publish_info
         #: kNN-graph refinement degree (knn_graph.py): the graph is
         #: built from the block layout at (re)train time and search
@@ -592,6 +602,10 @@ class IvfCorpus(DeviceCorpus):
                     # k-means (the value was measured on this layout)
                     st["ivf_nprobe_tuned"] = np.int32(
                         self._nprobe_tuned)
+                    st["ivf_cand_boost"] = np.int32(self._cand_boost)
+                    if self._delivered_recall is not None:
+                        st["ivf_delivered"] = np.float64(
+                            self._delivered_recall)
                     if self._tune_curve:
                         # the probe-hit curve travels with the pick it
                         # produced, so /stats after a restore shows the
@@ -997,8 +1011,12 @@ class IvfCorpus(DeviceCorpus):
         # fresh retrains re-measure on the layout just placed
         boot_np = self._boot_nprobe_tuned
         boot_curve = self._boot_tune_curve
+        boot_boost = self._boot_cand_boost
+        boot_delivered = self._boot_delivered
         self._boot_nprobe_tuned = 0
         self._boot_tune_curve = None
+        self._boot_cand_boost = 0
+        self._boot_delivered = None
         if self._target_recall <= 0.0 or self._nprobe_cfg > 0:
             self._nprobe_tuned = 0            # explicit nprobe wins
             self._tune_curve = []             # curve follows the pick
@@ -1007,6 +1025,11 @@ class IvfCorpus(DeviceCorpus):
             # snapshot-restored curve (if the snapshot carried one);
             # without it the value stands alone until the next retrain
             self._tune_curve = list(boot_curve or [])
+            # the delivered-recall escalation travels with the pick it
+            # was measured on (same layout, same geometry)
+            if boot_boost > 0:
+                self._cand_boost = boot_boost
+            self._delivered_recall = boot_delivered
         else:
             self._tune_nprobe(rows, data, c, emb_i8, rinv_sl,
                               slot_rows)
@@ -1071,6 +1094,13 @@ class IvfCorpus(DeviceCorpus):
             "target_recall": float(self._target_recall),
             "tune_curve": [[int(p), round(float(r), 4)]
                            for p, r in self._tune_curve],
+            # both curves: probe-hit (tune_curve) AND the end-to-end
+            # number actually delivered at the published pick
+            "delivered_recall": (round(float(self._delivered_recall),
+                                       4)
+                                 if self._delivered_recall is not None
+                                 else None),
+            "cand_boost": int(self._cand_boost),
             "graph_degree": int(self._graph_degree),
             "spill": bool(self._has_spill),
         }
@@ -1108,6 +1138,8 @@ class IvfCorpus(DeviceCorpus):
         BASELINE.md 'IVF on real-text geometry'."""
         self._nprobe_tuned = 0
         self._tune_curve = []   # never report a stale layout's curve
+        self._cand_boost = 1    # re-measured per layout
+        self._delivered_recall = None
         n = len(rows)
         if c <= 8 or n < 4 * TUNE_TRUTH_K:
             return                            # trivial layouts: auto
@@ -1204,6 +1236,73 @@ class IvfCorpus(DeviceCorpus):
             "(auto would be %d; sampled probe-hit curve %s)",
             self._target_recall, chosen, c, max(8, c // 8),
             [(p, round(float(rec), 4)) for p, rec in curve])
+        # end-to-end cross-check (VERDICT r4 #4): probe-hit only
+        # UPPER-bounds delivered recall — hash-text measured 0.973
+        # end-to-end at probe-hit 1.0 (int8 candidate-boundary noise
+        # at the default width; BASELINE r4 tuner finding 3). Measure
+        # recall@10 through the REAL serving dispatch (int8 candidate
+        # scan at the chosen rung + exact fp32 re-rank) and escalate
+        # the candidate width one rung (x2, up to x4) while it misses
+        # the target AND widening keeps helping — a residual that
+        # widening does not move is not candidate-bound, so the extra
+        # QPS cost is refunded by reverting the last rung.
+        delivered = self._measure_delivered(q, qrows, truth, valid)
+        while (delivered is not None
+               and delivered < self._target_recall - 1e-9
+               and self._cand_boost < 4):
+            self._cand_boost *= 2
+            re_meas = self._measure_delivered(q, qrows, truth, valid)
+            log.info("ivf tune: delivered recall %.4f < target %.3f "
+                     "-> cand width x%d (re-measured %.4f)",
+                     delivered, self._target_recall, self._cand_boost,
+                     -1.0 if re_meas is None else re_meas)
+            if re_meas is None or re_meas <= delivered + 1e-9:
+                self._cand_boost //= 2        # not candidate-bound
+                break
+            delivered = re_meas
+        self._delivered_recall = delivered
+
+    def _measure_delivered(self, q: np.ndarray, qrows: np.ndarray,
+                           truth: np.ndarray,
+                           valid: np.ndarray) -> Optional[float]:
+        """Delivered recall@10 on the tuner's sample through the REAL
+        serving path: _dispatch_search at the currently-tuned
+        nprobe/cand (the same fused kernel queries hit) + exact fp32
+        re-rank on the host mirror, self-row excluded like the truth
+        set. Returns None when the dispatch fails (e.g. wedged
+        device) — the tuner then keeps the probe-hit pick."""
+        try:
+            from .shard import _fetch_array
+            s = q.shape[0]
+            ak, aa, ex, hb = self._filter_codes(None, None, None)
+            _, kb = self._k_bucket(TUNE_TRUTH_K)
+            b_bucket = 1
+            while b_bucket < s:
+                b_bucket *= 2
+            q_np = q if b_bucket == s else np.concatenate(
+                [q, np.zeros((b_bucket - s, self.dim), np.float32)])
+            _, rows, _ = self._dispatch_search(
+                jnp.asarray(q_np), ak, aa, ex, kb, host_bias=hb)
+            rows_h = np.asarray(_fetch_array(rows))[:s]
+            hits = 0
+            total = 0
+            for i in range(s):
+                cand = np.unique(rows_h[i][rows_h[i] >= 0])
+                if cand.size == 0:
+                    continue
+                sc = self._emb_h[cand] @ q[i]
+                sc = np.where(cand == int(qrows[i]), -np.inf, sc)
+                top = set(cand[np.argsort(-sc)[:TUNE_TRUTH_K]]
+                          .tolist())
+                t = truth[i][valid[i]]
+                total += len(t)
+                hits += sum(1 for r_ in t if int(r_) in top)
+            return hits / total if total else None
+        except Exception:  # noqa: BLE001 — keep the probe-hit pick
+            log.warning("ivf tune: delivered-recall measurement "
+                        "failed; keeping the probe-hit pick",
+                        exc_info=True)
+            return None
 
     def _spawn_graph_build(self, emb_i8, rinv_sl, slot_rows,
                            rows: np.ndarray) -> None:
@@ -1395,8 +1494,8 @@ class IvfCorpus(DeviceCorpus):
                         shape[ax] = l2
                     structs.append(S(tuple(shape), jnp.dtype(dtype)))
                 st = dict(st)
-                st["cand"] = min(self._cand_count(k_bucket),
-                                 st["p"] * l2)
+                st["cand"] = min(self._cand_count(k_bucket)
+                                 * self._cand_boost, st["p"] * l2)
                 fns[name].lower(*structs, **st).compile()
                 done += 1
                 if pace_s:
@@ -1769,7 +1868,8 @@ class IvfCorpus(DeviceCorpus):
             self._maybe_warm_scatter(tuple(emb_i8.shape))
         c = cent.shape[0]
         p = self._nprobe(c)
-        cand = min(self._cand_count(k_bucket), p * self._slot_cap)
+        cand = min(self._cand_count(k_bucket) * self._cand_boost,
+                   p * self._slot_cap)
         dd = self._has_spill                  # compile dedup out when
         if meta is not None:                  # Mosaic gather-score path
             if host_bias is not None:
@@ -1871,6 +1971,10 @@ class TpuIvfIndex(TpuFlatIndex):
             extra["ivf_nprobe_tuned"] = st["ivf_nprobe_tuned"]
         if "ivf_tune_curve" in st:
             extra["ivf_tune_curve"] = st["ivf_tune_curve"]
+        if "ivf_cand_boost" in st:
+            extra["ivf_cand_boost"] = st["ivf_cand_boost"]
+        if "ivf_delivered" in st:
+            extra["ivf_delivered"] = st["ivf_delivered"]
         np.savez(path, vectors=st["vectors"],
                  ivf_centroids=st["ivf_centroids"],
                  ivf_cluster=st["ivf_cluster"],
@@ -1915,6 +2019,10 @@ class TpuIvfIndex(TpuFlatIndex):
                     co._boot_tune_curve = [
                         (int(p), float(r))
                         for p, r in z["ivf_tune_curve"]]
+                if "ivf_cand_boost" in z.files:
+                    co._boot_cand_boost = int(z["ivf_cand_boost"])
+                if "ivf_delivered" in z.files:
+                    co._boot_delivered = float(z["ivf_delivered"])
             if "ivf_nbrs" in z.files and co._graph_degree > 0:
                 # remap id-relative neighbor positions to the new row
                 # assignment (see state()); absent ids drop their edges

@@ -333,3 +333,88 @@ class TestInfoSnapshot:
         t0 = _t.monotonic()
         idx.index_info()
         assert _t.monotonic() - t0 < 0.1
+
+
+# ------------------------------------------------------- delivered recall
+
+
+class TestDeliveredRecallGate:
+    """VERDICT r4 #4: the tuner must price END-TO-END recall, not just
+    probe-hit (which only upper-bounds candidate membership — hash-text
+    measured 0.973 delivered at probe-hit 1.0)."""
+
+    def test_delivered_measured_and_published(self):
+        idx, bf = build(smooth(), target_recall=0.9)
+        info = idx.index_info()
+        assert info["nprobe_tuned"] > 0
+        assert info["delivered_recall"] is not None
+        assert 0.0 <= info["delivered_recall"] <= 1.0
+        assert info["cand_boost"] >= 1
+        # on this smooth corpus delivery should be close to the
+        # probe-hit reading (no tie-dense pathology)
+        assert info["delivered_recall"] >= 0.7
+
+    def test_escalates_cand_when_under_delivering(self, monkeypatch):
+        """Simulated candidate-bound residual: delivered recall rises
+        with the width, so the tuner escalates until the target."""
+        co = IvfCorpus.__new__(IvfCorpus)  # drive the loop in isolation
+        calls = []
+
+        def fake_measure(q, qrows, truth, valid):
+            calls.append(co._cand_boost)
+            return {1: 0.95, 2: 0.985, 4: 0.995}[co._cand_boost]
+
+        co._cand_boost = 1
+        co._target_recall = 0.99
+        co._delivered_recall = None
+        co._measure_delivered = fake_measure
+        # replicate the tuner's escalation tail
+        delivered = co._measure_delivered(None, None, None, None)
+        while (delivered is not None
+               and delivered < co._target_recall - 1e-9
+               and co._cand_boost < 4):
+            co._cand_boost *= 2
+            re_meas = co._measure_delivered(None, None, None, None)
+            if re_meas is None or re_meas <= delivered + 1e-9:
+                co._cand_boost //= 2
+                break
+            delivered = re_meas
+        co._delivered_recall = delivered
+        assert co._cand_boost == 4
+        assert co._delivered_recall == 0.995
+        assert calls == [1, 2, 4]
+
+    def test_reverts_when_widening_does_not_help(self):
+        """A residual that wider candidates don't move is not
+        candidate-bound: the escalation refunds the QPS cost."""
+        co = IvfCorpus.__new__(IvfCorpus)
+        co._cand_boost = 1
+        co._target_recall = 0.99
+        co._delivered_recall = None
+        co._measure_delivered = lambda *a: 0.973   # flat in width
+        delivered = co._measure_delivered()
+        while (delivered is not None
+               and delivered < co._target_recall - 1e-9
+               and co._cand_boost < 4):
+            co._cand_boost *= 2
+            re_meas = co._measure_delivered()
+            if re_meas is None or re_meas <= delivered + 1e-9:
+                co._cand_boost //= 2
+                break
+            delivered = re_meas
+        assert co._cand_boost == 1
+
+    def test_boost_survives_snapshot(self, tmp_path):
+        idx, bf = build(smooth(), target_recall=0.9)
+        co = idx._corpus
+        co._cand_boost = 2                    # pretend escalation fired
+        co._delivered_recall = 0.991
+        path = str(tmp_path / "ivf.npz")
+        idx.save(path)
+        idx2 = TpuIvfIndex(DIM, target_recall=0.9)
+        idx2.load(path)
+        idx2._corpus.sync()
+        info = idx2.index_info()
+        assert idx2._corpus._cand_boost == 2
+        assert info["delivered_recall"] == 0.991
+        assert info["nprobe_tuned"] == idx.index_info()["nprobe_tuned"]

@@ -221,6 +221,10 @@ class TpuFlatIndex(VectorIndex):
             "storage_dtype": self._storage_dtype_str(),
             "search_path": co._search_path,         # configured
             "resolved_path": co._choose_path(8),    # what serves now
+            # lost/late device responses transparently re-dispatched
+            # by the adaptive first-fetch watchdog (r5)
+            "fetch_redispatches": int(getattr(co, "fetch_redispatches",
+                                              0)),
         }
         if hasattr(co, "_n_shard"):                 # mesh variants
             info["mesh"] = {"shards": int(co._n_shard),

@@ -432,6 +432,16 @@ class DeviceCorpus:
         self.kinds = Interner()
         self.agents = Interner()
         self._lock = threading.RLock()
+        #: recent successful serving-fetch durations (seconds) — the
+        #: adaptive first-fetch watchdog derives its deadline from
+        #: these (VERDICT r4 #7: both 1M and 10M batch-1 runs recorded
+        #: one 35-40 s outlier in 50 — a response the tunnel delivered
+        #: just UNDER the fixed 45 s watchdog, so no re-dispatch ever
+        #: fired; racing a re-dispatch after ~10x the recent p95 turns
+        #: that tail into a bounded blip)
+        from collections import deque
+        self._fetch_times: "deque" = deque(maxlen=128)
+        self.fetch_redispatches = 0   # observability (/stats, soaks)
         # legacy kwarg (r1's pallas kernel is gone): use_pallas=False
         # used to force the exact XLA path — honor that meaning
         if use_pallas is False and search_path == "auto":
@@ -1241,10 +1251,29 @@ class DeviceCorpus:
         can only add candidates, never corrupt scores."""
         return i, valid
 
+    def _note_fetch(self, dt: float) -> None:
+        self._fetch_times.append(dt)
+
+    def _first_fetch_deadline(self) -> float:
+        """Adaptive watchdog for the FIRST fetch of a request: ~10x
+        the recent p95 successful fetch, floored at 2 s, capped at
+        FETCH_TIMEOUT_S. A response the tunnel loses (or delivers
+        tens of seconds late) trips this quickly and the caller
+        re-dispatches — retries use the full FETCH_TIMEOUT_S so a
+        genuinely slow-but-alive device still completes. Until 16
+        samples exist the full deadline applies (no cold-start
+        misfires)."""
+        if len(self._fetch_times) < 16:
+            return FETCH_TIMEOUT_S
+        s = sorted(self._fetch_times)
+        p95 = s[min(len(s) - 1, int(0.95 * len(s)))]
+        return min(FETCH_TIMEOUT_S, max(2.0, 10.0 * p95))
+
     def _finish_topk(self, v, i, k: int, kk: int, generation: int,
                      q_np: Optional[np.ndarray] = None,
                      rescore: bool = False, bf16_mu=_MU_CURRENT,
-                     flt=None, refine: bool = True):
+                     flt=None, refine: bool = True,
+                     fetch_timeout: Optional[float] = None):
         """Fetch device results and map rows -> ids. If rows were freed
         AND reassigned while the device ran (generation changed), the
         row->id mapping is no longer the one the scores were computed
@@ -1256,9 +1285,14 @@ class DeviceCorpus:
         it overlaps the next batch's device scan in pipelined use).
 
         Raises DeviceFetchTimeout when the fetch wedges (lost tunnel
-        response) — the caller re-dispatches."""
-        v = _fetch_array(v)
-        i = _fetch_array(i)
+        response) — the caller re-dispatches. fetch_timeout overrides
+        the watchdog deadline (the serving path passes the adaptive
+        first-fetch deadline; retries pass None = full)."""
+        import time as _time
+        t_fetch = _time.monotonic()
+        v = _fetch_array(v, timeout=fetch_timeout)
+        i = _fetch_array(i, timeout=fetch_timeout)
+        self._note_fetch(_time.monotonic() - t_fetch)
         with self._lock:
             if generation != self._generation:
                 return None     # caller retries
@@ -1426,16 +1460,20 @@ class DeviceCorpus:
         def finish_full():
             out = None
             if v is not None:
+                first_deadline = self._first_fetch_deadline()
                 try:
                     out = self._finish_topk(v, i, k, kk, gen,
                                             q_np=q_np, rescore=resc,
                                             bf16_mu=mu,
                                             flt=(kinds, agent,
                                                  exclude_ids),
-                                            refine=refine)
+                                            refine=refine,
+                                            fetch_timeout=first_deadline)
                 except DeviceFetchTimeout:
-                    log.warning("device fetch wedged (>%.0fs); "
-                                "re-dispatching", FETCH_TIMEOUT_S)
+                    self.fetch_redispatches += 1
+                    log.warning("device fetch exceeded the adaptive "
+                                "first-fetch deadline (%.1fs); "
+                                "re-dispatching", first_deadline)
                     out = None      # lost dispatch: re-issue below
             if out is not None:
                 return out

@@ -167,7 +167,45 @@ class SqliteStorage(Storage):
         self._db.execute("PRAGMA foreign_keys=ON")
         self._db.executescript(_SCHEMA)
         self._check_schema_version()
+        # dedicated READ-ONLY connection (file-backed stores): WAL
+        # gives readers snapshot isolation, so point reads and scans
+        # served here never queue behind a write transaction on the
+        # main connection — the decay bulk-persist holds the write
+        # lock in ~1-3 s chunks at 100M edges, and without this every
+        # concurrent search hydration waited it out (r4 soak:
+        # in-window search p50 49-86 s behind the linker cycle).
+        # :memory: stores can't share state across connections; they
+        # keep the single-connection path.
+        self._read_db = None
+        self._read_lock = threading.Lock()
+        if path != ":memory:":
+            try:
+                self._read_db = sqlite3.connect(
+                    f"file:{path}?mode=ro", uri=True,
+                    check_same_thread=False)
+            except sqlite3.Error:
+                self._read_db = None    # exotic paths: fall back
         self._preflight()
+
+    # ------------------------------------------------------------------ reads
+    def _read_all(self, q: str, params=()):
+        """Run a read query on the read-only connection (never blocked
+        by write transactions); single-connection fallback for
+        :memory: stores. Callers must pass PURE reads — a query that
+        should see an open uncommitted transaction (e.g. put_edge's
+        validation SELECTs) must stay on self._db under self._lock."""
+        if self._read_db is None:
+            with self._lock:
+                return self._db.execute(q, params).fetchall()
+        with self._read_lock:
+            return self._read_db.execute(q, params).fetchall()
+
+    def _read_one(self, q: str, params=()):
+        if self._read_db is None:
+            with self._lock:
+                return self._db.execute(q, params).fetchone()
+        with self._read_lock:
+            return self._read_db.execute(q, params).fetchone()
 
     # ------------------------------------------------------------------ boot
     def _check_schema_version(self) -> None:
@@ -260,8 +298,7 @@ class SqliteStorage(Storage):
             params.append(since)
         q += " ORDER BY seq DESC LIMIT ?"
         params.append(limit)
-        with self._lock:
-            rows = self._db.execute(q, params).fetchall()
+        rows = self._read_all(q, params)
         return [AuditEntry(ts=r[0], action=r[1], target_id=r[2], actor=r[3],
                            details=json.loads(r[4]) if r[4] else None)
                 for r in rows]
@@ -317,9 +354,8 @@ class SqliteStorage(Storage):
                     node.id, actor)
 
     def get_node(self, node_id: str) -> Optional[Node]:
-        with self._lock:
-            row = self._db.execute(
-                "SELECT * FROM nodes WHERE id=?", (node_id,)).fetchone()
+        row = self._read_one(
+            "SELECT * FROM nodes WHERE id=?", (node_id,))
         return self._row_to_node(row) if row else None
 
     def get_nodes(self, ids) -> Dict[str, Node]:
@@ -328,15 +364,14 @@ class SqliteStorage(Storage):
         neighbors per cycle."""
         ids = list(ids)
         out: Dict[str, Node] = {}
-        with self._lock:
-            for s in range(0, len(ids), _SQL_IN_CHUNK):
-                chunk = ids[s:s + _SQL_IN_CHUNK]
-                rows = self._db.execute(
-                    "SELECT * FROM nodes WHERE id IN "
-                    f"({','.join('?' * len(chunk))})", chunk).fetchall()
-                for r in rows:
-                    n = self._row_to_node(r)
-                    out[n.id] = n
+        for s in range(0, len(ids), _SQL_IN_CHUNK):
+            chunk = ids[s:s + _SQL_IN_CHUNK]
+            rows = self._read_all(
+                "SELECT * FROM nodes WHERE id IN "
+                f"({','.join('?' * len(chunk))})", chunk)
+            for r in rows:
+                n = self._row_to_node(r)
+                out[n.id] = n
         return out
 
     def record_access(self, node_id: str, *, now: Optional[float] = None,
@@ -504,8 +539,7 @@ class SqliteStorage(Storage):
         elif f.offset:
             q += " LIMIT -1 OFFSET ?"
             params.append(f.offset)
-        with self._lock:
-            rows = self._db.execute(q, params).fetchall()
+        rows = self._read_all(q, params)
         return [self._row_to_node(r) for r in rows]
 
     def list_nodes_since(self, created_after: float, after_id: str,
@@ -520,24 +554,21 @@ class SqliteStorage(Storage):
         q = ("SELECT * FROM nodes WHERE deleted=0 AND created_at>=? "
              "AND (created_at>? OR (created_at=? AND id>?)) "
              "ORDER BY created_at ASC, id ASC LIMIT ?")
-        with self._lock:
-            rows = self._db.execute(
-                q, (created_after, created_after, created_after,
-                    after_id, limit)).fetchall()
+        rows = self._read_all(
+            q, (created_after, created_after, created_after,
+                after_id, limit))
         return [self._row_to_node(r) for r in rows]
 
     def count_nodes(self, f: Optional[NodeFilter] = None) -> int:
         f = f or NodeFilter()
         clause, params = self._filter_sql(f)
-        with self._lock:
-            return self._db.execute(
-                f"SELECT COUNT(*) FROM nodes{clause}", params).fetchone()[0]
+        return self._read_one(
+            f"SELECT COUNT(*) FROM nodes{clause}", params)[0]
 
     def list_distinct_kinds(self) -> List[str]:
-        with self._lock:
-            rows = self._db.execute(
-                "SELECT DISTINCT kind FROM nodes WHERE deleted=0 ORDER BY kind"
-            ).fetchall()
+        rows = self._read_all(
+            "SELECT DISTINCT kind FROM nodes WHERE deleted=0 "
+            "ORDER BY kind")
         return [r[0] for r in rows]
 
     # ----------------------------------------------------------------- edges
@@ -608,9 +639,8 @@ class SqliteStorage(Storage):
         return count
 
     def get_edge(self, edge_id: str) -> Optional[Edge]:
-        with self._lock:
-            row = self._db.execute(
-                "SELECT * FROM edges WHERE id=?", (edge_id,)).fetchone()
+        row = self._read_one(
+            "SELECT * FROM edges WHERE id=?", (edge_id,))
         return self._row_to_edge(row) if row else None
 
     def delete_edge(self, edge_id: str, *, actor: str = "system") -> bool:
@@ -628,9 +658,7 @@ class SqliteStorage(Storage):
                 raise
 
     def _edges_q(self, q: str, params) -> List[Edge]:
-        with self._lock:
-            rows = self._db.execute(q, params).fetchall()
-        return [self._row_to_edge(r) for r in rows]
+        return [self._row_to_edge(r) for r in self._read_all(q, params)]
 
     def edges_from(self, node_id: str) -> List[Edge]:
         return self._edges_q("SELECT * FROM edges WHERE from_id=?", (node_id,))
@@ -653,11 +681,10 @@ class SqliteStorage(Storage):
         for the whole scan."""
         last = ""
         while True:
-            with self._lock:
-                rows = self._db.execute(
-                    "SELECT rowid, from_id, to_id FROM edges "
-                    "WHERE rowid > ? ORDER BY rowid LIMIT ?",
-                    (last or 0, chunk)).fetchall()
+            rows = self._read_all(
+                "SELECT rowid, from_id, to_id FROM edges "
+                "WHERE rowid > ? ORDER BY rowid LIMIT ?",
+                (last or 0, chunk))
             if not rows:
                 return
             last = rows[-1][0]
@@ -672,18 +699,17 @@ class SqliteStorage(Storage):
         whole scan, so concurrent reads/writes interleave."""
         last = 0
         while True:
-            with self._lock:
-                rows = self._db.execute(
-                    "SELECT e.rowid, e.id, e.weight, e.updated_at, "
-                    "MAX(COALESCE(nf.importance, 0.0), "
-                    "    COALESCE(nt.importance, 0.0)), "
-                    "COALESCE(json_extract(e.provenance, '$.kind'), '') "
-                    "  = 'manual' "
-                    "FROM edges e "
-                    "LEFT JOIN nodes nf ON nf.id = e.from_id "
-                    "LEFT JOIN nodes nt ON nt.id = e.to_id "
-                    "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?",
-                    (last, chunk)).fetchall()
+            rows = self._read_all(
+                "SELECT e.rowid, e.id, e.weight, e.updated_at, "
+                "MAX(COALESCE(nf.importance, 0.0), "
+                "    COALESCE(nt.importance, 0.0)), "
+                "COALESCE(json_extract(e.provenance, '$.kind'), '') "
+                "  = 'manual' "
+                "FROM edges e "
+                "LEFT JOIN nodes nf ON nf.id = e.from_id "
+                "LEFT JOIN nodes nt ON nt.id = e.to_id "
+                "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?",
+                (last, chunk))
             if not rows:
                 return
             last = rows[-1][0]
@@ -871,9 +897,8 @@ class SqliteStorage(Storage):
     def index_seq(self) -> Optional[int]:
         """Monotonic counter of index-relevant node mutations (see the
         nodes_idxseq_* triggers). Used to validate index snapshots."""
-        with self._lock:
-            row = self._db.execute(
-                "SELECT value FROM meta WHERE key='index_seq'").fetchone()
+        row = self._read_one(
+            "SELECT value FROM meta WHERE key='index_seq'")
         return int(row[0]) if row else 0
 
     # -------------------------------------------------------------- metadata
@@ -901,9 +926,8 @@ class SqliteStorage(Storage):
                 raise
 
     def get_metadata(self, key: str) -> Optional[str]:
-        with self._lock:
-            row = self._db.execute(
-                "SELECT value FROM meta WHERE key=?", (key,)).fetchone()
+        row = self._read_one(
+            "SELECT value FROM meta WHERE key=?", (key,))
         return row[0] if row else None
 
     # ----------------------------------------------------------- maintenance
@@ -913,19 +937,17 @@ class SqliteStorage(Storage):
             self._db.execute("VACUUM")
 
     def stats(self) -> StorageStats:
-        with self._lock:
-            node_count = self._db.execute(
-                "SELECT COUNT(*) FROM nodes WHERE deleted=0").fetchone()[0]
-            deleted = self._db.execute(
-                "SELECT COUNT(*) FROM nodes WHERE deleted=1").fetchone()[0]
-            edge_count = self._db.execute(
-                "SELECT COUNT(*) FROM edges").fetchone()[0]
-            by_kind = dict(self._db.execute(
-                "SELECT kind, COUNT(*) FROM nodes WHERE deleted=0 GROUP BY kind"
-            ).fetchall())
-            by_rel = dict(self._db.execute(
-                "SELECT relation, COUNT(*) FROM edges GROUP BY relation"
-            ).fetchall())
+        node_count = self._read_one(
+            "SELECT COUNT(*) FROM nodes WHERE deleted=0")[0]
+        deleted = self._read_one(
+            "SELECT COUNT(*) FROM nodes WHERE deleted=1")[0]
+        edge_count = self._read_one(
+            "SELECT COUNT(*) FROM edges")[0]
+        by_kind = dict(self._read_all(
+            "SELECT kind, COUNT(*) FROM nodes WHERE deleted=0 "
+            "GROUP BY kind"))
+        by_rel = dict(self._read_all(
+            "SELECT relation, COUNT(*) FROM edges GROUP BY relation"))
         size = 0
         if self.path != ":memory:" and os.path.exists(self.path):
             size = os.path.getsize(self.path)
@@ -943,6 +965,16 @@ class SqliteStorage(Storage):
                 dest.close()
 
     def close(self) -> None:
+        # read connection FIRST: the last connection to close is the
+        # writer, which checkpoints and REMOVES the WAL. A read-only
+        # connection cannot, so closing it last would strand a -wal
+        # file carrying post-backup commits — a file-level restore
+        # (copy over cortex.db) would then silently replay the
+        # discarded timeline from the stale WAL on next open.
+        if self._read_db is not None:
+            with self._read_lock:
+                self._read_db.close()
+                self._read_db = None
         with self._lock:
             self._db.commit()
             self._db.close()

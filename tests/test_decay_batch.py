@@ -198,3 +198,72 @@ def test_idle_cycles_still_reach_decay():
     deleted = set(w_before) - set(w_after)
     assert decayed or deleted, \
         "idle cycles never reached a decay-due cycle"
+
+
+def test_reads_not_blocked_by_bulk_persist(tmp_path):
+    """r5: point reads ride the dedicated read-only WAL connection, so
+    a multi-second bulk write transaction (the decay persist at scale)
+    must not stall them — the r4 soak measured in-window search p50s
+    of 49-86 s queued behind exactly this."""
+    import threading
+
+    db = str(tmp_path / "ro.db")
+    store = SqliteStorage(db)
+    n = Node.new("fact", "read latency probe", "a probe body",
+                 Source(agent="t"))
+    store.put_node(n)
+    nodes = [n]
+    for i in range(400):
+        m = Node.new("fact", f"filler {i}", f"filler body {i}",
+                     Source(agent="t"))
+        store.put_node(m)
+        nodes.append(m)
+    edges = []
+    for i in range(4000):
+        e = Edge.new(nodes[i % 400].id, nodes[(i * 7 + 1) % 400].id,
+                     f"rel{i}" if False else "related_to", 0.5,
+                     EdgeProvenance.imported("t"))
+        e.id = f"e{i:08d}"
+        edges.append((e.id, e.from_id, e.to_id, f"r{i}", 0.5,
+                      '{"kind": "imported", "source": "t"}',
+                      e.created_at, e.updated_at))
+    store.bulk_insert_edge_rows(edges)
+
+    started = threading.Event()
+    release = threading.Event()
+
+    real_executemany = store._db.executemany
+
+    def slow_executemany(q, rows):
+        cur = real_executemany(q, rows)
+        if q.startswith("UPDATE edges"):
+            started.set()
+            release.wait(10.0)   # hold the write txn open ~seconds
+        return cur
+
+    class _Slow:
+        def __init__(self, db):
+            self._real = db
+
+        def executemany(self, q, rows):
+            return slow_executemany(q, rows)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    store._db = _Slow(store._db)
+    t = threading.Thread(
+        target=lambda: store.apply_decay_results(
+            [(eid, 0.4) for eid, *_ in edges], []),
+        daemon=True)
+    t.start()
+    assert started.wait(5.0), "bulk persist never started"
+    t0 = time.perf_counter()
+    got = store.get_node(n.id)
+    dt = time.perf_counter() - t0
+    release.set()
+    t.join(10.0)
+    assert got is not None and got.title == "read latency probe"
+    assert dt < 1.0, f"read stalled {dt:.1f}s behind the write txn"
+    store._db = store._db._real
+    store.close()

@@ -80,6 +80,15 @@ def seed(cortex, rows: int, edges_per_node: int = 0,
                   f"{n_edges} edges (id scan "
                   f"{time.perf_counter() - t0:.1f}s)",
                   file=sys.stderr)
+            target = rows * edges_per_node
+            if edges_per_node > 0 and n_edges < target - chunk_slack(target):
+                # a killed seed left a partial graph: resume the
+                # deterministic edge stream where it stopped
+                _seed_edges(cortex, ids, rows, edges_per_node,
+                            existing=n_edges)
+                with cortex.storage._lock:
+                    n_edges = cortex.storage._db.execute(
+                        "SELECT COUNT(*) FROM edges").fetchone()[0]
             emit("mixed-load reused edge census", n_edges, "edges")
             _seed_index(cortex, ids)
             return ids
@@ -118,46 +127,83 @@ def seed(cortex, rows: int, edges_per_node: int = 0,
     emit("mixed-load one-time node seed", t_store, "seconds")
 
     if edges_per_node > 0:
-        # bulk edge seed through the storage bulk path (no endpoint
-        # validation — at 100M edges per-edge SELECTs cost hours).
-        # Topology: a ring (guaranteed connectivity) + random chords.
-        import json as _json
-        from cortex_tpu.types import EdgeProvenance
-        # imported, NOT manual: manual edges are decay-exempt by
-        # default, which would turn the soak's every-cycle decay
-        # sweep into a no-op — the r5 run must exercise the full
-        # scan → sweep → bulk-persist pipeline at 100M edges
-        prov = _json.dumps(EdgeProvenance.imported("seed").to_dict())
-        t0 = time.perf_counter()
-        rng_e = np.random.default_rng(1)
-        now_s = time.time()
-        chunk = 500_000
-        total = rows * edges_per_node
-        eseq = 0
-        for s0 in range(0, total, chunk):
-            m = min(chunk, total - s0)
-            src = ((np.arange(s0, s0 + m)) // edges_per_node)
-            first = (np.arange(s0, s0 + m) % edges_per_node) == 0
-            dst = np.where(
-                first, (src + 1) % rows,
-                rng_e.integers(0, rows, size=m))
-            keep = dst != src
-            cortex.storage.bulk_insert_edge_rows(
-                ((f"e{eseq + j:012x}", ids[int(src[j])],
-                  ids[int(dst[j])], "related_to", 0.5, prov,
-                  now_s, now_s)
-                 for j in range(m) if keep[j]), actor="seed")
-            eseq += m
-            if s0 % 10_000_000 == 0:
-                print(f"# edges seeded: {eseq}/{total} "
-                      f"({eseq / max(time.perf_counter() - t0, 1e-9):.0f}/s)",
-                      file=sys.stderr)
-        cortex.graph.cache.invalidate()
-        emit("mixed-load one-time edge seed",
-             time.perf_counter() - t0, "seconds")
+        _seed_edges(cortex, ids, rows, edges_per_node)
 
     _seed_index(cortex, ids)
     return ids
+
+
+_EDGE_CHUNK = 500_000
+
+
+def chunk_slack(target: int) -> int:
+    """Tolerated shortfall vs the target edge count when deciding
+    whether a reused store needs an edge-seed resume: self-loop and
+    birthday-collision drops scale with the target (~2% covers both
+    at every bench scale), never more than the target itself."""
+    return max(200, target // 50)
+
+
+def _seed_edges(cortex, ids, rows: int, edges_per_node: int,
+                existing: int = 0) -> None:
+    """Bulk edge seed through the storage bulk path (no endpoint
+    validation — at 100M edges per-edge SELECTs cost hours).
+    Topology: a ring (guaranteed connectivity) + random chords.
+    RESUMABLE: the stream is fully deterministic (seeded rng, ids by
+    row index, edge ids by sequence), progress is checkpointed in the
+    meta table per chunk, and already-seeded chunks are skipped while
+    still advancing the rng stream — a killed multi-hour 100M seed
+    continues where it stopped under --reuse-seed. `existing` (edge
+    COUNT(*)) is the fallback resume point for stores seeded before
+    the checkpoint key existed (self-loop drops make it a slight
+    undercount; the overlap chunk re-inserts as OR IGNORE no-ops)."""
+    import json as _json
+    from cortex_tpu.types import EdgeProvenance
+    # imported, NOT manual: manual edges are decay-exempt by
+    # default, which would turn the soak's every-cycle decay
+    # sweep into a no-op — the soak must exercise the full
+    # scan -> sweep -> bulk-persist pipeline at scale
+    prov = _json.dumps(EdgeProvenance.imported("seed").to_dict())
+    t0 = time.perf_counter()
+    rng_e = np.random.default_rng(1)
+    now_s = time.time()
+    chunk = _EDGE_CHUNK
+    total = rows * edges_per_node
+    mark = cortex.storage.get_metadata("bench_edge_seed_done")
+    resume_at = int(mark) if mark else (existing // chunk) * chunk
+    if resume_at:
+        print(f"# resuming edge seed at {resume_at}/{total}",
+              file=sys.stderr)
+    eseq = 0
+    seeded = 0
+    for s0 in range(0, total, chunk):
+        m = min(chunk, total - s0)
+        if s0 + m <= resume_at:
+            # skip, but keep the rng stream position identical
+            rng_e.integers(0, rows, size=m)
+            eseq += m
+            continue
+        src = ((np.arange(s0, s0 + m)) // edges_per_node)
+        first = (np.arange(s0, s0 + m) % edges_per_node) == 0
+        dst = np.where(
+            first, (src + 1) % rows,
+            rng_e.integers(0, rows, size=m))
+        keep = dst != src
+        cortex.storage.bulk_insert_edge_rows(
+            ((f"e{eseq + j:012x}", ids[int(src[j])],
+              ids[int(dst[j])], "related_to", 0.5, prov,
+              now_s, now_s)
+             for j in range(m) if keep[j]), actor="seed")
+        eseq += m
+        seeded += m
+        cortex.storage.put_metadata("bench_edge_seed_done", str(eseq))
+        if s0 % 10_000_000 == 0:
+            print(f"# edges seeded: {eseq}/{total} "
+                  f"({seeded / max(time.perf_counter() - t0, 1e-9):.0f}/s)",
+                  file=sys.stderr)
+    cortex.graph.cache.invalidate()
+    emit("mixed-load one-time edge seed",
+         time.perf_counter() - t0, "seconds")
 
 
 def _seed_index(cortex, ids):

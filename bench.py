@@ -210,8 +210,34 @@ def main():
         return float(np.mean([len(set(ref[r]) & set(got[r])) / K
                               for r in range(nq)]))
 
+    def rtt_probe(reps: int = 20) -> list:
+        """Measured per-dispatch round-trip times (seconds) for a
+        scalar-sized program — the transport-jitter trace VERDICT r4
+        #8 asks for alongside the headline, so the 24.7-38k QPS band
+        across rounds is attributable to the tunnel with data instead
+        of narrative. Stderr-only (the stdout JSON contract carries
+        the headline)."""
+        ts = []
+        x = jnp.zeros((8,), jnp.float32)
+        _fetch_array(x + 1.0, COMPILE_TIMEOUT_S)    # compile outside
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _fetch_array(x + 1.0, DRAIN_TIMEOUT_S)
+            ts.append(time.perf_counter() - t0)
+        s = sorted(ts)
+        _note(f"# rtt probe ({reps} reps): min {s[0]*1e3:.1f} ms, "
+              f"p50 {s[len(s)//2]*1e3:.1f} ms, "
+              f"p95 {s[int(0.95*len(s))]*1e3:.1f} ms, "
+              f"max {s[-1]*1e3:.1f} ms")
+        return ts
+
     results = {}
     wedged_paths = 0
+    if on_tpu:
+        try:
+            rtt_probe()
+        except Exception as e:  # noqa: BLE001 — probe is best-effort
+            _note(f"# rtt probe FAILED {e!r}")
 
     paths = [("xla", run_xla, 0)]
     if on_tpu:
@@ -238,6 +264,36 @@ def main():
             _note(f"# {name}: WEDGED {e!r}")
         except Exception as e:  # noqa: BLE001
             _note(f"# {name}: FAILED {e!r}")
+
+    # headline variance capture (VERDICT r4 #8): re-run the winning
+    # path several times in THIS process and report the spread next to
+    # a fresh RTT probe — one run per round left the 24.7-38k band
+    # attributed by narrative only
+    if (on_tpu and "quant-int8+device-rerank" in results
+            and wedged_paths < 2 and _remaining() > 240):
+        reps = [results["quant-int8+device-rerank"][0]]
+        try:
+            for _ in range(4):
+                if _remaining() < 120:
+                    break
+                qps_i, _o = timed_device(run_quant_exact, 1)
+                reps.append(qps_i)
+            rs = sorted(reps)
+            med = rs[len(rs) // 2]
+            _note(f"# headline spread over {len(reps)} captures: "
+                  f"{[round(r, 0) for r in reps]} qps — min "
+                  f"{rs[0]:.0f} / median {med:.0f} / max {rs[-1]:.0f} "
+                  f"(rel spread {(rs[-1] - rs[0]) / med * 100:.1f}%)")
+            rtt_probe()
+            # report the MEDIAN of the captures as the headline (one
+            # draw per round is what produced the unexplained band)
+            best = results["quant-int8+device-rerank"]
+            results["quant-int8+device-rerank"] = (med, best[1])
+            _emit(results, n)
+        except DeviceFetchTimeout:
+            _note("# variance capture wedged; keeping first measurement")
+        except Exception as e:  # noqa: BLE001
+            _note(f"# variance capture FAILED {e!r}")
 
     # large-batch leg (the r2 verdict's 5x headroom item): same fused
     # path at batch 512 — reported on stderr + BASELINE.md; the

@@ -207,6 +207,21 @@ class SqliteStorage(Storage):
         with self._read_lock:
             return self._read_db.execute(q, params).fetchone()
 
+    def _scan_conn(self):
+        """A PRIVATE read-only connection for long scans (decay sweep,
+        packed-adjacency build): their multi-second chunk queries must
+        not hold the shared read connection's lock and starve point
+        reads — the exact contention the read connection exists to
+        remove. Returns None for :memory: stores (callers fall back
+        to the shared path). Caller closes."""
+        if self.path == ":memory:" or self._read_db is None:
+            return None
+        try:
+            return sqlite3.connect(f"file:{self.path}?mode=ro",
+                                   uri=True, check_same_thread=False)
+        except sqlite3.Error:
+            return None
+
     # ------------------------------------------------------------------ boot
     def _check_schema_version(self) -> None:
         cur = self._db.execute("SELECT value FROM meta WHERE key='schema_version'")
@@ -679,16 +694,22 @@ class SqliteStorage(Storage):
         construction; the packed-adjacency build's source. Snapshots
         the cursor per chunk under the lock so writers never block
         for the whole scan."""
-        last = ""
-        while True:
-            rows = self._read_all(
-                "SELECT rowid, from_id, to_id FROM edges "
-                "WHERE rowid > ? ORDER BY rowid LIMIT ?",
-                (last or 0, chunk))
-            if not rows:
-                return
-            last = rows[-1][0]
-            yield [r[1] for r in rows], [r[2] for r in rows]
+        conn = self._scan_conn()
+        try:
+            last = 0
+            while True:
+                q = ("SELECT rowid, from_id, to_id FROM edges "
+                     "WHERE rowid > ? ORDER BY rowid LIMIT ?")
+                rows = (conn.execute(q, (last, chunk)).fetchall()
+                        if conn is not None
+                        else self._read_all(q, (last, chunk)))
+                if not rows:
+                    return
+                last = rows[-1][0]
+                yield [r[1] for r in rows], [r[2] for r in rows]
+        finally:
+            if conn is not None:
+                conn.close()
 
     def decay_scan(self, chunk: int = 2_000_000):
         """Columnar decay sweep scan: one JOIN query per chunk pulls
@@ -697,20 +718,24 @@ class SqliteStorage(Storage):
         20M+ edges the object path costs more than the sweep). Keyset
         pagination by rowid; the lock is held per chunk, not for the
         whole scan, so concurrent reads/writes interleave."""
+        conn = self._scan_conn()
+        q = ("SELECT e.rowid, e.id, e.weight, e.updated_at, "
+             "MAX(COALESCE(nf.importance, 0.0), "
+             "    COALESCE(nt.importance, 0.0)), "
+             "COALESCE(json_extract(e.provenance, '$.kind'), '') "
+             "  = 'manual' "
+             "FROM edges e "
+             "LEFT JOIN nodes nf ON nf.id = e.from_id "
+             "LEFT JOIN nodes nt ON nt.id = e.to_id "
+             "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?")
         last = 0
         while True:
-            rows = self._read_all(
-                "SELECT e.rowid, e.id, e.weight, e.updated_at, "
-                "MAX(COALESCE(nf.importance, 0.0), "
-                "    COALESCE(nt.importance, 0.0)), "
-                "COALESCE(json_extract(e.provenance, '$.kind'), '') "
-                "  = 'manual' "
-                "FROM edges e "
-                "LEFT JOIN nodes nf ON nf.id = e.from_id "
-                "LEFT JOIN nodes nt ON nt.id = e.to_id "
-                "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?",
-                (last, chunk))
+            rows = (conn.execute(q, (last, chunk)).fetchall()
+                    if conn is not None
+                    else self._read_all(q, (last, chunk)))
             if not rows:
+                if conn is not None:
+                    conn.close()
                 return
             last = rows[-1][0]
             n = len(rows)

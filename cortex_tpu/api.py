@@ -792,22 +792,31 @@ class Cortex:
         n_inserted = 0
         for s in range(0, len(nodes), batch):
             chunk = nodes[s:s + batch]
-            missing = [n for n in chunk if n.embedding is None]
+            # additive contract applies to the INDEX too: storage's
+            # INSERT OR IGNORE skips existing ids, so upserting their
+            # vectors would leave the index describing content storage
+            # never accepted (review r5 #1 — verified divergence)
+            present = self.storage.existing_node_ids(
+                [n.id for n in chunk])
+            fresh = [n for n in chunk if n.id not in present]
+            if not fresh:
+                continue
+            missing = [n for n in fresh if n.embedding is None]
             for ms in range(0, len(missing), 4096):
                 mc = missing[ms:ms + 4096]
                 embs = self.embedder.embed_nodes(mc)
                 for j, n in enumerate(mc):
                     n.embedding = embs[j].tolist()
             with self._persist_lock:
-                n_inserted += self.storage.bulk_put_nodes(chunk,
+                n_inserted += self.storage.bulk_put_nodes(fresh,
                                                           actor=actor)
                 try:
                     self.index.insert_batch(
-                        [n.id for n in chunk],
+                        [n.id for n in fresh],
                         np.stack([np.asarray(n.embedding, np.float32)
-                                  for n in chunk]),
-                        kinds=[n.kind for n in chunk],
-                        agents=[n.source.agent for n in chunk])
+                                  for n in fresh]),
+                        kinds=[n.kind for n in fresh],
+                        agents=[n.source.agent for n in fresh])
                 except BaseException:
                     self._index_pair_failed()
                     raise
@@ -817,20 +826,12 @@ class Cortex:
             e_inserted += self.storage.bulk_put_edges(edges[s:s + batch],
                                                       actor=actor)
         if advance_linker_cursor and nodes:
-            from .linker.auto_linker import (CURSOR_ID_KEY, CURSOR_KEY,
-                                             DEDUP_CURSOR_ID_KEY,
-                                             DEDUP_CURSOR_KEY)
             top = max(nodes, key=lambda n: (n.created_at, n.id))
-            stored = self.storage.get_metadata(CURSOR_KEY)
-            cur = (float(stored) if stored else -1.0,
-                   self.storage.get_metadata(CURSOR_ID_KEY) or "")
-            if (top.created_at, top.id) > cur:
-                self.storage.put_metadata_many({
-                    CURSOR_KEY: repr(top.created_at),
-                    CURSOR_ID_KEY: top.id,
-                    DEDUP_CURSOR_KEY: repr(top.created_at),
-                    DEDUP_CURSOR_ID_KEY: top.id,
-                })
+            # the LIVE linker's in-memory cursor, not just the stored
+            # metadata — on a running server the next cycle would
+            # otherwise scan from the stale in-memory cursor and then
+            # _save_state would clobber the advanced one (review r5 #2)
+            self.linker.advance_cursor(top.created_at, top.id)
         self._on_write()
         return {"nodes": n_inserted, "edges": e_inserted}
 

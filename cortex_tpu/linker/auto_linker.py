@@ -106,6 +106,25 @@ class AutoLinker:
         except ValueError:
             return default
 
+    def advance_cursor(self, created_at: float, node_id: str) -> None:
+        """Mark everything at or before (created_at, node_id) as
+        already processed — the bulk-import skip-linking contract.
+        Monotonic max against the LIVE cursors (in-memory AND
+        persisted): writing metadata alone leaves a running linker's
+        stale in-memory cursor to re-scan the imported backlog and
+        then clobber the stored value at its next _save_state. A
+        cycle racing this call can still persist a lower cursor from
+        its captured page once; the following cycle re-reads past it
+        (one page of redundant scan, bounded by max_nodes_per_cycle)."""
+        if (created_at, node_id) > (self.cursor, self.cursor_id):
+            self.cursor = created_at
+            self.cursor_id = node_id
+        if (created_at, node_id) > (self.dedup_cursor,
+                                    self.dedup_cursor_id):
+            self.dedup_cursor = created_at
+            self.dedup_cursor_id = node_id
+        self._save_state()
+
     def _save_state(self) -> None:
         self.storage.put_metadata_many({
             CURSOR_KEY: repr(self.cursor),
@@ -236,15 +255,19 @@ class AutoLinker:
                         < (self.cursor, self.cursor_id))
 
         if not batch and not decay_due and not (dedup_due and dedup_behind):
-            # idle cycle: still advance (and persist) the schedule
-            # clock — without this, once the count parks on a
-            # non-multiple an idle server NEVER reaches the next
-            # decay/dedup-due cycle, so old edges never decay until
-            # some unrelated write arrives
+            # idle cycle: still advance the schedule clock — without
+            # this, once the count parks on a non-multiple an idle
+            # server NEVER reaches the next decay/dedup-due cycle, so
+            # old edges never decay until some unrelated write
+            # arrives. Persist only every 10th idle tick (review r5
+            # #6): one commit per interval forever on an idle server
+            # buys nothing — a crash loses at most 10 idle increments,
+            # delaying the next decay by that many cycles.
             self.cycle_count += 1
             self.metrics.cycles_completed = self.cycle_count
-            self.storage.put_metadata(CYCLE_COUNT_KEY,
-                                      str(self.cycle_count))
+            if self.cycle_count % 10 == 0:
+                self.storage.put_metadata(CYCLE_COUNT_KEY,
+                                          str(self.cycle_count))
             self.metrics.cycle_duration_secs = time.monotonic() - start
             return self.metrics
 

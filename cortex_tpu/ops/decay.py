@@ -85,9 +85,15 @@ def device_transfer_bandwidth() -> float:
         import numpy as np
         import time as _t
         payload = np.zeros((1_000_000,), np.float32)   # 4 MB
-        t0 = _t.perf_counter()
         dev = jnp.asarray(payload)
+        # warm pass first: timing the one-time XLA compile of the
+        # probe op would under-read a local PCIe link by 1-2 orders
+        # of magnitude and wrongly pin the sweep to the host forever
+        # (review r5 #3)
         _fetch_array(dev + 1.0)
+        t0 = _t.perf_counter()
+        dev2 = jnp.asarray(payload)
+        _fetch_array(dev2 + 1.0)
         dt = max(_t.perf_counter() - t0, 1e-6)
         _measured_bw = 2 * payload.nbytes / dt
     except Exception:  # noqa: BLE001 — wedged/absent device

@@ -338,6 +338,12 @@ class Storage(abc.ABC):
         put_edges_batch (which does validate); sqlite overrides raw."""
         return self.put_edges_batch(edges, actor=actor, tolerant=True)
 
+    def existing_node_ids(self, ids: Iterable[str]) -> set:
+        """Subset of `ids` present in the store (tombstones included)
+        — a light existence probe, no Node hydration. Backends
+        override with an id-only IN query; the default hydrates."""
+        return {i for i in ids if self.get_node(i) is not None}
+
     def get_nodes(self, ids: Iterable[str]) -> Dict[str, Node]:
         """Batch point-reads: present, non-None nodes keyed by id.
         Backends override with one IN query — the default's per-id

@@ -389,6 +389,20 @@ class SqliteStorage(Storage):
                 out[n.id] = n
         return out
 
+    def existing_node_ids(self, ids) -> set:
+        """Id-only existence probe (no row hydration): one IN query
+        per ~500 ids on the read connection — bulk_import's duplicate
+        filter at 100k-row chunks."""
+        ids = list(ids)
+        out: set = set()
+        for s in range(0, len(ids), _SQL_IN_CHUNK):
+            chunk = ids[s:s + _SQL_IN_CHUNK]
+            rows = self._read_all(
+                "SELECT id FROM nodes WHERE id IN "
+                f"({','.join('?' * len(chunk))})", chunk)
+            out.update(r[0] for r in rows)
+        return out
+
     def record_access(self, node_id: str, *, now: Optional[float] = None,
                       reinforced_at: Optional[float] = None) -> bool:
         """One atomic UPDATE guarded by deleted=0 — never resurrects a
@@ -728,23 +742,32 @@ class SqliteStorage(Storage):
              "LEFT JOIN nodes nf ON nf.id = e.from_id "
              "LEFT JOIN nodes nt ON nt.id = e.to_id "
              "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?")
-        last = 0
-        while True:
-            rows = (conn.execute(q, (last, chunk)).fetchall()
-                    if conn is not None
-                    else self._read_all(q, (last, chunk)))
-            if not rows:
-                if conn is not None:
-                    conn.close()
-                return
-            last = rows[-1][0]
-            n = len(rows)
-            ids = [r[1] for r in rows]
-            weights = np.fromiter((r[2] for r in rows), np.float32, count=n)
-            updated = np.fromiter((r[3] for r in rows), np.float64, count=n)
-            max_imp = np.fromiter((r[4] for r in rows), np.float32, count=n)
-            manual = np.fromiter((bool(r[5]) for r in rows), bool, count=n)
-            yield ids, weights, updated, max_imp, manual
+        try:
+            last = 0
+            while True:
+                rows = (conn.execute(q, (last, chunk)).fetchall()
+                        if conn is not None
+                        else self._read_all(q, (last, chunk)))
+                if not rows:
+                    return
+                last = rows[-1][0]
+                n = len(rows)
+                ids = [r[1] for r in rows]
+                weights = np.fromiter((r[2] for r in rows), np.float32,
+                                      count=n)
+                updated = np.fromiter((r[3] for r in rows), np.float64,
+                                      count=n)
+                max_imp = np.fromiter((r[4] for r in rows), np.float32,
+                                      count=n)
+                manual = np.fromiter((bool(r[5]) for r in rows), bool,
+                                     count=n)
+                yield ids, weights, updated, max_imp, manual
+        finally:
+            # a sweep abandoned mid-scan (wedged device fetch fails
+            # the cycle) drops the generator at a yield: close on
+            # GeneratorExit too, not just exhaustion
+            if conn is not None:
+                conn.close()
 
     def apply_decay_results(self, updates, deletes, *,
                             actor: str = "system"):

@@ -442,6 +442,10 @@ class DeviceCorpus:
         from collections import deque
         self._fetch_times: "deque" = deque(maxlen=128)
         self.fetch_redispatches = 0   # observability (/stats, soaks)
+        #: program shapes this corpus has served at least once — the
+        #: adaptive first-fetch deadline only applies to these (a cold
+        #: shape's first fetch legitimately waits out an XLA compile)
+        self._seen_progs: set = set()
         # legacy kwarg (r1's pallas kernel is gone): use_pallas=False
         # used to force the exact XLA path — honor that meaning
         if use_pallas is False and search_path == "auto":
@@ -1405,6 +1409,16 @@ class DeviceCorpus:
             gen = self._generation
             dev, dev_q = self._dev, self._dev_q
             mu = self._bf16_mu     # part of the snapshot (see finish)
+            # adaptive-deadline eligibility: a program shape this
+            # corpus hasn't served yet may be COMPILING during its
+            # first fetch (~20-40 s on a tunneled device) — applying
+            # the ~2 s adaptive deadline there would fire a spurious
+            # re-dispatch against an in-flight compile (review r5 #4).
+            # Key covers the compile-relevant statics: batch/k
+            # buckets, capacity (growth recompiles), candidate width.
+            prog_key = (b_bucket, k_bucket, self._cap,
+                        getattr(self, "_cand_boost", 1))
+            prog_warm = prog_key in self._seen_progs
         # dispatch OUTSIDE the lock: a cold (batch, k, path) program
         # blocks here for its XLA compile (~tens of seconds on a
         # tunneled device) — holding the lock across it would stall
@@ -1460,7 +1474,8 @@ class DeviceCorpus:
         def finish_full():
             out = None
             if v is not None:
-                first_deadline = self._first_fetch_deadline()
+                first_deadline = (self._first_fetch_deadline()
+                                  if prog_warm else FETCH_TIMEOUT_S)
                 try:
                     out = self._finish_topk(v, i, k, kk, gen,
                                             q_np=q_np, rescore=resc,
@@ -1511,6 +1526,7 @@ class DeviceCorpus:
 
         def finish():
             vv, ids = finish_full()
+            self._seen_progs.add(prog_key)   # warm from now on
             return vv[:b_req], ids[:b_req]   # drop batch-bucket padding
         return finish
 

@@ -136,3 +136,45 @@ class TestCliBulkImport:
         store = SqliteStorage(db)
         assert store.stats().node_count == 25
         store.close()
+
+
+class TestReviewR5Fixes:
+    def test_duplicate_ids_do_not_touch_index(self):
+        """Review r5 #1: the additive contract applies to the index
+        too — re-importing an existing id must not overwrite its
+        vector/kind/agent with content storage never accepted."""
+        cx = Cortex.in_memory()
+        try:
+            orig = Node.new("fact", "original title text",
+                            "the original body content of this node",
+                            Source(agent="first"))
+            cx.store(orig)
+            vec_before = np.array(
+                cx.index._corpus._emb_h[
+                    cx.index._corpus._row_of[orig.id]])
+            clone = Node.new("decision", "imported clobber title",
+                             "completely different imported body text",
+                             Source(agent="second"))
+            clone.id = orig.id
+            res = cx.bulk_import([clone])
+            assert res["nodes"] == 0
+            vec_after = np.array(
+                cx.index._corpus._emb_h[
+                    cx.index._corpus._row_of[orig.id]])
+            assert np.allclose(vec_before, vec_after), \
+                "index vector overwritten by a skipped duplicate"
+        finally:
+            cx.close()
+
+    def test_live_linker_cursor_advances(self):
+        """Review r5 #2: the LIVE linker's in-memory cursor must move,
+        not just the stored metadata — otherwise the next cycle
+        re-links the imported backlog and clobbers the metadata."""
+        cx = Cortex.in_memory()
+        try:
+            cx.bulk_import(_nodes(12, prefix="livecursor"))
+            m = cx.run_linker_cycle()
+            assert m.cycle_nodes_processed == 0, \
+                "linker re-scanned bulk-imported rows"
+        finally:
+            cx.close()

@@ -263,7 +263,12 @@ async def main_async(args):
     # only — writer churn in the window stays on the incremental
     # scatter path, which is the production shape.
     cfg.auto_linker.interval_secs = 1e9
-    cfg.auto_linker.decay_every_n_cycles = 1     # decay live every cycle
+    # decay cadence is a knob: 1 (default) stresses the full
+    # scan->sweep->bulk-persist pipeline INSIDE the window; larger
+    # values isolate pure serving (the 100M row — a full sweep there
+    # is minutes of single-core work and belongs on the default
+    # hourly cadence, measured separately)
+    cfg.auto_linker.decay_every_n_cycles = args.decay_every
     cfg.auto_linker.max_nodes_per_cycle = 200
     srv = Server(cfg)
     await srv.start()
@@ -552,6 +557,11 @@ async def main_async(args):
             m = srv.cortex.mirror
             emit("mixed-load packed adjacency rebuilds",
                  getattr(m, "packed_rebuilds", 0), "rebuilds")
+            # hub truncation census (VERDICT r4 #2): rows whose degree
+            # exceeded the device neighbor table's cap in the forced
+            # device-tier leg — the device walk's subset semantics
+            emit("mixed-load device-tier hub-truncated rows",
+                 getattr(m, "truncated_nodes", 0), "rows")
         if args.stats_assert or args.hybrid:
             emit("mixed-load /stats polls", stats_polls, "polls")
             emit("mixed-load /stats assertion failures",
@@ -604,6 +614,10 @@ def main():
                     help="reuse an already-seeded --data-dir "
                          "(skips the node/edge seed; the index is "
                          "re-seeded deterministically)")
+    ap.add_argument("--decay-every", type=int, default=1,
+                    help="decay_every_n_cycles for the window (1 = "
+                         "stress the decay pipeline in-window; large "
+                         "= isolate pure serving)")
     ap.add_argument("--stats-assert", action="store_true",
                     help="poll GET /stats and assert the serving-index "
                          "block's invariants under churn (VERDICT r3 #8)")

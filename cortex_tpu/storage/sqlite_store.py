@@ -725,29 +725,94 @@ class SqliteStorage(Storage):
             if conn is not None:
                 conn.close()
 
-    def decay_scan(self, chunk: int = 2_000_000):
-        """Columnar decay sweep scan: one JOIN query per chunk pulls
-        (id, weight, updated_at, max endpoint importance, manual flag)
-        straight out of SQL — no Edge/Node object construction (at
-        20M+ edges the object path costs more than the sweep). Keyset
-        pagination by rowid; the lock is held per chunk, not for the
-        whole scan, so concurrent reads/writes interleave."""
+    #: above this edges:nodes ratio the decay scan prefetches node
+    #: importances instead of JOINing: the SQL nested-loop join does
+    #: TWO random PK lookups per edge (measured 31 min for one sweep
+    #: scan at 100M edges x 10M nodes), while one sequential node
+    #: scan + host dict maps costs one sequential pass each
+    DECAY_PREFETCH_RATIO = 2.0
+
+    def decay_scan(self, chunk: int = 2_000_000, *,
+                   prefetch: Optional[bool] = None):
+        """Columnar decay sweep scan yielding (ids, weights,
+        updated_at, max endpoint importance, manual flag) per chunk —
+        no Edge/Node object construction. Two strategies, chosen by
+        the edges:nodes ratio (override with `prefetch`):
+
+        - JOIN (node-heavy stores): one query per chunk computes the
+          endpoint-importance max in SQL.
+        - PREFETCH (edge-heavy stores): one sequential scan loads
+          {node_id: importance}, then edges stream WITHOUT the join
+          and importances map on the host — each pass is sequential
+          I/O instead of 2 random B-tree probes per edge.
+
+        Runs on a private read-only connection; keyset pagination by
+        rowid so concurrent reads/writes interleave."""
         conn = self._scan_conn()
-        q = ("SELECT e.rowid, e.id, e.weight, e.updated_at, "
-             "MAX(COALESCE(nf.importance, 0.0), "
-             "    COALESCE(nt.importance, 0.0)), "
-             "COALESCE(json_extract(e.provenance, '$.kind'), '') "
-             "  = 'manual' "
-             "FROM edges e "
-             "LEFT JOIN nodes nf ON nf.id = e.from_id "
-             "LEFT JOIN nodes nt ON nt.id = e.to_id "
-             "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?")
+
+        def fetch(q, params):
+            if conn is not None:
+                return conn.execute(q, params).fetchall()
+            return self._read_all(q, params)
+
         try:
+            if prefetch is None:
+                n_nodes = fetch("SELECT COUNT(*) FROM nodes", ())[0][0]
+                n_edges = fetch("SELECT COUNT(*) FROM edges", ())[0][0]
+                prefetch = n_edges >= self.DECAY_PREFETCH_RATIO * \
+                    max(1, n_nodes)
+            if prefetch:
+                from collections import defaultdict
+                imp: "defaultdict[str, float]" = defaultdict(float)
+                last = 0
+                while True:
+                    rows = fetch(
+                        "SELECT rowid, id, importance FROM nodes "
+                        "WHERE rowid > ? ORDER BY rowid LIMIT ?",
+                        (last, chunk))
+                    if not rows:
+                        break
+                    last = rows[-1][0]
+                    imp.update((r[1], r[2]) for r in rows)
+                getimp = imp.__getitem__
+                q = ("SELECT rowid, id, weight, updated_at, from_id, "
+                     "to_id, "
+                     "COALESCE(json_extract(provenance, '$.kind'), '')"
+                     " = 'manual' FROM edges "
+                     "WHERE rowid > ? ORDER BY rowid LIMIT ?")
+                last = 0
+                while True:
+                    rows = fetch(q, (last, chunk))
+                    if not rows:
+                        return
+                    last = rows[-1][0]
+                    n = len(rows)
+                    ids = [r[1] for r in rows]
+                    weights = np.fromiter((r[2] for r in rows),
+                                          np.float32, count=n)
+                    updated = np.fromiter((r[3] for r in rows),
+                                          np.float64, count=n)
+                    fi = np.fromiter(map(getimp, (r[4] for r in rows)),
+                                     np.float32, count=n)
+                    ti = np.fromiter(map(getimp, (r[5] for r in rows)),
+                                     np.float32, count=n)
+                    manual = np.fromiter((bool(r[6]) for r in rows),
+                                         bool, count=n)
+                    yield ids, weights, updated, \
+                        np.maximum(fi, ti), manual
+                return
+            q = ("SELECT e.rowid, e.id, e.weight, e.updated_at, "
+                 "MAX(COALESCE(nf.importance, 0.0), "
+                 "    COALESCE(nt.importance, 0.0)), "
+                 "COALESCE(json_extract(e.provenance, '$.kind'), '') "
+                 "  = 'manual' "
+                 "FROM edges e "
+                 "LEFT JOIN nodes nf ON nf.id = e.from_id "
+                 "LEFT JOIN nodes nt ON nt.id = e.to_id "
+                 "WHERE e.rowid > ? ORDER BY e.rowid LIMIT ?")
             last = 0
             while True:
-                rows = (conn.execute(q, (last, chunk)).fetchall()
-                        if conn is not None
-                        else self._read_all(q, (last, chunk)))
+                rows = fetch(q, (last, chunk))
                 if not rows:
                     return
                 last = rows[-1][0]

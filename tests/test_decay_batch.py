@@ -60,9 +60,10 @@ def _mk_store(cls, n_nodes=40, n_edges=120, *, days_old=30.0, seed=7):
     return store, edges
 
 
-def test_decay_scan_matches_object_path():
+@pytest.mark.parametrize("prefetch", [False, True, None])
+def test_decay_scan_matches_object_path(prefetch):
     store, edges = _mk_store(SqliteStorage)
-    chunks = list(store.decay_scan(chunk=50))
+    chunks = list(store.decay_scan(chunk=50, prefetch=prefetch))
     assert len(chunks) >= 2  # pagination exercised
     ids = [i for c in chunks for i in c[0]]
     w = np.concatenate([c[1] for c in chunks])

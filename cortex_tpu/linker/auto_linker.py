@@ -386,7 +386,21 @@ class AutoLinker:
 
         if decay_due:
             with span("linker.decay"):
-                pruned, deleted = self.decay_engine.apply_decay(now)
+                db_path = getattr(self.storage, "path", None)
+                if (self.config.decay_in_subprocess and db_path
+                        and db_path != ":memory:"):
+                    try:
+                        pruned, deleted = \
+                            self.decay_engine.apply_decay_isolated(
+                                db_path, now)
+                    except Exception:  # noqa: BLE001 — inline fallback
+                        log.warning(
+                            "subprocess decay sweep failed; running "
+                            "inline this cycle", exc_info=True)
+                        pruned, deleted = \
+                            self.decay_engine.apply_decay(now)
+                else:
+                    pruned, deleted = self.decay_engine.apply_decay(now)
             self.metrics.add_edges_pruned(pruned)
             self.metrics.add_edges_deleted(deleted)
 

@@ -213,6 +213,13 @@ class AutoLinkerConfig:
     generic_content_threshold: int = 30
     run_on_startup: bool = True
     decay: DecayConfig = field(default_factory=DecayConfig)
+    #: run full decay sweeps in a separate OS process (file-backed
+    #: sqlite stores only): at 10M+ edges a sweep is minutes of
+    #: CPU-bound host work whose GIL traffic convoys the serving
+    #: event loop in-process; the worker gets fair OS scheduling (a
+    #: spare core on real hosts). Inline fallback on worker failure
+    #: and for :memory: stores.
+    decay_in_subprocess: bool = True
     embedding_model: str = "BAAI/bge-small-en-v1.5"
     rules: List[ConfigRule] = field(default_factory=list)
     legacy_rules_enabled: Optional[bool] = None

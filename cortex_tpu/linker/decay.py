@@ -10,6 +10,8 @@ Host applies the results (weight writes / deletions) in batch.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import List, Tuple
 
@@ -101,6 +103,47 @@ class DecayEngine:
             deleted_count += ndel
             pruned_count += int(np.count_nonzero(prune & upd_mask))
         return pruned_count, deleted_count
+
+    def apply_decay_isolated(self, db_path: str,
+                             now: float | None = None, *,
+                             timeout_s: float = 3600.0
+                             ) -> Tuple[int, int]:
+        """Run ONE full sweep in a separate OS process
+        (linker/decay_worker.py) against the same sqlite file —
+        maintenance isolation: in-process, the sweep's minutes of
+        CPU-bound work convoys the serving event loop through the GIL
+        (measured: a 296 s sweep at 20.8M edges admitted 23 HTTP
+        searches in a 60 s window on 1 vCPU); a separate process gets
+        fair OS scheduling, and a spare core on real hosts. WAL +
+        busy_timeout make the cross-process writes safe; the sweep's
+        write shapes (weight UPDATE / DELETE by id / audit append)
+        need no in-process lock invariants. Raises on worker failure
+        or timeout — callers fall back inline or retry next cycle."""
+        import dataclasses
+        import subprocess
+        import sys as _sys
+
+        import cortex_tpu as _pkg
+        cfg_json = json.dumps(dataclasses.asdict(self.config))
+        env = dict(os.environ)
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(_pkg.__file__)))
+        env["PYTHONPATH"] = pkg_root + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        argv = [_sys.executable, "-m",
+                "cortex_tpu.linker.decay_worker", db_path, cfg_json]
+        if now is not None:
+            argv.append(repr(float(now)))
+        proc = subprocess.run(argv, capture_output=True, text=True,
+                              timeout=timeout_s, env=env)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"decay worker rc={proc.returncode}: "
+                f"{proc.stderr.strip()[-500:]}")
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        if "error" in out:
+            raise RuntimeError(f"decay worker: {out['error']}")
+        return int(out["pruned"]), int(out["deleted"])
 
     REINFORCED_AT_KEY = "_last_reinforced_at"
 

@@ -17,6 +17,7 @@ branch-free on device.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -108,6 +109,11 @@ def use_device_sweep(n_edges: int) -> bool:
     bandwidth to come out ahead — true on-chip/PCIe, false through
     a network tunnel."""
     if n_edges < DEVICE_SWEEP_MIN_EDGES:
+        return False
+    if os.environ.get("CORTEX_DECAY_FORCE_HOST"):
+        # out-of-process sweep workers: a second process must not
+        # re-initialize a (possibly tunneled) device backend just to
+        # probe a link it should not use
         return False
     return device_transfer_bandwidth() >= 1.5e9
 

@@ -165,6 +165,10 @@ class SqliteStorage(Storage):
         self._db.execute("PRAGMA synchronous=" + (
             "FULL" if str(synchronous).lower() == "full" else "NORMAL"))
         self._db.execute("PRAGMA foreign_keys=ON")
+        # cross-PROCESS writers exist (the out-of-process decay
+        # worker): block on a held sqlite write lock instead of
+        # raising SQLITE_BUSY at the first commit race
+        self._db.execute("PRAGMA busy_timeout=30000")
         self._db.executescript(_SCHEMA)
         self._check_schema_version()
         # dedicated READ-ONLY connection (file-backed stores): WAL

@@ -268,3 +268,72 @@ def test_reads_not_blocked_by_bulk_persist(tmp_path):
     assert dt < 1.0, f"read stalled {dt:.1f}s behind the write txn"
     store._db = store._db._real
     store.close()
+
+
+def test_subprocess_decay_worker(tmp_path):
+    """Maintenance isolation (r5): a full sweep runs in its own OS
+    process against the same sqlite file and reports counts; the
+    outcome matches the inline engine on an identical twin store."""
+    db = str(tmp_path / "w.db")
+    store, _ = _mk_store(lambda: SqliteStorage(db), seed=21)
+    cfg = DecayConfig(daily_decay_rate=0.05, delete_threshold=0.2,
+                      prune_threshold=0.4, importance_shield=0.5)
+    eng = DecayEngine(store, cfg)
+    pruned, deleted = eng.apply_decay_isolated(db, _BASE,
+                                               timeout_s=180.0)
+    w_sub = sorted(round(e.weight, 5) for e in store.all_edges())
+    store.close()
+
+    db2 = str(tmp_path / "i.db")
+    store2, _ = _mk_store(lambda: SqliteStorage(db2), seed=21)
+    eng2 = DecayEngine(store2, cfg)
+    p2, d2 = eng2.apply_decay(_BASE)
+    w_inl = sorted(round(e.weight, 5) for e in store2.all_edges())
+    store2.close()
+    assert (pruned, deleted) == (p2, d2)
+    assert w_sub == w_inl
+
+
+def test_linker_routes_decay_to_subprocess(tmp_path, monkeypatch):
+    """File-backed stores route decay through the worker; a worker
+    failure falls back inline (the cycle never silently skips)."""
+    from cortex_tpu.linker.auto_linker import AutoLinker
+    from cortex_tpu.linker.config import AutoLinkerConfig
+    from cortex_tpu.vector import HashingEmbedder, TpuFlatIndex
+
+    db = str(tmp_path / "route.db")
+    store, _ = _mk_store(lambda: SqliteStorage(db), n_nodes=6,
+                         n_edges=10, seed=5)
+    cfg = AutoLinkerConfig()
+    cfg.decay_every_n_cycles = 1
+    cfg.decay.exempt_manual = False
+    linker = AutoLinker(store, TpuFlatIndex(dim=64),
+                        HashingEmbedder(dim=64), cfg)
+    calls = {"isolated": 0, "inline": 0}
+    real_inline = linker.decay_engine.apply_decay
+
+    def fake_isolated(db_path, now=None, **kw):
+        calls["isolated"] += 1
+        assert db_path == db
+        return (0, 0)
+
+    monkeypatch.setattr(linker.decay_engine, "apply_decay_isolated",
+                        fake_isolated)
+    linker.run_cycle()
+    assert calls["isolated"] == 1
+
+    def broken_isolated(db_path, now=None, **kw):
+        calls["isolated"] += 1
+        raise RuntimeError("worker exploded")
+
+    def counting_inline(now=None):
+        calls["inline"] += 1
+        return real_inline(now)
+
+    monkeypatch.setattr(linker.decay_engine, "apply_decay_isolated",
+                        broken_isolated)
+    monkeypatch.setattr(linker.decay_engine, "apply_decay",
+                        counting_inline)
+    linker.run_cycle()
+    assert calls["inline"] == 1, "no inline fallback on worker failure"
+    store.close()

@@ -447,7 +447,15 @@ async def main_async(args):
 
         async def tier_check_loop():
             while time.monotonic() < stop_at:
-                await asyncio.to_thread(tier_divergence_check)
+                try:
+                    await asyncio.to_thread(tier_divergence_check)
+                except Exception as e:  # noqa: BLE001
+                    # the checker fetches raw device arrays; a wedged
+                    # tunnel response must cost ONE check, not the
+                    # whole soak (r5: a DeviceFetchTimeout here killed
+                    # the gather and the run's results with it)
+                    print(f"# tier check skipped: {e!r}",
+                          file=sys.stderr)
                 await asyncio.sleep(10)
 
         def write_batch(j):

@@ -489,6 +489,23 @@ async def main_async(args):
                 await asyncio.sleep(max(0.0, min(
                     5.0, stop_at - time.monotonic())))
 
+        if args.hybrid and srv.cortex.mirror._packed_mode():
+            # pay the device-walk compiles OUTSIDE the window: the
+            # tier checker's first in-window dispatch otherwise
+            # compiles ~20-40 s through the tunnel, and on this
+            # transport a compile in flight stalls every concurrent
+            # serving fetch behind it (measured: a whole 60 s window
+            # of requests waiting out the 45 s watchdog)
+            t0 = time.perf_counter()
+            try:
+                await asyncio.to_thread(tier_divergence_check)
+                emit("mixed-load one-time device-walk warm",
+                     time.perf_counter() - t0, "seconds")
+            except Exception as e:  # noqa: BLE001
+                print(f"# device-walk warm failed: {e!r}",
+                      file=sys.stderr)
+            stop_at = time.monotonic() + args.secs   # full window left
+
         n_hybrid = args.conc // 2 if args.hybrid else 0
         n_plain = args.conc - n_hybrid
         tasks = [writer(), linker_loop(),

@@ -1267,7 +1267,12 @@ class DeviceCorpus:
         genuinely slow-but-alive device still completes. Until 16
         samples exist the full deadline applies (no cold-start
         misfires)."""
-        if len(self._fetch_times) < 16:
+        if len(self._fetch_times) < 8:
+            # boot warmup's searches prime the window (6-10 fetches);
+            # requiring more meant the first wave of real traffic
+            # after a boot still ran on the full 45 s watchdog — a
+            # 60 s serving window measured every request waiting out
+            # exactly that deadline behind one wedged compile
             return FETCH_TIMEOUT_S
         s = sorted(self._fetch_times)
         p95 = s[min(len(s) - 1, int(0.95 * len(s)))]

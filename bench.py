@@ -147,12 +147,17 @@ def main():
     # generate the corpus on-device (no host->device 3GB upload); every
     # settle is watchdogged — r3's wedge began exactly here, after a
     # passing preflight
+    def phase(msg):
+        _note(f"# t+{time.monotonic() - _T0:.0f}s {msg}")
+
     key = jax.random.PRNGKey(0)
     kc, kq = jax.random.split(key)
     corpus = normalize_rows(jax.random.normal(kc, (n, D), jnp.float32))
     wait_ready(corpus, COMPILE_TIMEOUT_S)
+    phase("corpus generated")
     corpus_bf16 = corpus.astype(jnp.bfloat16)
     wait_ready(corpus_bf16, COMPILE_TIMEOUT_S)
+    phase("bf16 cast settled")
     # int8 shadow (per-row scales, CENTERED as DeviceCorpus quantizes —
     # ranking-invariant; a no-op for this zero-mean corpus but the exact
     # serving scheme) — computed on device to avoid the host round-trip
@@ -163,6 +168,7 @@ def main():
                          -127, 127).astype(jnp.int8)
     rinv = (1.0 / rscale).astype(jnp.float32)
     wait_ready(corpus_i8, COMPILE_TIMEOUT_S)
+    phase("int8 shadow settled")
     del centered
     queries = normalize_rows(jax.random.normal(kq, (B, D), jnp.float32))
     bias = jnp.zeros((1, n), jnp.float32)
@@ -173,6 +179,7 @@ def main():
         jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST), K)[1],
         COMPILE_TIMEOUT_S)
+    phase("fp32-exact oracle done")
 
     def run_xla():
         return cosine_topk_xla(corpus, queries, K, bias)
